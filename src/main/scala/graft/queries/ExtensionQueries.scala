@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Capability-extension queries X1–X7 (SURVEY §2.4): the relational
+  * primitives the reference lacks entirely (SURVEY §2.3 — joins, window
+  * functions, top-k, set ops, scalar functions, event-time windows),
+  * exercised Spark-first so Catalyst owns the physical strategy.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - X1/X2: the dimension sides (customer, nation) are orders of
+  *    magnitude smaller than the fact side — `broadcast()` hints pin the
+  *    hash-join build side so the fact table never shuffles for them.
+  *    lineitem⋈orders is a genuine big-big join and correctly
+  *    shuffle-joins on the key; AQE handles skew at runtime.
+  *  - X3: window partitioned by o_custkey — one hash shuffle, then
+  *    in-partition sort; no global sort until the final (small) output.
+  *  - X4: global top-k via orderBy+limit — Spark plans TakeOrderedAndProject
+  *    (per-partition heap + driver merge of k), NOT a full sort.
+  *  - X7: tumbling-window aggregate — partial+final agg on
+  *    (window, type); grows with #buckets, not #events.
+  */
+object ExtensionQueries {
+
+  /** X1 — equi-join customer⋈orders; dimension side broadcast. */
+  def x1EquiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
+      .select("c_name", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** X2 — 3-way join + agg (TPC-H q5-ish): revenue per nation.
+    * Join order: lineitem⋈orders (big-big, shuffle on orderkey), then
+    * broadcast customer and nation onto it. Revenue rounded to 2dp so
+    * the double sum is oracle-stable across summation orders. */
+  def x2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    val n = Tables.load(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** X3 — ranking window: top-3 orders per customer by totalprice. */
+  def x3WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** X4 — global top-k: 10 highest-revenue lineitems.
+    * orderBy+limit → TakeOrderedAndProject (heap per partition, merge of
+    * 10 at the driver) — no full sort even at 100 TB. */
+  def x4TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** X5 — set op: custkeys with orders EXCEPT poor customers' keys. */
+  def x5SetOp(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_custkey")
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("o_custkey"))
+    o.except(c).orderBy("o_custkey")
+  }
+
+  /** X6 — scalar function surface: date part, substring, rounding.
+    * year() cast to long to match DuckDB's BIGINT. */
+  def x6ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_class"),
+        round(col("o_totalprice"), 0).as("price_r"))
+      .orderBy("o_orderkey")
+
+  /** X7 — tumbling event-time window: events per hour × type.
+    * Batch shape of the Structured Streaming X7 test; window start
+    * surfaces as `ws` (DuckDB oracle: date_trunc). */
+  def x7EventWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_equi_join"    -> (x1EquiJoin _),
+    "x2_join_agg"     -> (x2JoinAgg _),
+    "x3_window_rank"  -> (x3WindowRank _),
+    "x4_topk"         -> (x4TopK _),
+    "x5_set_op"       -> (x5SetOp _),
+    "x6_scalar_funcs" -> (x6ScalarFuncs _),
+    "x7_event_window" -> (x7EventWindow _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_equi_join" ->
+      ("SELECT c_name, o_orderkey, o_totalprice FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey ORDER BY o_orderkey"),
+    "x2_join_agg" ->
+      ("SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "x3_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk " +
+        "FROM orders) t WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey"),
+    "x4_topk" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue " +
+        "FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10"),
+    "x5_set_op" ->
+      ("SELECT o_custkey FROM orders EXCEPT " +
+        "SELECT c_custkey FROM customer WHERE c_acctbal < 0 ORDER BY o_custkey"),
+    "x6_scalar_funcs" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "substring(o_orderpriority, 1, 1) AS prio_class, " +
+        "round(o_totalprice, 0) AS price_r FROM orders ORDER BY o_orderkey"),
+    "x7_event_window" ->
+      ("SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),
+  )
+}
