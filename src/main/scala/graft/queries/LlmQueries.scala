@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.Vectors
 
 /** LLM-data-pipeline queries (SURVEY §2.4 L1–L4 plus the training-data
   * operators mandated by the north star): dedup, text analysis,
@@ -32,9 +33,48 @@ object LlmQueries {
       .orderBy(col("n_chars").desc, col("doc_id"))
       .limit(20)
 
+  /** L3 — similarity search: brute-force cosine top-5 neighbors of
+    * vec_id 0. The one-row query side is broadcast, so the plan is a
+    * map-only scan + TakeOrdered(5) — linear in corpus size, no shuffle;
+    * this is the exact baseline the LSH/IVF variants are judged against.
+    */
+  def l3CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** L4 — near-dup pairs: cosine ≥ 0.45 over all vec_id<vec_id pairs.
+    * Norms are precomputed per vector (O(n·d)) before the pair join so
+    * the quadratic stage only pays the dot product. Brute force is the
+    * exact, oracle-checkable baseline; the 100 TB path is the LSH-bucketed
+    * variant (d4_lsh_near_dup) which prunes the pair space first. */
+  def l4NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Vectors.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(Vectors.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")), 9)
+          .as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "l1_exact_dedup" -> (l1ExactDedup _),
-    "l2_text_stats"  -> (l2TextStats _),
+    "l1_exact_dedup"   -> (l1ExactDedup _),
+    "l2_text_stats"    -> (l2TextStats _),
+    "l3_cosine_topk"   -> (l3CosineTopk _),
+    "l4_near_dup_pairs" -> (l4NearDupPairs _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -43,5 +83,29 @@ object LlmQueries {
     "l2_text_stats" ->
       ("SELECT doc_id, CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens, " +
         "n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"),
+    // Cosine is spelled out at double precision (CAST AS DOUBLE before the
+    // fold) so it is bit-identical to Spark's zip_with/aggregate version —
+    // DuckDB's builtin list_cosine_similarity computes in float32 and
+    // would NOT hash-match. Both sides then round to 9dp: the two
+    // engines' fold orders can differ by 1 ULP (~1e-16), far below the
+    // rounding grain.
+    "l3_cosine_topk" ->
+      ("SELECT b.vec_id, ROUND(" + cosSql("a", "b") + ", 9) AS sim " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+        "ORDER BY sim DESC, b.vec_id LIMIT 5"),
+    "l4_near_dup_pairs" ->
+      ("SELECT * FROM (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, " +
+        "ROUND(" + cosSql("a", "b") + ", 9) AS sim " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.45 ORDER BY vec_id_a, vec_id_b"),
   )
+
+  /** DuckDB double-precision cosine between `$l.embedding` and
+    * `$r.embedding`, association-order-matched to [[Vectors.cosine]]. */
+  private def cosSql(l: String, r: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, length($x.embedding) + 1), " +
+        s"k -> CAST($x.embedding[k] AS DOUBLE) * CAST($y.embedding[k] AS DOUBLE)))"
+    s"${dot(l, r)} / sqrt(${dot(l, l)}) / sqrt(${dot(r, r)})"
+  }
 }
