@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{ExtensionQueries, LlmQueries, ReferenceQueries}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ ExtensionQueries.queries ++ LlmQueries.queries
+    ReferenceQueries.queries ++ ExtensionQueries.queries ++
+      LlmQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql ++ LlmQueries.oracleSql
+    ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql ++
+      LlmQueries.oracleSql ++ StreamingQueries.oracleSql
 }

@@ -35,10 +35,11 @@ object ReferenceOps {
 
   /** O5 (op1_t2): keep lines where naive-split(",")[idx] == `value`,
     * exactly; lines with <= idx fields are silently dropped (probes
-    * 3.2/3.3/3.6). element_at(_, idx+1) is NULL for short rows and
-    * NULL === x filters false, matching the binary's silent drop. */
+    * 3.2/3.3/3.6). `get` (not ANSI `element_at`, which throws on
+    * out-of-bounds in Spark 4) is NULL for short rows, and NULL === x
+    * filters false, matching the binary's silent drop. */
   def filterFieldEq(idx: Int, value: String, colName: String = "value")(df: DataFrame): DataFrame =
-    df.filter(element_at(split(col(colName), ",", -1), idx + 1) === value)
+    df.filter(get(split(col(colName), ",", -1), lit(idx)) === value)
 
   /** O6 (op2_t1): project naive-split fields at `indices`, re-joined with
     * ","; rows with fewer than max(indices)+1 fields are silently dropped
@@ -48,7 +49,7 @@ object ReferenceOps {
     val parts = split(col(colName), ",", -1)
     val need = indices.max + 1
     df.filter(size(parts) >= need)
-      .select(concat_ws(",", indices.map(i => element_at(parts, i + 1)): _*).as(colName))
+      .select(concat_ws(",", indices.map(i => get(parts, lit(i))): _*).as(colName))
   }
 
   /** O7+O8 (op2_t2 + leader merge): group-count on naive-split field
@@ -59,7 +60,7 @@ object ReferenceOps {
   def groupCountField(idx: Int, colName: String = "value")(df: DataFrame): DataFrame = {
     val parts = split(col(colName), ",", -1)
     df.filter(size(parts) >= idx + 1)
-      .groupBy(element_at(parts, idx + 1).as("key"))
+      .groupBy(get(parts, lit(idx)).as("key"))
       .agg(count(lit(1)).as("cnt"))
   }
 
