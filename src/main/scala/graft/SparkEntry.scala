@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtensionQueries, LlmQueries, ReferenceQueries}
+import graft.queries.{AnnQueries, DedupQueries, ExtendedRelationalQueries, ExtensionQueries, LlmQueries, MultimodalQueries, ReferenceQueries, TextQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,11 +25,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ ExtensionQueries.queries ++
-      LlmQueries.queries ++ StreamingQueries.queries
+      LlmQueries.queries ++ StreamingQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      AnnQueries.queries ++ MultimodalQueries.queries ++
+      ExtendedRelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql ++
-      LlmQueries.oracleSql ++ StreamingQueries.oracleSql
+      LlmQueries.oracleSql ++ StreamingQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      AnnQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      ExtendedRelationalQueries.oracleSql
 }

@@ -32,8 +32,15 @@ object Vectors {
   }
 
   /** Cosine similarity; NaN when either side has zero norm (matches
-    * IEEE division semantics on both engines). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+    * IEEE division semantics on both engines). Delegates to the codegen
+    * [[graft.functions.CosineSimilarity]] expression — one fused loop vs
+    * three interpreted array folds; identical operation order, so
+    * results are bit-identical to [[cosineBuiltin]]. */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** The builtin-composition spelling, kept for the equivalence test
+    * pinning the codegen expression to the portable definition. */
+  def cosineBuiltin(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
   /** Cosine given precomputed norms — at scale norms are computed once
     * per vector (O(n·d)) instead of once per pair (O(n²·d)); bitwise

@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions with whole-stage codegen — the
+  * preference-order step (b) of SURVEY §7: used where a builtin
+  * composition would either break semantics or cost too much.
+  *
+  * Both expressions generate straight-line Java in `doGenCode`, so they
+  * stay inside WholeStageCodegen spans instead of falling back to
+  * interpreted eval (a Scala UDF would box every row and block codegen).
+  */
+
+/** FNV-1a 32-bit hash of a string's UTF-8 bytes — the reference's
+  * consistent-hash placement function (utils/utils.go:8-14: files map to
+  * the first ring member with HostHash >= fnv1a(filename)). Capability
+  * parity for every place the reference makes hashing semantically
+  * visible (O12).
+  *
+  * Returns the hash as an unsigned 32-bit value widened to LongType
+  * (Go's uint32 has no JVM twin).
+  */
+case class Fnv1a32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fnv1a32 needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1a32.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+        byte[] $bytes = $c.getBytes();
+        long $h = 2166136261L;
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          $h = ($h ^ ($bytes[$i] & 0xffL)) * 16777619L & 0xffffffffL;
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a32 =
+    copy(child = newChild)
+}
+
+object Fnv1a32 {
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 2166136261L
+    var i = 0
+    while (i < bytes.length) {
+      h = ((h ^ (bytes(i) & 0xffL)) * 16777619L) & 0xffffffffL
+      i += 1
+    }
+    h
+  }
+  def apply(c: Column): Column = GraftShims.column(Fnv1a32(GraftShims.expression(c)))
+}
+
+/** Cosine similarity between two array<float> columns, computed in
+  * double precision with a single fused loop — one pass over both
+  * arrays for dot product and both norms, vs three separate
+  * zip_with+aggregate array traversals (plus their per-element lambda
+  * dispatch) in the builtin composition. Null if either array is null;
+  * arrays must have equal length (mismatch throws, same as zip_with
+  * would silently zip-pad — a mismatch is a data bug, surface it).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    if (Seq(left, right).forall(_.dataType match {
+          case ArrayType(FloatType, _) => true; case _ => false }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity needs two array<float> arguments, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine_similarity: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          throw new IllegalArgumentException(
+            "cosine_similarity: length mismatch " + $n + " vs " + $b.numElements());
+        }
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+object CosineSimilarity {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(CosineSimilarity(
+      GraftShims.expression(a), GraftShims.expression(b)))
+}
+
+/** Polynomial rolling hash over a string's code points:
+  * `h = fold(0, cp => (h*257 + cp) mod 1e9+7)` — the codegen twin of
+  * [[TextPrimitives.rollingHashSpark]]'s builtin spelling (which runs
+  * interpreted: higher-order functions are CodegenFallback). Exactly the
+  * same integer math, so results are oracle-identical; ~100× less
+  * per-row overhead. Folds over CODE POINTS (like ascii()/ord()), not
+  * UTF-8 bytes, to match the SQL spec on non-ASCII input.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"poly_hash needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val h = ctx.freshName("h")
+      s"""
+        java.lang.String $s = $c.toString();
+        long $h = 0L;
+        for (int $i = 0; $i < $s.length(); ) {
+          int $cp = $s.codePointAt($i);
+          $i += java.lang.Character.charCount($cp);
+          $h = ($h * 257L + $cp) % 1000000007L;
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      h = (h * 257L + cp) % 1000000007L
+    }
+    h
+  }
+  def apply(c: Column): Column = GraftShims.column(PolyHash(GraftShims.expression(c)))
+}
+
+/** 30-bit SimHash of an array<long> of feature hashes: bit j is set iff
+  * a strict majority of features have bit j set. One fused loop with a
+  * counter array in generated Java, vs 30 interpreted ArrayFilter passes
+  * in the builtin spelling (which made the fingerprint ~1000× slower
+  * and dominated the whole benchmark). Output matches the SQL spec
+  * bit-for-bit.
+  */
+case class SimHash30(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType match { case ArrayType(LongType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash30 needs an array<bigint> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](30)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 30) { if (((h >> j) & 1L) == 1L) cnt(j) += 1; j += 1 }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 30) { if (2 * cnt(j) > n) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val sim = ctx.freshName("sim")
+      s"""
+        int $n = $c.numElements();
+        int[] $cnt = new int[30];
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $c.getLong($i);
+          for (int $j = 0; $j < 30; $j++) {
+            if ((($h >> $j) & 1L) == 1L) $cnt[$j]++;
+          }
+        }
+        long $sim = 0L;
+        for (int $j = 0; $j < 30; $j++) {
+          if (2 * $cnt[$j] > $n) $sim |= (1L << $j);
+        }
+        ${ev.value} = $sim;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash30 =
+    copy(child = newChild)
+}
+
+object SimHash30 {
+  def apply(c: Column): Column = GraftShims.column(SimHash30(GraftShims.expression(c)))
+}
+
+/** SQL registration so the spark.sql-built queries can call the codegen
+  * expressions by name. Idempotent; call before any spark.sql text that
+  * references them. */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash30", exprs => SimHash30(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fnv1a32", exprs => Fnv1a32(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Second wave of relational capability (x8–x12): the remaining gaps
+  * SURVEY §2.3 lists against the reference — semi/anti joins, grouping
+  * sets, JSON access, INTERSECT, and an as-of join (the one operator
+  * here Spark has no single builtin for).
+  */
+object ExtendedRelationalQueries {
+
+  /** x8 — semi + anti join: customers WITH orders (semi) that have NO
+    * negative-balance twin (anti is exercised in x8b below via except
+    * of keysets; here left_semi + left_anti both appear in one plan).
+    * Both plan as broadcast hash joins with the small side broadcast —
+    * no fact-table shuffle. */
+  def x8SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority").contains("URGENT"))
+      .select(col("o_custkey"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(o.filter(col("o_totalprice") > 400000).select(col("o_custkey")),
+        c("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** x9 — ROLLUP: order counts by (orderstatus, orderpriority) with
+    * subtotals and a grand total. Catalyst expands rollup to a single
+    * Expand + aggregate — one shuffle, not one scan per grouping set. */
+  def x9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** x10 — JSON access: pull `k` out of the events.props JSON text
+    * column. get_json_object is a per-row codegen'd path evaluation —
+    * no shuffle, scan-speed. */
+  def x10Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** x11 — INTERSECT: custkeys that placed an order AND have a positive
+    * account balance (set semantics, dedup built in). */
+  def x11Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("o_custkey"))
+    o.intersect(c).orderBy("o_custkey")
+  }
+
+  /** x12 — as-of join (backward): for each event, the most recent order
+    * of that user with o_orderdate <= ts. Spark has no asof builtin;
+    * this composes equi-join on the user key + window arg-max — the
+    * equi-join keeps the shuffle keyed on user_id (co-partitioned both
+    * sides), and the window sorts only within each event's candidate
+    * set. DuckDB validates via its native ASOF JOIN (with orders
+    * pre-deduped per (custkey, orderdate) the same way the window's
+    * o_orderkey tie-break resolves). */
+  def x12AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val joined = e.join(o,
+      o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x8_semi_anti"  -> (x8SemiAnti _),
+    "x9_rollup"     -> (x9Rollup _),
+    "x10_json"      -> (x10Json _),
+    "x11_intersect" -> (x11Intersect _),
+    "x12_asof_join" -> (x12AsofJoin _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x8_semi_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%') " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) " +
+        "ORDER BY c_custkey"),
+    "x9_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "x10_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+    "x11_intersect" ->
+      ("SELECT o_custkey FROM orders INTERSECT " +
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 0 ORDER BY o_custkey"),
+    "x12_asof_join" ->
+      ("SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e " +
+        "ASOF JOIN (SELECT o_orderkey, o_custkey, o_orderdate, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders QUALIFY rn = 1) o " +
+        "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts " +
+        "ORDER BY event_id"),
+  )
+}

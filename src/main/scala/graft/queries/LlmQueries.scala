@@ -49,23 +49,20 @@ object LlmQueries {
       .limit(5)
   }
 
-  /** L4 — near-dup pairs: cosine ≥ 0.45 over all vec_id<vec_id pairs.
-    * Norms are precomputed per vector (O(n·d)) before the pair join so
-    * the quadratic stage only pays the dot product. Brute force is the
-    * exact, oracle-checkable baseline; the 100 TB path is the LSH-bucketed
-    * variant (d4_lsh_near_dup) which prunes the pair space first. */
+  /** L4 — near-dup pairs: cosine ≥ 0.45 over all vec_id<vec_id pairs,
+    * computed by the fused codegen cosine (one pass per pair; norm
+    * recompute inside the fused loop is cheaper than materializing
+    * norms ever was with interpreted array folds). Brute force is the
+    * exact, oracle-checkable baseline; the 100 TB path is the
+    * LSH-bucketed variant (s2_ann_lsh) which prunes the space first. */
   def l4NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Vectors.norm(col("embedding")))
-    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
       .select(col("vec_id_a"), col("vec_id_b"),
-        round(Vectors.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")), 9)
-          .as("sim"))
+        round(Vectors.cosine(col("ea"), col("eb")), 9).as("sim"))
       .filter(col("sim") >= 0.45)
       .orderBy("vec_id_a", "vec_id_b")
   }

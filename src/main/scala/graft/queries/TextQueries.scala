@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.TextPrimitives._
+
+/** Text-analysis operators for the training-data pipeline (north star):
+  * language ID, quality scoring, token counting, document
+  * fingerprinting — each over `documents`, each with a DuckDB oracle
+  * built from the same constants ([[graft.functions.TextPrimitives]]).
+  *
+  * All four are embarrassingly parallel scans (no shuffle except the
+  * final presentation sort): per-row expression trees that Catalyst
+  * keeps inside whole-stage codegen. At 100 TB these run at scan speed.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): Unit = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+  }
+
+  /** t1 — language ID: stopword-hit argmax over {en,de,es,fr} plus a
+    * CJK-codepoint check for zh, deterministic tie-break by CASE order.
+    * (On the synthetic corpus the signal is weak — the point is the
+    * operator shape: token-set scoring at scan speed.) */
+  def t1LangId(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    val w = "split(text, ' ')"
+    val scores = Seq("en", "de", "es", "fr")
+      .map(l => s"${stopHitsSpark(w, stopwords(l))} AS s_$l").mkString(", ")
+    spark.sql(s"""
+      SELECT doc_id, lang, CASE
+          WHEN s_zh > 0 THEN 'zh'
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr' END AS pred_lang
+      FROM (SELECT doc_id, lang, $scores,
+              char_length(regexp_replace(text, '[^\\u4e00-\\u9fff]', '')) AS s_zh
+            FROM documents)
+      ORDER BY doc_id""")
+  }
+
+  /** t2 — quality score: stopword ratio + length saturation + inverse
+    * punctuation density, the classic cheap pre-filter stack for web
+    * corpora; rounded to 6dp for cross-engine stability. */
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    val w = "split(text, ' ')"
+    spark.sql(s"""
+      SELECT doc_id, n_tokens,
+        round(0.5 * stop_hits / n_tokens
+            + 0.3 * least(1.0, n_tokens / 100.0)
+            + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS score
+      FROM (SELECT doc_id, n_chars,
+              CAST(size($w) AS BIGINT) AS n_tokens,
+              CAST(${stopHitsSpark(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
+              CAST(char_length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE) AS punct
+            FROM documents)
+      WHERE n_tokens > 0
+      ORDER BY doc_id""")
+  }
+
+  /** t3 — token counting: whitespace tokens and BPE-ish pretokenizer
+    * tokens (letter runs / digit runs / single punctuation). */
+  def t3TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql(s"""
+      SELECT doc_id,
+        CAST(size(split(text, '\\\\s+')) AS BIGINT) AS n_ws_tokens,
+        CAST(size(regexp_extract_all(text, '$bpeTokenPatternSpark', 0)) AS BIGINT) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""")
+  }
+
+  /** t4 — document fingerprint: order-sensitive polynomial rolling hash
+    * of the full text (the engine-neutral analogue of the reference's
+    * FNV-1a content addressing, utils/utils.go:8-14). */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql(s"""
+      SELECT doc_id, ${rollingHashSpark("text")} AS fp
+      FROM documents ORDER BY doc_id""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id"       -> (t1LangId _),
+    "t2_quality_score" -> (t2QualityScore _),
+    "t3_token_count"   -> (t3TokenCount _),
+    "t4_fingerprint"   -> (t4Fingerprint _),
+  )
+
+  val oracleSql: Map[String, String] = {
+    val w = "string_split(text, ' ')"
+    val scoresDuck = Seq("en", "de", "es", "fr")
+      .map(l => s"${stopHitsDuck(w, stopwords(l))} AS s_$l").mkString(", ")
+    Map(
+      "t1_lang_id" ->
+        s"""SELECT doc_id, lang, CASE
+            WHEN s_zh > 0 THEN 'zh'
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+        FROM (SELECT doc_id, lang, $scoresDuck,
+                length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+              FROM documents)
+        ORDER BY doc_id""",
+      "t2_quality_score" ->
+        s"""SELECT doc_id, n_tokens,
+          round(0.5 * stop_hits / n_tokens
+              + 0.3 * least(1.0, n_tokens / 100.0)
+              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS score
+        FROM (SELECT doc_id, n_chars,
+                CAST(length($w) AS BIGINT) AS n_tokens,
+                CAST(${stopHitsDuck(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+              FROM documents)
+        WHERE n_tokens > 0
+        ORDER BY doc_id""",
+      "t3_token_count" ->
+        s"""SELECT doc_id,
+          CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+          CAST(length(regexp_extract_all(text, '$bpeTokenPatternDuck')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""",
+      "t4_fingerprint" ->
+        s"SELECT doc_id, ${rollingHashDuck("text")} AS fp FROM documents ORDER BY doc_id",
+    )
+  }
+}
