@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AppendLogStore, CsvModes}
+
+/** Source-layer semantics: the append-log store must reproduce the
+  * reference's create/append/get/merge behavior (§2.2 command table,
+  * test4/test5 scenarios), and the two CSV modes must disagree exactly
+  * on quoted fields (probe 3.9). */
+class SourcesSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("append-log store: create, append, merge-on-read, compact (test4/test5 analogue)") {
+    val root = Files.createTempDirectory("als").toString
+    val store = new AppendLogStore(spark, root)
+    store.create(Seq((1L, "base-a"), (3L, "base-b")).toDF("ts", "payload"))
+    // two writers append concurrently, one ts collision with the base
+    store.append(Seq((2L, "w1")).toDF("ts", "payload"))
+    store.append(Seq((3L, "w2-collides"), (4L, "w2")).toDF("ts", "payload"))
+    val merged = store.read(Seq("payload")).as[(Long, String)].collect().toSeq
+    // unique by ts, ascending; collision resolved by arg-min payload
+    assert(merged == Seq((1L, "base-a"), (2L, "w1"), (3L, "base-b"), (4L, "w2")))
+    // merge-on-read is stable under repetition (replica convergence)
+    assert(store.read(Seq("payload")).as[(Long, String)].collect().toSeq == merged)
+    // compaction materializes the same state and empties the log
+    store.compact(Seq("payload"))
+    assert(store.read(Seq("payload")).as[(Long, String)].collect().toSeq == merged)
+    // post-compact append still works
+    store.append(Seq((5L, "late")).toDF("ts", "payload"))
+    assert(store.read(Seq("payload")).as[(Long, String)].collect().toSeq ==
+      merged :+ ((5L, "late")))
+  }
+
+  test("create refuses to overwrite (reference: create fails if file exists)") {
+    val root = Files.createTempDirectory("als2").toString
+    val store = new AppendLogStore(spark, root)
+    store.create(Seq((1L, "x")).toDF("ts", "payload"))
+    intercept[Exception] {
+      store.create(Seq((2L, "y")).toDF("ts", "payload"))
+    }
+  }
+
+  test("naive vs proper CSV disagree exactly on quoted fields (probe 3.9)") {
+    val dir = Files.createTempDirectory("csv")
+    Files.write(dir.resolve("probe.csv"), "\"x,y\",b,c,d,e\n".getBytes)
+    val naive = CsvModes.readNaive(spark, dir.toString)
+      .select(col("fields")).as[Seq[String]].head()
+    assert(naive == Seq("\"x", "y\"", "b", "c", "d", "e")) // 6 naive fields
+    val proper = CsvModes.readProper(spark, dir.toString).head()
+    assert(proper.toSeq == Seq("x,y", "b", "c", "d", "e")) // 5 real fields
+  }
+}

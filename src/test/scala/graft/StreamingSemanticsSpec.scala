@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+/** Event-time semantics the reference never had (SURVEY §2.3):
+  * watermarked windowed aggregation with late-data drop (X7's streaming
+  * form) and arbitrary stateful sessionization (flatMapGroupsWithState).
+  * Driven through MemoryStream so micro-batch boundaries and late
+  * arrivals are exact. */
+class StreamingSemanticsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // offset from epoch: a ts equal to the initial watermark (0) is
+  // treated as late and dropped by stateful operators
+  private def ts(minutes: Long): Timestamp = new Timestamp((1440 + minutes) * 60000L)
+
+  test("watermarked tumbling window drops data later than the watermark (X7 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("x7s").start()
+    try {
+      in.addData((ts(10), "click"), (ts(20), "click"))
+      q.processAllAvailable()
+      // advance event time far past hour 0 + watermark -> hour-0 window closes
+      in.addData((ts(200), "view"))
+      q.processAllAvailable()
+      // this arrival is BEFORE the watermark (200 - 10 min): must be dropped
+      in.addData((ts(30), "click"))
+      q.processAllAvailable()
+      val closed = spark.table("x7s")
+        .select(col("ws"), col("event_type"), col("cnt"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      // hour-0 click window emitted with cnt=2 (the late third click never counted)
+      assert(closed.contains((ts(0), "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("gap sessionization: sessions close on gap, state survives micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sessions = Sessionize.sessions(spark, in.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess").start()
+    try {
+      // user 1: events at t=0,10 (one session); user 2: t=5
+      in.addData(Event(1, ts(0), "a"), Event(1, ts(10), "b"), Event(2, ts(5), "a"))
+      q.processAllAvailable()
+      // user 1 speaks again within the gap at t=25 (same session);
+      // then much later at t=120 -> closes session 1 on arrival
+      in.addData(Event(1, ts(25), "c"), Event(1, ts(120), "d"))
+      q.processAllAvailable()
+      // push watermark far ahead so remaining sessions time out
+      in.addData(Event(99, ts(600), "z"))
+      q.processAllAvailable()
+      in.addData(Event(98, ts(1200), "z"))
+      q.processAllAvailable()
+      val got = spark.table("sess").as[Session].collect()
+        .map(s => (s.user_id, s.start.getTime / 60000 - 1440, s.end.getTime / 60000 - 1440, s.n_events))
+        .toSet
+      assert(got.contains((1L, 0L, 25L, 3L)))   // session closed by the t=120 arrival
+      assert(got.contains((2L, 5L, 5L, 1L)))    // closed by event-time timeout
+      assert(got.contains((1L, 120L, 120L, 1L))) // closed by timeout after watermark advance
+    } finally q.stop()
+  }
+}
