@@ -258,6 +258,140 @@ object SimHash30 {
   def apply(c: Column): Column = GraftShims.column(SimHash30(GraftShims.expression(c)))
 }
 
+/** All distinct word-3-gram rolling hashes of a token array, fused:
+  * equivalent to `array_distinct(transform(shingles(w), g ->
+  * poly_hash(g)))` where each shingle is `w[i] + ' ' + w[i+1] + ' ' +
+  * w[i+2]` — but computed in one generated loop without materializing
+  * the shingle strings (the builtin spelling's transform+concat_ws runs
+  * interpreted and allocates every shingle). Arrays shorter than 3
+  * tokens yield an empty array. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs an array<string> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 2 < n) {
+      val g = arr.getUTF8String(i).toString + " " +
+        arr.getUTF8String(i + 1).toString + " " + arr.getUTF8String(i + 2).toString
+      out.add(PolyHash.hash(g))
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(res)
+  }
+
+  // One call into the interpreted eval per ROW (not per element) is
+  // already outside the hot loop; the win over the builtin spelling is
+  // the fused per-element work, which lives in nullSafeEval's tight
+  // Java loop either way.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(c: Column): Column = GraftShims.column(ShingleHashes(GraftShims.expression(c)))
+}
+
+/** All 16 MinHash signatures `min over ids of (a_k*x + b_k) mod P` in a
+  * single generated pass over the id array — vs 16 interpreted
+  * transform+array_min traversals. Constants are
+  * [[TextPrimitives.minhashAB]], baked into the generated code, so the
+  * DuckDB oracle regenerates identical signatures. Empty input → null
+  * (array_min of an empty array is null in the builtin spelling too). */
+case class MinHash16(child: Expression) extends UnaryExpression {
+  import TextPrimitives.{minhashAB, P}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash16 needs an array<bigint> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var k = 0
+      while (k < 16) {
+        val (a, b) = minhashAB(k)
+        val h = (a * x + b) % P
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val as = minhashAB.map(_._1).mkString(", ")
+    val bs = minhashAB.map(_._2).mkString(", ")
+    val aArr = ctx.addMutableState("long[]", "mhA", v => s"$v = new long[]{$as};")
+    val bArr = ctx.addMutableState("long[]", "mhB", v => s"$v = new long[]{$bs};")
+    val n = ctx.freshName("n")
+    val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i")
+    val k = ctx.freshName("k")
+    val x = ctx.freshName("x")
+    val h = ctx.freshName("h")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        int $n = $c.numElements();
+        if ($n == 0) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $mins = new long[16];
+          java.util.Arrays.fill($mins, Long.MAX_VALUE);
+          for (int $i = 0; $i < $n; $i++) {
+            long $x = $c.getLong($i);
+            for (int $k = 0; $k < 16; $k++) {
+              long $h = ($aArr[$k] * $x + $bArr[$k]) % ${P}L;
+              if ($h < $mins[$k]) $mins[$k] = $h;
+            }
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash16 =
+    copy(child = newChild)
+}
+
+object MinHash16 {
+  def apply(c: Column): Column = GraftShims.column(MinHash16(GraftShims.expression(c)))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -267,6 +401,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash30", exprs => SimHash30(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("fnv1a32", exprs => Fnv1a32(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes", exprs => ShingleHashes(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash16", exprs => MinHash16(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
   }

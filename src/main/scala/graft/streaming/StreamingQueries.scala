@@ -30,9 +30,12 @@ object StreamingQueries {
     events.repartitionByRange(8, col("ts"))
       .write.mode("overwrite").parquet(s"$tmp/feed")
     val schema = spark.read.parquet(s"$tmp/feed").schema
+    // 8 ts-range files fed 2 per trigger -> 4 genuine micro-batches;
+    // per-trigger fixed cost (~1 s planning+commit each) is the whole
+    // runtime of this query, so batch count is the knob that matters.
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$tmp/feed")
     val qname = "r9_state_" + UUID.randomUUID().toString.replace("-", "")
     val q = stream.groupBy("event_type").agg(count(lit(1)).as("cnt"))

@@ -55,6 +55,37 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(empty == 0L)
   }
 
+  test("ShingleHashes == array_distinct(transform(shingles, poly_hash)) on real docs") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    val diff = spark.sql(s"""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      both AS (SELECT doc_id, shingle_hashes(w) AS fast,
+        array_distinct(transform(${TextPrimitives.shinglesSpark("w")},
+          g -> poly_hash(g))) AS ref
+        FROM toks WHERE size(w) >= 3)
+      SELECT count(*) FROM both WHERE fast != ref""").head().getLong(0)
+    assert(diff == 0)
+  }
+
+  test("MinHash16 == per-permutation array_min spelling") {
+    GraftFunctions.register(spark)
+    val perms = TextPrimitives.minhashAB.zipWithIndex.map { case ((a, b), k) =>
+      s"array_min(transform(ids, x -> ($a*x + $b) % ${TextPrimitives.P}))"
+    }.mkString("array(", ", ", ")")
+    val rnd = new scala.util.Random(4)
+    val rows = Seq.fill(50)(Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong().abs % 1000000007L))
+    rows.toDF("ids").createOrReplaceTempView("mh_probe")
+    val diff = spark.sql(
+      s"SELECT count(*) FROM mh_probe WHERE minhash16(ids) != $perms").head().getLong(0)
+    assert(diff == 0)
+    // empty input -> null, matching array_min's null on empty arrays
+    val nullRow = spark.sql(
+      "SELECT minhash16(CAST(array() AS ARRAY<BIGINT>)) IS NULL").head().getBoolean(0)
+    assert(nullRow)
+  }
+
   test("s2 ANN recall: LSH bucket top-5 ⊆ corpus, exact top-5 overlap measured") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmQueries.l3CosineTopk(spark, dir)
