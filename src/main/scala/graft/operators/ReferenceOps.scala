@@ -79,6 +79,33 @@ object ReferenceOps {
       .drop("__rn")
   }
 
+  // ------------------------------------------------------- wire parity
+
+  /** Stage-3 Transform envelope (op2_t1 wire format, probe 3.7):
+    * `{"Type":"Transform","Data":"<lines joined by \n>"}` — the whole
+    * input collapses to ONE envelope string per batch, lines in
+    * `orderCol` order. Spark's to_json escapes like Go's json.Marshal
+    * for the ASCII payloads the reference handles (Go additionally
+    * HTML-escapes <>&, which never appear in the probe corpus).
+    * Test-parity surface, not a scale path: a batch is small by
+    * construction (BATCH_SIZE=5, rainstorm.go:24). */
+  def envelopeTransform(orderCol: String, colName: String = "value")(df: DataFrame): DataFrame =
+    df.agg(array_sort(collect_list(struct(col(orderCol).as("o"), col(colName).as("v"))))
+        .as("rows")) // collect_list order is partition-dependent; sort after
+      .select(to_json(struct(
+        lit("Transform").as("Type"),
+        concat_ws("\n", expr("transform(rows, r -> r.v)")).as("Data"))).as("envelope"))
+
+  /** Stage-3 Aggregate envelope (op2_t2 wire format, probes 3.8/3.13):
+    * `{"Type":"Aggregate","Data":"{\"k\":n,…}"}` with keys SORTED (Go
+    * json.Marshal map ordering). Input: the (key, cnt) output of
+    * [[groupCountField]]. */
+  def envelopeAggregate(df: DataFrame): DataFrame =
+    df.agg(array_sort(collect_list(struct(col("key"), col("cnt")))).as("entries"))
+      .select(to_json(struct(
+        lit("Aggregate").as("Type"),
+        to_json(map_from_entries(col("entries"))).as("Data"))).as("envelope"))
+
   /** O11 (timestamp-ordered log merge, synchronizer.go:75-139): union of
     * replica append buffers → unique by timestamp → ascending order.
     * Reference resolves ts collisions by map-overwrite (last writer wins,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew handling for hot keys (prompt/SURVEY: "skewed keys → salting or
+  * AQE skew-join"). AQE splits skewed SHUFFLE JOIN partitions on its
+  * own; what it does not rewrite is a skewed aggregation whose single
+  * hot group lands on one reducer. `saltedAgg` is the classic two-phase
+  * rewrite:
+  *
+  *   groupBy(key)            ⇒ groupBy(key, salt) → partial combine
+  *                             groupBy(key)       → final combine
+  *
+  * The salt is `pmod(hash(all columns), n)` — deterministic (re-runs and
+  * retries see the same salt, keeping the plan idempotent), uniform
+  * enough to spread a hot key over n reducers. Correct for any algebraic
+  * aggregate supplied as (partial, merge) pairs; exposed here for the
+  * common count/sum cases.
+  */
+object Salting {
+
+  private def saltCol(df: DataFrame, n: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(n))
+
+  /** Two-phase salted count per key set. Result == groupBy(keys).count()
+    * (pinned by SaltingSpec) with the hot key's partial counts spread
+    * over `n` reducers in phase 1. */
+  def saltedGroupCount(keys: Seq[String], n: Int = 16)(df: DataFrame): DataFrame =
+    df.withColumn("__salt", saltCol(df, n))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("cnt"))
+
+  /** Two-phase salted sum of `value` per key set. */
+  def saltedGroupSum(keys: Seq[String], value: String, n: Int = 16)(df: DataFrame): DataFrame =
+    df.withColumn("__salt", saltCol(df, n))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(value)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$value"))
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Scalar-function library sampler (x13–x15): the reference has no
+  * function library at all (SURVEY §2.3 — its only scalar ops were
+  * substring containment and comma split); a drop-in replacement needs
+  * the standard string/date/array surface. Each query exercises a
+  * representative set with a DuckDB twin, with the usual dialect care:
+  * 64-bit casts on integer-valued functions, identical aliases, total
+  * ordering.
+  */
+object FunctionQueries {
+
+  private def view(spark: SparkSession, dir: String, name: String): Unit =
+    Tables.load(spark, dir, name).createOrReplaceTempView(name)
+
+  /** x13 — string functions over orders. */
+  def x13StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql("""
+      SELECT o_orderkey,
+        upper(o_orderpriority)                    AS up,
+        lower(o_orderpriority)                    AS lo,
+        CAST(length(o_orderpriority) AS BIGINT)   AS len,
+        replace(o_orderpriority, '-', '_')        AS repl,
+        lpad(o_orderstatus, 3, '.')               AS pad,
+        trim(concat(' ', o_orderstatus, ' '))     AS trimmed,
+        reverse(o_orderstatus)                    AS rev,
+        CAST(instr(o_orderpriority, 'URGENT') AS BIGINT) AS pos
+      FROM orders ORDER BY o_orderkey""")
+  }
+
+  /** x14 — date/time functions over orders (all integer parts cast to
+    * BIGINT: Spark returns int32, DuckDB int64). */
+  def x14DateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT)       AS y,
+        CAST(quarter(o_orderdate) AS BIGINT)    AS q,
+        CAST(month(o_orderdate) AS BIGINT)      AS m,
+        CAST(day(o_orderdate) AS BIGINT)        AS d,
+        CAST(dayofyear(o_orderdate) AS BIGINT)  AS doy,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+      FROM orders ORDER BY o_orderkey""")
+  }
+
+  /** x15 — array functions over documents' token arrays. */
+  def x15ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "documents")
+    spark.sql("""
+      SELECT doc_id,
+        CAST(size(split(text, ' ')) AS BIGINT)                    AS n,
+        concat_ws(' ', slice(split(text, ' '), 1, 3))             AS first3,
+        concat_ws(' ', array_sort(slice(split(text, ' '), 1, 5))) AS sorted5,
+        array_contains(split(text, ' '), 'merge')                 AS has_merge,
+        element_at(split(text, ' '), 1)                           AS first_tok
+      FROM documents ORDER BY doc_id""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_string_funcs" -> (x13StringFuncs _),
+    "x14_date_funcs"   -> (x14DateFuncs _),
+    "x15_array_funcs"  -> (x15ArrayFuncs _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x13_string_funcs" ->
+      """SELECT o_orderkey,
+        upper(o_orderpriority)                    AS up,
+        lower(o_orderpriority)                    AS lo,
+        CAST(length(o_orderpriority) AS BIGINT)   AS len,
+        replace(o_orderpriority, '-', '_')        AS repl,
+        lpad(o_orderstatus, 3, '.')               AS pad,
+        trim(concat(' ', o_orderstatus, ' '))     AS trimmed,
+        reverse(o_orderstatus)                    AS rev,
+        CAST(instr(o_orderpriority, 'URGENT') AS BIGINT) AS pos
+      FROM orders ORDER BY o_orderkey""",
+    "x14_date_funcs" ->
+      """SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT)       AS y,
+        CAST(quarter(o_orderdate) AS BIGINT)    AS q,
+        CAST(month(o_orderdate) AS BIGINT)      AS m,
+        CAST(day(o_orderdate) AS BIGINT)        AS d,
+        CAST(dayofyear(o_orderdate) AS BIGINT)  AS doy,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+      FROM orders ORDER BY o_orderkey""",
+    "x15_array_funcs" ->
+      """SELECT doc_id,
+        CAST(length(string_split(text, ' ')) AS BIGINT)                 AS n,
+        array_to_string(string_split(text, ' ')[1:3], ' ')              AS first3,
+        array_to_string(list_sort(string_split(text, ' ')[1:5]), ' ')   AS sorted5,
+        list_contains(string_split(text, ' '), 'merge')                 AS has_merge,
+        string_split(text, ' ')[1]                                      AS first_tok
+      FROM documents ORDER BY doc_id""",
+  )
+}
