@@ -106,6 +106,15 @@ object ReferenceOps {
         lit("Aggregate").as("Type"),
         to_json(map_from_entries(col("entries"))).as("Data"))).as("envelope"))
 
+  /** O8 leader console rendering (rainstorm.go:559): the running
+    * aggregate printed as Go's fmt of a map — `map[k1:v1 k2:v2 …]`,
+    * keys sorted. Input: (key, cnt) rows. Test-parity surface. */
+  def leaderConsoleLine(df: DataFrame): DataFrame =
+    df.agg(array_sort(collect_list(struct(col("key"), col("cnt")))).as("entries"))
+      .select(concat(lit("map["),
+        concat_ws(" ", expr("transform(entries, e -> concat(e.key, ':', e.cnt))")),
+        lit("]")).as("line"))
+
   /** O11 (timestamp-ordered log merge, synchronizer.go:75-139): union of
     * replica append buffers → unique by timestamp → ascending order.
     * Reference resolves ts collisions by map-overwrite (last writer wins,

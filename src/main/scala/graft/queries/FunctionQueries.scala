@@ -61,10 +61,25 @@ object FunctionQueries {
       FROM documents ORDER BY doc_id""")
   }
 
+  /** x16 — distinct aggregation (SURVEY §2.3 gap): exact COUNT(DISTINCT)
+    * alongside plain aggregates. Catalyst plans this as a two-level
+    * aggregate (dedup on (group, distinct-key) then count) — one extra
+    * shuffle, no driver involvement. */
+  def x16DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey)  AS n_supp,
+        COUNT(DISTINCT l_partkey)  AS n_part,
+        COUNT(*)                   AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_string_funcs" -> (x13StringFuncs _),
     "x14_date_funcs"   -> (x14DateFuncs _),
     "x15_array_funcs"  -> (x15ArrayFuncs _),
+    "x16_distinct_agg" -> (x16DistinctAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -96,5 +111,11 @@ object FunctionQueries {
         list_contains(string_split(text, ' '), 'merge')                 AS has_merge,
         string_split(text, ' ')[1]                                      AS first_tok
       FROM documents ORDER BY doc_id""",
+    "x16_distinct_agg" ->
+      """SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey)  AS n_supp,
+        COUNT(DISTINCT l_partkey)  AS n_part,
+        COUNT(*)                   AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -68,4 +68,10 @@ class SaltingEnvelopeSpec extends AnyFunSuite with SparkSuite {
     assert(got ==
       """{"Type":"Aggregate","Data":"{\"Other\":1,\"Regulatory\":1,\"Stop\":1,\"Warning\":3}"}""")
   }
+
+  test("leader console line matches Go's sorted map rendering (O8)") {
+    val counts = Seq(("Warning", 3L), ("Other", 1L), ("Stop", 1L)).toDF("key", "cnt")
+    val got = ReferenceOps.leaderConsoleLine(counts).as[String].head()
+    assert(got == "map[Other:1 Stop:1 Warning:3]")
+  }
 }
