@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnnQueries, DedupQueries, ExtendedRelationalQueries, ExtensionQueries, FunctionQueries, LlmQueries, MultimodalQueries, ReferenceQueries, TextQueries}
+import graft.queries.{AnnQueries, DedupQueries, ExtendedRelationalQueries, ExtensionQueries, FunctionQueries, LlmQueries, PipelineQueries, MultimodalQueries, ReferenceQueries, TextQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,8 @@ object SparkEntry {
       LlmQueries.queries ++ StreamingQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       AnnQueries.queries ++ MultimodalQueries.queries ++
-      ExtendedRelationalQueries.queries ++ FunctionQueries.queries
+      ExtendedRelationalQueries.queries ++ FunctionQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       LlmQueries.oracleSql ++ StreamingQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       AnnQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      ExtendedRelationalQueries.oracleSql ++ FunctionQueries.oracleSql
+      ExtendedRelationalQueries.oracleSql ++ FunctionQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }
