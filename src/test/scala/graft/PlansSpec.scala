@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PLANS.md, enforced: the physical-plan properties the 100 TB argument
+  * rests on must hold in the actual executed plans — pushdown reaching
+  * the parquet scan, broadcast on dimension sides, TakeOrderedAndProject
+  * for top-k, partial+final aggregation. A Spark upgrade or refactor
+  * that silently regresses any of these fails here, not in production.
+  */
+class PlansSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("r1: substring predicate pushed into the parquet scan") {
+    val p = plan("r1_substr_filter")
+    assert(p.contains("StringContains(p_name,ol)"), p.take(2000))
+  }
+
+  test("r6: numeric predicate pushed into the parquet scan") {
+    val p = plan("r6_filter_group_count")
+    assert(p.contains("GreaterThan(value,50.0)"), p.take(2000))
+  }
+
+  test("x1/x2: dimension sides broadcast, no fact-side shuffle for dims") {
+    assert(plan("x1_equi_join").contains("BroadcastHashJoin"))
+    val x2 = plan("x2_join_agg")
+    assert("BroadcastHashJoin".r.findAllMatchIn(x2).size >= 2, x2.take(2000))
+  }
+
+  test("x4/l3: global top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("x4_topk").contains("TakeOrderedAndProject"))
+    assert(plan("l3_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("r5: aggregation is partial+final (map-side combine)") {
+    val p = plan("r5_group_count")
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(2000))
+  }
+
+  test("r3: column pruning reaches the scan (2-column read of 11-column lineitem)") {
+    val p = plan("r3_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_returnflag:string>"),
+      p.take(2000))
+  }
+}

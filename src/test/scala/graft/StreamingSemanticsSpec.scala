@@ -49,6 +49,27 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops cross-batch re-deliveries (O9 streaming form)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = in.toDF().toDF("batch_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("batch_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("o9dedup").start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(5)))
+      q.processAllAvailable()
+      // re-delivery of batch 1 in a LATER micro-batch (the reference's
+      // at-least-once upstream) must be dropped by state
+      in.addData((1L, ts(6)), (3L, ts(10)))
+      q.processAllAvailable()
+      val got = spark.table("o9dedup").select("batch_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("gap sessionization: sessions close on gap, state survives micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
