@@ -54,8 +54,51 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m2 — feature extraction: binary payload → fixed-dim float feature
+    * vector (here a 16-bin code-point histogram, the deterministic
+    * stand-in for an image-embedding model call). Same batched
+    * mapPartitions shape as m1 — a real extractor would run one model
+    * invocation per 64-row batch. Output features are rounded to 6dp for
+    * cross-engine float stability. */
+  def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val hist = new Array[Long](16)
+          bytes.foreach(b => hist((b & 0xff) % 16) += 1)
+          val n = math.max(1, bytes.length).toDouble
+          // floor(x*1e6 + 0.5): explicit round-half-away, spelled the
+          // same way in the oracle (math.rint would be half-even and
+          // diverge from SQL round() on exact .5 boundaries)
+          (id, hist.map(c => math.floor(c / n * 1e6 + 0.5) / 1e6).toSeq)
+        }
+      }
+    }.toDF("doc_id", "features")
+      .orderBy("doc_id")
+  }
+
+  /** m3 — frame sampling: treat the payload as a sequence and keep every
+    * k-th unit (the video-frame-sampling access pattern: decode only the
+    * sampled frames). Units here are whitespace tokens; a real pipeline
+    * would slice container chunks the same way. */
+  def m3FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT doc_id,
+        filter(transform(split(text, ' '), (t, i) -> named_struct('t', t, 'i', i)),
+               s -> s.i % 8 = 0).t AS frames
+      FROM documents ORDER BY doc_id""")
+      .selectExpr("doc_id", "concat_ws(' ', frames) AS sampled")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_decode" -> (m1MultimodalDecode _),
+    "m2_feature_extract"   -> (m2FeatureExtract _),
+    "m3_frame_sample"      -> (m3FrameSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -65,6 +108,18 @@ object MultimodalQueries {
         "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +
         "CAST((octet_length(encode(text)) * 31) % 480 + 1 AS BIGINT) AS height, " +
         "CAST(3 AS BIGINT) AS channels " +
+        "FROM documents ORDER BY doc_id"),
+    // ASCII corpus: byte histogram == code-point histogram; the
+    // floor(x*1e6+0.5) spelling matches the Scala stub exactly.
+    "m2_feature_extract" ->
+      ("SELECT doc_id, list_transform(range(0, 16), b -> " +
+        "floor(CAST(length(list_filter(list_transform(string_split(text, ''), c -> ord(c)), " +
+        "x -> x % 16 = b)) AS DOUBLE) " +
+        "/ greatest(1, length(text)) * 1000000.0 + 0.5) / 1000000.0) AS features " +
+        "FROM documents ORDER BY doc_id"),
+    "m3_frame_sample" ->
+      ("SELECT doc_id, array_to_string(" +
+        "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +
         "FROM documents ORDER BY doc_id"),
   )
 }

@@ -98,5 +98,9 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     // one true neighbor and log the overlap for the record.
     info(s"s2 recall@5 = ${(exact & approx).size}/5")
     assert((exact & approx).nonEmpty)
+    val ivf = graft.queries.AnnQueries.s4AnnIvf(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    info(s"s4 recall@5 = ${(exact & ivf).size}/5")
+    assert(ivf.size == 5)
   }
 }
