@@ -30,6 +30,7 @@ import graft.functions.{CosineSimilarity, Fnv1a32, PolyHash, SimHash30}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
         new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

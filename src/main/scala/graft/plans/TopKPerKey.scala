@@ -1,0 +1,97 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator plan (SURVEY §7 preference step (c), the one
+  * operator where the builtin composition genuinely overpays):
+  * '''top-k rows per key'''.
+  *
+  * The declarative spelling — `row_number().over(partitionBy(key)
+  * .orderBy(ord)) <= k` — forces WindowExec to SORT every partition's
+  * full data (and spill it) even though only k rows per key survive.
+  * [[TopKPerKeyExec]] instead keeps a bounded k-row heap per key: one
+  * pass, O(groups·k) memory, no sort, no spill. At 100 TB with k=3 and
+  * millions of keys that is the difference between a full shuffle-sort
+  * of the fact table and a streaming pass over it.
+  *
+  * Wiring: [[TopKPerKey]] is the logical node, [[TopKPerKeyStrategy]]
+  * plans it (registered via `spark.experimental.extraStrategies` on
+  * first use, or through GraftExtensions), and the exec node declares
+  * `ClusteredDistribution(keys)` so Catalyst inserts the hash shuffle —
+  * partitioning stays the planner's job, only the per-partition
+  * algorithm is custom.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                      child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ordering = RowOrdering.create(order, childOutput)
+      // max-heap on the sort order: the head is the WORST of the kept
+      // rows, evicted when a better row arrives
+      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val heap = heaps.getOrElseUpdate(
+          keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ordering))
+        if (heap.size < k) {
+          heap.enqueue(row.copy())
+        } else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.toSeq.sorted(ordering))
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** User-facing API. */
+object TopK {
+  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val sortOrder = order.map(GraftShims.expressionEager(_) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftShims.ofRows(spark, TopKPerKey(
+      keys.map(GraftShims.expressionEager), sortOrder, k, df.queryExecution.logical))
+  }
+}

@@ -10,4 +10,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a raw Catalyst Expression (the lazy
+    * `expression` wrapper is Unevaluable and only unwraps inside
+    * standard Dataset operations — a custom LogicalPlan needs the real
+    * tree so the analyzer can resolve its UnresolvedAttributes). */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Build a DataFrame from a custom LogicalPlan (runs the full
+    * analyzer, so unresolved attributes in the plan resolve against
+    * child output) — needed to hand a custom logical operator to
+    * Catalyst. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

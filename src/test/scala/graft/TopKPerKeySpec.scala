@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.plans.TopK
+
+/** The custom top-k-per-key operator must (a) plan as TopKPerKeyExec
+  * with a Catalyst-inserted hash shuffle, (b) agree exactly with the
+  * declarative row_number spelling, (c) never sort whole partitions. */
+class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("TopK.perKey matches the window row_number spelling exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val orders = Tables.load(spark, dir, "orders")
+    val got = TopK.perKey(orders,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("plans as TopKPerKeyExec with a planner-inserted shuffle, no SortExec") {
+    val dir = "/root/testdata/sf0.001"
+    val df = TopK.perKey(Tables.load(spark, dir, "orders"),
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc), k = 2)
+    // string match: AdaptiveSparkPlanExec hides its subtree from
+    // exists/collect until execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+  }
+
+  test("duplicate order values: keeps exactly k rows per key (heap, not rank ties)") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    val got = TopK.perKey(df, Seq(col("k")), Seq(col("v")), k = 2)
+      .groupBy("k").count().orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L)))
+  }
+}
