@@ -392,6 +392,72 @@ object MinHash16 {
   def apply(c: Column): Column = GraftShims.column(MinHash16(GraftShims.expression(c)))
 }
 
+/** Sign-random-projection LSH bucket (0..255) of an array<float>
+  * embedding: 8 hyperplanes whose weights come from the literal LCG
+  * `u = (1103515245·(p·64+k) + 12345) mod 2^31`, `w = u/2^31 − 0.5` —
+  * the codegen twin of the builtin spelling in
+  * [[graft.queries.AnnQueries]] (which runs interpreted: ~1M lambda
+  * dispatches per 2000-vector scan). Same double accumulation order ⇒
+  * identical buckets, pinned by test. */
+case class LshBucket8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket8 needs an array<float> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < 8) {
+      var s = 0.0
+      var k = 0
+      while (k < n) {
+        val u = (1103515245L * (p * 64 + k) + 12345L) % 2147483648L
+        s += (u.toDouble / 2147483648.0 - 0.5) * arr.getFloat(k).toDouble
+        k += 1
+      }
+      if (s > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val u = ctx.freshName("u")
+      s"""
+        int $n = $c.numElements();
+        long $bucket = 0L;
+        for (int $p = 0; $p < 8; $p++) {
+          double $s = 0.0;
+          for (int $k = 0; $k < $n; $k++) {
+            long $u = (1103515245L * ($p * 64 + $k) + 12345L) % 2147483648L;
+            $s += ((double) $u / 2147483648.0 - 0.5) * (double) $c.getFloat($k);
+          }
+          if ($s > 0.0) $bucket |= (1L << $p);
+        }
+        ${ev.value} = $bucket;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket8 =
+    copy(child = newChild)
+}
+
+object LshBucket8 {
+  def apply(c: Column): Column = GraftShims.column(LshBucket8(GraftShims.expression(c)))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */

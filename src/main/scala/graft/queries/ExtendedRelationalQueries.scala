@@ -82,7 +82,21 @@ object ExtendedRelationalQueries {
       .orderBy("event_id")
   }
 
+  /** x17 — top-3 orders per customer through the CUSTOM TopKPerKey
+    * physical operator (bounded per-key heaps, no partition sort) —
+    * hash-checked against DuckDB's window row_number spelling, making
+    * the custom exec's semantics part of the oracle gate rather than
+    * just unit-tested. */
+  def x17TopkPerKey(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.load(spark, dir, "orders"),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_topk_per_key" -> (x17TopkPerKey _),
     "x8_semi_anti"  -> (x8SemiAnti _),
     "x9_rollup"     -> (x9Rollup _),
     "x10_json"      -> (x10Json _),
@@ -91,6 +105,11 @@ object ExtendedRelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x17_topk_per_key" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"),
     "x8_semi_anti" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%') " +

@@ -86,6 +86,15 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(nullRow)
   }
 
+  test("LshBucket8 == builtin aggregate spelling on real embeddings") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val diff = e.select(
+      graft.functions.LshBucket8($"embedding").as("fast"),
+      expr(graft.queries.AnnQueries.bucketSpark("embedding")).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
   test("s2 ANN recall: LSH bucket top-5 ⊆ corpus, exact top-5 overlap measured") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmQueries.l3CosineTopk(spark, dir)

@@ -44,6 +44,34 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
   }
 
+  test("property: TopK.perKey == window spelling on random data (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      k <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0, 10)
+        v <- Gen.choose(-1000, 1000)
+        id <- Gen.choose(0L, 10000L)
+      } yield (key, v, id))
+    } yield (rows, k)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(99L))
+    val res = SCTest.check(params, Prop.forAll(gen) { case (rows, k) =>
+      val df = rows.toDF("key", "v", "id")
+      val got = TopK.perKey(df, Seq(col("key")),
+        Seq(col("v").desc, col("id")), k)
+        .orderBy("key", "v", "id").as[(Int, Int, Long)].collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("v").desc, col("id"))
+      val ref = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("key", "v", "id").as[(Int, Int, Long)].collect().toSeq
+      got == ref
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("duplicate order values: keeps exactly k rows per key (heap, not rank ties)") {
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     val got = TopK.perKey(df, Seq(col("k")), Seq(col("v")), k = 2)
