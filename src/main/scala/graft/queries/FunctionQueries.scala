@@ -75,7 +75,21 @@ object FunctionQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
+  /** x18 — exact percentiles (continuous interpolation): median and p90
+    * of order value per status. Spark `percentile` and DuckDB
+    * `quantile_cont` share the definition; results rounded to 4dp since
+    * the interpolation arithmetic can differ in the last ulp. */
+  def x18Percentile(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql("""
+      SELECT o_orderstatus,
+        round(percentile(o_totalprice, 0.5), 4) AS p50,
+        round(percentile(o_totalprice, 0.9), 4) AS p90
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_percentile"   -> (x18Percentile _),
     "x13_string_funcs" -> (x13StringFuncs _),
     "x14_date_funcs"   -> (x14DateFuncs _),
     "x15_array_funcs"  -> (x15ArrayFuncs _),
@@ -83,6 +97,11 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x18_percentile" ->
+      """SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "x13_string_funcs" ->
       """SELECT o_orderkey,
         upper(o_orderpriority)                    AS up,
