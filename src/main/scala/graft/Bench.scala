@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Driver benchmark contract: run the query inventory on
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with total + per-query wall
   * seconds. Per-query progress goes to stderr so a hung query is
-  * attributable. count() forces each full plan (every inventory query
-  * ends in an ORDER BY / aggregate, so nothing is pruned away by the
-  * count); input caching across queries is left to the OS page cache.
+  * attributable. Each query is forced with a format("noop") write — a
+  * count() would let Catalyst prune per-row projections and eliminate
+  * top-level sorts (EliminateSorts), timing a near-empty scan instead of
+  * the declared plan; noop materializes every output column of every row
+  * and discards it at the sink. Input caching across queries is left to
+  * the OS page cache.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,13 +34,13 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch {
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+          false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s  ($n rows)")
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (${if (ok) "ok" else "FAILED"})")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

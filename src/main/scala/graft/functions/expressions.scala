@@ -458,6 +458,106 @@ object LshBucket8 {
   def apply(c: Column): Column = GraftShims.column(LshBucket8(GraftShims.expression(c)))
 }
 
+/** Banded sign-random-projection signatures of an array<float>
+  * embedding: `bands` band values, each packing `bits` hyperplane signs
+  * (plane index p = band·bits + j). Plane weights come from an
+  * LCG→xorshift→LCG integer mix of n = p·64+k:
+  * `u₁ = (1103515245·n + 12345) mod 2³¹`, `u₂ = u₁ xor (u₁ >> 16)`,
+  * `u₃ = (1103515245·u₂ + 12345) mod 2³¹`, `w = u₃/2³¹ − 0.5`.
+  * The xorshift step matters: raw consecutive LCG outputs lie on a
+  * coarse lattice (Marsaglia, "Random numbers fall mainly in the
+  * planes"), which correlates the hyperplanes and was measured to cost
+  * ~25 points of recall; every operation stays in non-overflowing
+  * BIGINT arithmetic so the DuckDB oracle regenerates identical planes.
+  *
+  * This is the LSH-banding amplification (Leskovec/Rajaraman/Ullman,
+  * "Mining of Massive Datasets" ch.3) applied to SRP: two vectors are
+  * candidates iff ANY band matches exactly. With per-plane agreement
+  * probability p = 1 − θ/π, candidate probability is 1 − (1 − p^bits)^bands
+  * — at cosine 0.45 (p ≈ 0.649) the default 32×5 gives ≈ 0.98 recall,
+  * while a non-matching random pair collides on a band with
+  * probability ≈ bands/2^bits. One fused loop over all bands·bits
+  * planes in generated Java.
+  */
+case class LshBandSigs(child: Expression, bands: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_sigs needs an array<float> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sigs = new Array[Long](bands)
+    var g = 0
+    while (g < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val p = g * bits + j
+        var s = 0.0
+        var k = 0
+        while (k < n) {
+          val u1 = (1103515245L * (p * 64 + k) + 12345L) % 2147483648L
+          val u2 = u1 ^ (u1 >> 16)
+          val u3 = (1103515245L * u2 + 12345L) % 2147483648L
+          s += (u3.toDouble / 2147483648.0 - 0.5) * arr.getFloat(k).toDouble
+          k += 1
+        }
+        if (s > 0.0) sig |= (1L << j)
+        j += 1
+      }
+      sigs(g) = sig
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val sigs = ctx.freshName("sigs")
+      val g = ctx.freshName("g")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val u = ctx.freshName("u")
+      val sig = ctx.freshName("sig")
+      s"""
+        int $n = $c.numElements();
+        long[] $sigs = new long[$bands];
+        for (int $g = 0; $g < $bands; $g++) {
+          long $sig = 0L;
+          for (int $j = 0; $j < $bits; $j++) {
+            int $p = $g * $bits + $j;
+            double $s = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              long $u = (1103515245L * ($p * 64L + $k) + 12345L) % 2147483648L;
+              $u = $u ^ ($u >> 16);
+              $u = (1103515245L * $u + 12345L) % 2147483648L;
+              $s += ((double) $u / 2147483648.0 - 0.5) * (double) $c.getFloat($k);
+            }
+            if ($s > 0.0) $sig |= (1L << $j);
+          }
+          $sigs[$g] = $sig;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sigs);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandSigs =
+    copy(child = newChild)
+}
+
+object LshBandSigs {
+  def apply(c: Column, bands: Int, bits: Int): Column =
+    GraftShims.column(LshBandSigs(GraftShims.expression(c), bands, bits))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */

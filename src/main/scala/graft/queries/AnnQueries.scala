@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{LshBucket8, Vectors}
+import graft.functions.{LshBandSigs, LshBucket8, Vectors}
 
 /** Approximate nearest-neighbor search — the 100 TB companion to the
   * exact L3 baseline.
@@ -72,31 +72,39 @@ object AnnQueries {
       .limit(5)
   }
 
+  /** s3 band count / bits-per-band. 32 bands × 5 bits = 160 planes:
+    * per-plane agreement p = 1 − θ/π ≈ 0.649 at cosine 0.45, so recall
+    * = 1 − (1 − p⁵)³² ≈ 0.98 at the threshold itself (higher above it);
+    * a random pair collides on a band with prob ≈ 32/2⁵. The knobs
+    * trade recall against key width: at 100 TB raise `s3Bits` (wider
+    * shuffle-key space, fewer false candidates) and raise `s3Bands` to
+    * buy the recall back — recall math is in [[graft.functions.LshBandSigs]]. */
+  private[graft] val s3Bands = 32
+  private[graft] val s3Bits = 5
+
   /** s3 — embedding near-dup PAIRS at scale (l4's production path):
-    * candidates = pairs whose LSH buckets are within Hamming 1,
-    * generated by a multi-probe EQUI-join — each vector emits its own
-    * bucket plus its 8 one-bit-flip neighbors (9 keys); any ham≤1 pair
-    * shares a key (ham-2 pairs also collide and are filtered after) —
-    * then exact cosine ≥ 0.45 on candidates only. No O(n²) stage
-    * anywhere: the join shuffles on a 1-byte key. */
+    * banded SRP signatures (d1-style LSH amplification — any exact band
+    * match makes a candidate pair), then exact cosine ≥ 0.45 on the
+    * candidates only. No O(n²) stage anywhere and no Hamming post-pass:
+    * the band equi-join IS the candidate rule. The join key packs
+    * (band, sig) into one long — bands·2^bits = 1024 distinct values
+    * here (vs the 256 of a flat 8-bit bucket), and hot-band skew at
+    * scale is AQE-skew-join territory plus the `s3Bits` knob above. */
   def s3LshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("bucket", LshBucket8(col("embedding")))
-    // Candidate generation over (id, bucket) ONLY — a probe row is 24
-    // bytes, so the 9× probe fan-out and the pair join never shuffle
+      .withColumn("sigs", LshBandSigs(col("embedding"), s3Bands, s3Bits))
+    // Candidate generation over (vec_id, band_key) ONLY — a key row is
+    // 16 bytes, so the band fan-out and the pair join never shuffle
     // embedding arrays, and each surviving pair computes cosine exactly
-    // once after the dedup (the first cut of this query shuffled the
-    // vectors 9× and cosined every duplicated pair: 5× slower).
-    val ids = e.select(col("vec_id"), col("bucket"))
-    val probes = ids.select(col("vec_id"), col("bucket"),
-      explode(concat(array(col("bucket")),
-        expr(s"transform(sequence(0, ${planes - 1}), j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j))")))
-        .as("probe"))
-    val a = probes.select(col("vec_id").as("vec_id_a"), col("bucket").as("ba"), col("probe"))
-    val b = probes.select(col("vec_id").as("vec_id_b"), col("bucket").as("bb"), col("probe"))
-    val cand = a.join(b, Seq("probe"))
+    // once after the dedup.
+    val keys = e.select(col("vec_id"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+      .select(col("vec_id"),
+        (col("band").cast("long") * (1 << s3Bits) + col("sig")).as("bkey"))
+    val a = keys.select(col("vec_id").as("vec_id_a"), col("bkey"))
+    val b = keys.select(col("vec_id").as("vec_id_b"), col("bkey"))
+    val cand = a.join(b, Seq("bkey"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .filter(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 1)
       .select("vec_id_a", "vec_id_b")
       .distinct()
     val ea = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
@@ -130,16 +138,16 @@ object AnnQueries {
         lit(0.0), (acc, v) => acc + v)
     // assignment: nearest centroid per vector (vector side drops its own
     // label column — the quantizer must not peek at it, and it would
-    // collide with the centroid table's label)
-    val assigned = {
-      val d = e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(cent))
+    // collide with the centroid table's label). Argmin via min_by over
+    // (dist, clabel) — a partial+final hash aggregate, no WindowExec:
+    // the row_number() spelling sorts every vector's centroid rows,
+    // a per-vector sort the aggregate avoids entirely.
+    val assigned =
+      e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label").as("clabel"),
           l2sq(col("centroid"), col("embedding")).as("dist"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
-      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("clabel"))
-    }
+        .groupBy("vec_id")
+        .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
     // query probes its 2 nearest centroid lists
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val probes = cent.crossJoin(broadcast(q))
@@ -174,16 +182,29 @@ object AnnQueries {
         FROM eb a JOIN eb b
           ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id = 0 AND b.vec_id <> 0
         ORDER BY sim DESC, b.vec_id LIMIT 5""",
-      // brute-force form of the same deterministic spec: pairs with
-      // bucket-hamming <= 1 and exact cosine >= 0.45 (oracle scale is
+      // brute-force form of the same deterministic spec: pairs sharing
+      // any of the 32 banded 5-bit SRP signatures (regenerated from the
+      // same literal LCG) and exact cosine >= 0.45 (oracle scale is
       // small enough that candidate generation needn't be replicated)
-      "s3_lsh_near_dup" ->
-        s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
+      "s3_lsh_near_dup" -> {
+        // LCG→xorshift→LCG weight mix, identical to LshBandSigs
+        val u1 = s"((CAST(1103515245 AS BIGINT) * ((g * 5 + j) * 64 + k) + 12345) % 2147483648)"
+        val u2 = s"xor($u1, $u1 >> 16)"
+        val u3 = s"((CAST(1103515245 AS BIGINT) * $u2 + 12345) % 2147483648)"
+        val planeDot =
+          s"list_sum(list_transform(range(0, $dims), k -> " +
+            s"(CAST($u3 AS DOUBLE) / 2147483648.0 - 0.5) * CAST(embedding[k + 1] AS DOUBLE)))"
+        val sigList =
+          s"list_transform(range(0, 32), g -> list_sum(list_transform(range(0, 5), j -> " +
+            s"CASE WHEN $planeDot > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
+        s"""WITH eb AS (SELECT vec_id, embedding, $sigList AS sigs FROM embeddings)
         SELECT * FROM (
           SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, ROUND($cos, 9) AS sim
           FROM eb a JOIN eb b
-            ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1) t
-        WHERE sim >= 0.45 ORDER BY vec_id_a, vec_id_b""",
+            ON a.vec_id < b.vec_id
+            AND len(list_filter(range(1, 33), g -> a.sigs[g] = b.sigs[g])) > 0) t
+        WHERE sim >= 0.45 ORDER BY vec_id_a, vec_id_b"""
+      },
       "s4_ann_ivf" -> {
         def l2sq(c: String, e: String) =
           s"list_sum(list_transform(range(1, $dims + 1), k -> " +

@@ -59,7 +59,12 @@ object MultimodalQueries {
     * stand-in for an image-embedding model call). Same batched
     * mapPartitions shape as m1 — a real extractor would run one model
     * invocation per 64-row batch. Output features are rounded to 6dp for
-    * cross-engine float stability. */
+    * cross-engine float stability.
+    *
+    * Output shape is long (one row per (doc_id, bin)) rather than an
+    * array column: the per-row scalar shape is hashable by any oracle
+    * harness and is also the join-friendly layout downstream consumers
+    * (feature stores, per-dimension stats) want. */
   def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = Tables.load(spark, dir, "documents")
@@ -67,18 +72,20 @@ object MultimodalQueries {
       .as[(Long, Array[Byte])]
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
-        batch.map { case (id, bytes) =>
+        batch.flatMap { case (id, bytes) =>
           val hist = new Array[Long](16)
           bytes.foreach(b => hist((b & 0xff) % 16) += 1)
           val n = math.max(1, bytes.length).toDouble
           // floor(x*1e6 + 0.5): explicit round-half-away, spelled the
           // same way in the oracle (math.rint would be half-even and
           // diverge from SQL round() on exact .5 boundaries)
-          (id, hist.map(c => math.floor(c / n * 1e6 + 0.5) / 1e6).toSeq)
+          hist.iterator.zipWithIndex.map { case (c, b) =>
+            (id, b.toLong, math.floor(c / n * 1e6 + 0.5) / 1e6)
+          }
         }
       }
-    }.toDF("doc_id", "features")
-      .orderBy("doc_id")
+    }.toDF("doc_id", "bin", "value")
+      .orderBy("doc_id", "bin")
   }
 
   /** m3 — frame sampling: treat the payload as a sequence and keep every
@@ -110,13 +117,15 @@ object MultimodalQueries {
         "CAST(3 AS BIGINT) AS channels " +
         "FROM documents ORDER BY doc_id"),
     // ASCII corpus: byte histogram == code-point histogram; the
-    // floor(x*1e6+0.5) spelling matches the Scala stub exactly.
+    // floor(x*1e6+0.5) spelling matches the Scala stub exactly. Long
+    // shape (doc_id, bin, value) — scalar columns only, oracle-hashable.
     "m2_feature_extract" ->
-      ("SELECT doc_id, list_transform(range(0, 16), b -> " +
+      ("SELECT doc_id, CAST(bins.bin AS BIGINT) AS bin, " +
         "floor(CAST(length(list_filter(list_transform(string_split(text, ''), c -> ord(c)), " +
-        "x -> x % 16 = b)) AS DOUBLE) " +
-        "/ greatest(1, length(text)) * 1000000.0 + 0.5) / 1000000.0) AS features " +
-        "FROM documents ORDER BY doc_id"),
+        "x -> x % 16 = bins.bin)) AS DOUBLE) " +
+        "/ greatest(1, length(text)) * 1000000.0 + 0.5) / 1000000.0 AS value " +
+        "FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bins " +
+        "ORDER BY doc_id, bin"),
     "m3_frame_sample" ->
       ("SELECT doc_id, array_to_string(" +
         "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +

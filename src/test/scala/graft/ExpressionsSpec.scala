@@ -95,6 +95,51 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("LshBandSigs == independent Scala spelling of the LCG formula") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = e.select($"vec_id",
+      graft.functions.LshBandSigs($"embedding", 32, 5).as("sigs"),
+      $"embedding").as[(Long, Seq[Long], Seq[Float])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, sigs, emb) =>
+      val ref = (0 until 32).map { g =>
+        (0 until 5).foldLeft(0L) { (sig, j) =>
+          val p = g * 5 + j
+          var s = 0.0
+          var k = 0
+          while (k < emb.length) {
+            val u1 = (1103515245L * (p * 64 + k) + 12345L) % 2147483648L
+            val u2 = u1 ^ (u1 >> 16)
+            val u3 = (1103515245L * u2 + 12345L) % 2147483648L
+            s += (u3.toDouble / 2147483648.0 - 0.5) * emb(k).toDouble
+            k += 1
+          }
+          if (s > 0.0) sig | (1L << j) else sig
+        }
+      }
+      assert(sigs == ref)
+    }
+  }
+
+  test("s3 banded-LSH pair mining: recall floor vs l4 exact pairs is ASSERTED") {
+    // sf0.01 is the oracle scale where l4's exact answer has its full
+    // pair set; the 32×5 banding math predicts ≈0.98 recall at the 0.45
+    // threshold (see LshBandSigs doc), so a 0.85 floor has headroom but
+    // still catches any regression to flat-bucket-sized recall (~0.07).
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.LlmQueries.l4NearDupPairs(spark, dir)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val approx = graft.queries.AnnQueries.s3LshNearDupPairs(spark, dir)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // s3's candidates are verified with the same exact cosine threshold,
+    // so it can never report a pair l4 doesn't have (no false positives)
+    assert(approx.subsetOf(exact))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"s3 pair recall = ${(exact & approx).size}/${exact.size} = $recall%.2f")
+    assert(recall >= 0.85, s"s3 recall $recall below floor 0.85")
+  }
+
   test("s2 ANN recall: LSH bucket top-5 ⊆ corpus, exact top-5 overlap measured") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmQueries.l3CosineTopk(spark, dir)

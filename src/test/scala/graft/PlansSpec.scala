@@ -40,6 +40,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(2000))
   }
 
+  test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
+    val p = plan("s4_ann_ivf")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("min_by"), p.take(2000))
+  }
+
   test("r3: column pruning reaches the scan (2-column read of 11-column lineitem)") {
     val p = plan("r3_projection")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_returnflag:string>"),
