@@ -18,9 +18,12 @@ import graft.streaming.RainStormJob
   * runMain graft.GraftCli <root> create <localFile> <name>
   * runMain graft.GraftCli <root> append <localFile> <name>
   * runMain graft.GraftCli <root> get <name> <localFile>
+  * runMain graft.GraftCli <root> getfromreplica <vm> <name> <localFile>
+  * runMain graft.GraftCli <root> multiappend <name> <localFile1,localFile2,…>
   * runMain graft.GraftCli <root> merge <name>
   * runMain graft.GraftCli <root> ls <name>
   * runMain graft.GraftCli <root> store
+  * runMain graft.GraftCli <root> list_mem_ids [numNodes]
   * runMain graft.GraftCli <root> rainstorm <op1> <op2> <srcFile> <destDir> <numTasks>
   * }}}
   *
@@ -28,11 +31,45 @@ import graft.streaming.RainStormJob
   * writes the initial content at ts=0, each append adds one
   * client-timestamped chunk (the reference's one-timestamp-per-append,
   * user/user.go:161-170), get returns chunks merged unique-by-ts in ts
-  * order (O11). Op specs for rainstorm are [[RainStormJob.parseOp]]'s
-  * (`filter_contains:X`, `filter_field_eq:i:X`, `project:i,j`,
-  * `count:i`).
+  * order (O11). Append timestamps are WALL-CLOCK microseconds
+  * (Instant.now), matching the reference's client wall-clock stamp —
+  * a monotonic arbitrary-origin clock (nanoTime) would make chunks from
+  * different CLI invocations/machines incomparable and could reassemble
+  * appends out of order. Op specs for rainstorm are
+  * [[RainStormJob.parseOp]]'s (`filter_contains:X`, `filter_field_eq:i:X`,
+  * `project:i,j`, `count:i`, `exec:/path/to/binary`, `exec_transform:…`,
+  * `exec_agg:…`).
+  *
+  * Placement commands (`ls`, `list_mem_ids`) mirror the reference's
+  * consistent-hash ring view (user/user.go:193-232): nodes are hashed by
+  * FNV-1a 32 and a file lands on the first node with hash ≥ fnv(name)
+  * plus two successors (utils/utils.go:8-14, synchronizer.go:40-72).
+  * Here the ring is a REPORT (real placement belongs to HDFS/the object
+  * store, per SURVEY §7): it shows where the reference would place each
+  * file, completing the command-surface migration path.
   */
 object GraftCli {
+
+  /** Reference default: 10 VMs (rainstorm.go:38-43). */
+  private val defaultRingSize = 10
+
+  private[graft] def nodeName(i: Int): String = s"node-$i"
+
+  /** Hash-sorted ring of (hash, node), the reference's membership list
+    * ordering (ring/member/member.go:536-541). */
+  private[graft] def ring(n: Int): Seq[(Long, String)] =
+    (1 to n).map { i =>
+      (graft.functions.Fnv1a32.hash(nodeName(i).getBytes("UTF-8")), nodeName(i))
+    }.sortBy(_._1)
+
+  /** First node with hash >= fnv(name) (wrapping) + 2 successors —
+    * replication factor 3 (synchronizer.go:55-72). */
+  private[graft] def placement(name: String, n: Int = defaultRingSize): Seq[String] = {
+    val r = ring(n)
+    val h = graft.functions.Fnv1a32.hash(name.getBytes("UTF-8"))
+    val start = r.indexWhere(_._1 >= h) match { case -1 => 0; case i => i }
+    (0 until math.min(3, n)).map(k => r((start + k) % n)._2)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: GraftCli <root> <command> [args...]")
@@ -55,7 +92,7 @@ object GraftCli {
         val Seq(local, name) = rest.toSeq
         val content = Files.readString(Paths.get(local))
         store(name).append(
-          Seq((System.nanoTime(), content)).toDF("ts", "content"))
+          Seq((wallClockMicros(), content)).toDF("ts", "content"))
         println(s"appended to $name")
       case "get" =>
         val Seq(name, local) = rest.toSeq
@@ -63,15 +100,44 @@ object GraftCli {
           .select("content").as[String].collect()
         Files.writeString(Paths.get(local), chunks.mkString)
         println(s"got $name -> $local (${chunks.length} chunks)")
+      case "getfromreplica" =>
+        // reference semantics (user/user.go:103-140): ALWAYS merge
+        // first, then read from the chosen replica — so any replica
+        // returns the converged bytes (the property test5 diffs for).
+        // Here "replica" selects nothing physically (storage owns
+        // replication) but the merge-before-read contract is kept.
+        val Seq(vm, name, local) = rest.toSeq
+        store(name).compact(Seq("content"))
+        val chunks = store(name).read(Seq("content"))
+          .select("content").as[String].collect()
+        Files.writeString(Paths.get(local), chunks.mkString)
+        println(s"got $name from replica $vm -> $local (${chunks.length} chunks)")
+      case "multiappend" =>
+        // reference test5 (user/user.go:256-317): fan out CONCURRENT
+        // appends — one writer thread per local file, each with its own
+        // wall-clock stamp — then rely on the ordered merge to converge.
+        val Seq(name, locals) = rest.toSeq
+        val files = locals.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val threads = files.map { local =>
+          new Thread(() => store(name).append(
+            Seq((wallClockMicros(), Files.readString(Paths.get(local))))
+              .toDF("ts", "content")))
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        println(s"multiappended ${files.length} files to $name")
       case "merge" =>
         val Seq(name) = rest.toSeq
         store(name).compact(Seq("content"))
         println(s"merged $name")
       case "ls" =>
         val Seq(name) = rest.toSeq
+        println(s"replicas: ${placement(name).mkString(", ")}")
         listFs(spark, s"$root/$name").foreach(println)
       case "store" =>
         listFs(spark, root).foreach(println)
+      case "list_mem_ids" =>
+        val n = rest.headOption.map(_.toInt).getOrElse(defaultRingSize)
+        ring(n).foreach { case (h, node) => println(f"$h%10d  $node") }
       case "rainstorm" =>
         val Seq(op1, op2, src, dest, n) = rest.toSeq
         RainStormJob.runBatch(spark, op1, op2, src, dest, n.toInt)
@@ -79,6 +145,15 @@ object GraftCli {
       case other =>
         throw new IllegalArgumentException(s"unknown command '$other'")
     }
+  }
+
+  /** Wall-clock microseconds since epoch — comparable across JVMs and
+    * machines (unlike nanoTime's arbitrary origin), with enough
+    * resolution that two appends from one writer stay distinct; create's
+    * ts=0 sorts below any realistic append stamp. */
+  private def wallClockMicros(): Long = {
+    val now = java.time.Instant.now()
+    now.getEpochSecond * 1000000L + now.getNano / 1000L
   }
 
   private def listFs(spark: SparkSession, path: String): Seq[String] = {

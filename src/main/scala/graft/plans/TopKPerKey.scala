@@ -54,6 +54,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    // The heap map is O(groups·k) heap memory OUTSIDE Spark's memory
+    // manager (no spill). That is by design — the operator's regime is
+    // high fan-in per key (groups·k ≪ input), where it replaces a full
+    // sort with a streaming pass. The guard makes the regime explicit:
+    // above maxGroups tracked groups per partition this partition would
+    // be better served by the sort-based window spelling (which spills),
+    // so fail fast with that advice instead of letting the JVM OOM.
+    val maxGroups = conf.getConfString(
+      TopK.maxGroupsKey, TopK.maxGroupsDefault.toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ordering = RowOrdering.create(order, childOutput)
@@ -61,9 +70,21 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       // rows, evicted when a better row arrives
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ordering))
+        // probe with the reused projection row; copy the key only when
+        // it is actually inserted (the common hit path allocates nothing)
+        val probeKey = keyProj(row)
+        val heap = heaps.get(probeKey) match {
+          case Some(h) => h
+          case None =>
+            if (heaps.size >= maxGroups) throw new IllegalStateException(
+              s"TopKPerKeyExec exceeded ${TopK.maxGroupsKey}=$maxGroups distinct " +
+                "groups in one partition; this input's group cardinality is out of " +
+                "the heap operator's regime — use TopK.windowed (sort-based, " +
+                "spillable) or raise the limit")
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(probeKey.copy(), h)
+            h
+        }
         if (heap.size < k) {
           heap.enqueue(row.copy())
         } else if (ordering.compare(row, heap.head) < 0) {
@@ -79,10 +100,31 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = c)
 }
 
-/** User-facing API. */
+/** User-facing API.
+  *
+  * Two physical spellings of the same semantics, chosen by group
+  * cardinality:
+  *  - [[perKey]] — the heap operator: one streaming pass, no sort,
+  *    O(groups·k) un-managed heap memory. Right when groups·k ≪ input
+  *    (high fan-in per key).
+  *  - [[windowed]] — `row_number().over(...)  <= k`: WindowExec sorts
+  *    and SPILLS, so it survives any group cardinality at sort cost.
+  *
+  * `perKey(groupsHint = Some(n))` picks automatically: above the
+  * `spark.graft.topk.maxGroupsPerPartition` threshold it returns the
+  * windowed plan; the exec node enforces the same threshold at runtime
+  * (fail-fast with advice, never a silent executor OOM).
+  */
 object TopK {
-  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  val maxGroupsKey = "spark.graft.topk.maxGroupsPerPartition"
+  val maxGroupsDefault = 4000000L
+
+  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+             groupsHint: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
+    val threshold = spark.conf.getOption(maxGroupsKey)
+      .map(_.toLong).getOrElse(maxGroupsDefault)
+    if (groupsHint.exists(_ > threshold)) return windowed(df, keys, order, k)
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
@@ -93,5 +135,15 @@ object TopK {
     })
     GraftShims.ofRows(spark, TopKPerKey(
       keys.map(GraftShims.expressionEager), sortOrder, k, df.queryExecution.logical))
+  }
+
+  /** The sort-based spelling: spillable, any group cardinality. */
+  def windowed(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("__graft_rn") <= k)
+      .drop("__graft_rn")
   }
 }

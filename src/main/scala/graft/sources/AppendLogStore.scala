@@ -44,16 +44,52 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
     df.write.mode(SaveMode.ErrorIfExists).parquet(basePath)
 
   /** `append local hydfs` — buffered blind write; rows must carry the
-    * writer timestamp column. */
+    * writer timestamp column. Each append commits its OWN log segment
+    * directory (`log/append_<uuid>/`): concurrent writers never share a
+    * commit scope (a single shared append-mode write would race on the
+    * committer's `_temporary` dir), which is what makes the reference's
+    * multiappend — N simultaneous clients, no lock — safe here. */
   def append(df: DataFrame): Unit = {
     require(df.columns.contains(tsCol), s"append rows need a '$tsCol' column")
-    df.write.mode(SaveMode.Append).parquet(logPath)
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$logPath/append_${java.util.UUID.randomUUID()}")
   }
 
-  private def logExists: Boolean =
-    new org.apache.hadoop.fs.Path(logPath)
+  private def fs =
+    new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(logPath))
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Committed log segments right now — the snapshot unit of
+    * [[compact]]. A segment counts only once its `_SUCCESS` marker
+    * exists: an in-flight concurrent append (no marker yet) is neither
+    * read nor deleted. */
+  private def logSegments: Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(hPath(logPath))) Seq.empty
+    else fs.listStatus(hPath(logPath)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("append_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
+      .sortBy(_.getName)
+
+  /** A crash between compact's two base renames leaves `base/` missing
+    * and `base_old/` present — finish the swap before touching data.
+    * (With both present, `base_old` is a completed compact's leftover
+    * and is ignored; compact deletes it up front.) */
+  private def recoverBaseSwap(): Unit = {
+    if (!fs.exists(hPath(basePath)) && fs.exists(hPath(s"$root/base_old")))
+      fs.rename(hPath(s"$root/base_old"), hPath(basePath))
+  }
+
+  private def mergedOver(logFiles: Seq[org.apache.hadoop.fs.Path],
+                         tieBreak: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val all =
+      if (logFiles.isEmpty) base
+      else base.unionByName(spark.read.parquet(logFiles.map(_.toString): _*))
+    ReferenceOps.tsOrderedMerge(tsCol, tieBreak.map(col))(all)
+  }
 
   /** `get` — merge-on-read (O11): base ∪ log, unique by ts (arg-min
     * over `tieBreak` columns), ascending. Deterministic and
@@ -61,20 +97,33 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
     * the same bytes — the property reference test5 checks by diffing
     * replica fetches. */
   def read(tieBreak: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(basePath)
-    val all = if (logExists) base.unionByName(spark.read.parquet(logPath)) else base
-    ReferenceOps.tsOrderedMerge(tsCol, tieBreak.map(col))(all)
+    recoverBaseSwap()
+    mergedOver(logSegments, tieBreak)
   }
 
-  /** `merge hydfs` — compaction: fold the log into base, truncate log. */
+  /** `merge hydfs` — compaction: fold the log into base, truncate log.
+    *
+    * Safe against concurrent appends and crashes:
+    *  - the set of log segments is SNAPSHOTTED first; only those
+    *    segments are merged and later deleted, so an append landing
+    *    mid-compaction survives in the log instead of being silently
+    *    destroyed;
+    *  - base is swapped via rename-to-side + rename-in (never a window
+    *    with no base on disk after a delete): a crash at any point
+    *    leaves either the old base, or `base_old` + the new base ready,
+    *    which [[recoverBaseSwap]] completes on the next read/compact.
+    */
   def compact(tieBreak: Seq[String]): Unit = {
-    val merged = read(tieBreak)
+    recoverBaseSwap()
+    val snapshot = logSegments
+    val merged = mergedOver(snapshot, tieBreak)
     val tmp = s"$root/compact_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(basePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(basePath))
-    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
+    val old = s"$root/base_old"
+    fs.delete(hPath(old), true)
+    fs.rename(hPath(basePath), hPath(old))
+    fs.rename(hPath(tmp), hPath(basePath))
+    fs.delete(hPath(old), true)
+    snapshot.foreach(f => fs.delete(f, true))
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.ReferenceOps
+import graft.operators.{PipeOps, ReferenceOps}
 
 /** The reference's RainStorm pipeline (SURVEY §3.1,
   * rainstorm/rainstorm.go:104-621) restated as a Structured Streaming
@@ -34,6 +34,10 @@ import graft.operators.ReferenceOps
   *  - `project:<i>,<j>,…`               (O6, op2_t1)
   *  - `count:<idx>`                     (O7+O8, op2_t2)
   *  - `identity`
+  *  - `exec:<path>[:<batchSize>]`       (arbitrary stage-2 line binary —
+  *    the reference's real UDx ABI, see [[graft.operators.PipeOps]])
+  *  - `exec_transform:<path>` / `exec_agg:<path>` (arbitrary stage-3
+  *    binary emitting the JSON Record envelope)
   */
 object RainStormJob {
 
@@ -46,11 +50,26 @@ object RainStormJob {
     case Array("project", idxs)            =>
       ReferenceOps.projectFields(idxs.split(",").map(_.trim.toInt).toSeq)
     case Array("count", idx)               => ReferenceOps.groupCountField(idx.toInt)
+    case Array("exec", path)               => PipeOps.execLines(path)
+    case Array("exec", path, bs)           => PipeOps.execLines(path, bs.toInt)
+    case Array("exec_transform", path)     => PipeOps.execTransform(path)
+    case Array("exec_agg", path)           => PipeOps.execAgg(path)
     case other => throw new IllegalArgumentException(
       s"unknown op spec '$spec' (parsed: ${other.mkString("[", ":", "]")})")
   }
 
-  private def isAggregate(spec: String): Boolean = spec.startsWith("count")
+  private def isAggregate(spec: String): Boolean =
+    spec.startsWith("count") || spec.startsWith("exec_agg")
+
+  /** An aggregate op only makes sense in the op2 (stage-3) slot: the
+    * reference's stage 2 always runs a line-to-lines binary, and the
+    * downstream op2 / render path expects a single `value` line column —
+    * an aggregate op1 would fail later with an unrelated analysis error,
+    * so reject it at parse time with an actionable message. */
+  private def requireNonAggregate(spec: String, slot: String): Unit =
+    if (isAggregate(spec)) throw new IllegalArgumentException(
+      s"aggregate op spec '$spec' is not allowed as $slot: aggregates " +
+        "(count:<idx>, exec_agg:<path>) can only run as op2, the final stage")
 
   /** Bounded (batch) run — the reference's actual usage: RainStorm jobs
     * always ran over a static HyDFS file. Transform output is text lines
@@ -58,6 +77,7 @@ object RainStormJob {
     * way the leader's Go map print sorted keys (rainstorm.go:559). */
   def runBatch(spark: SparkSession, op1: String, op2: String,
                src: String, dest: String, numTasks: Int): Unit = {
+    requireNonAggregate(op1, "op1")
     val lines = spark.read.text(src).repartition(numTasks)
     val out = parseOp(op2)(parseOp(op1)(lines))
     val rendered =
@@ -82,6 +102,7 @@ object RainStormJob {
   def runStreaming(spark: SparkSession, op1: String, op2: String,
                    srcDir: String, dest: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    requireNonAggregate(op1, "op1")
     val lines = spark.readStream.text(srcDir)
     val out = parseOp(op2)(parseOp(op1)(lines))
     val writer =

@@ -75,6 +75,64 @@ class RainStormJobSpec extends AnyFunSuite with SparkSuite {
       Seq("Other,1", "Regulatory,1", "Stop,1", "Warning,3"))
   }
 
+  /** Stage the reference's compiled op binaries the way its workers do
+    * (pull from DFS into exec/, chmod 0777 — rainstorm.go:364-394):
+    * copy into a temp dir and mark executable. */
+  private lazy val refBin: Map[String, String] = {
+    val d = tmpDir("rs_ops")
+    Seq("op1_t1", "op1_t2", "op2_t1", "op2_t2").map { name =>
+      val dst = d.resolve(name)
+      Files.copy(java.nio.file.Paths.get(s"/root/reference/$name"), dst)
+      dst.toFile.setExecutable(true)
+      name -> dst.toString
+    }.toMap
+  }
+
+  test("exec ABI parity: real op1_t1 binary == native filter_contains") {
+    val src = tmpDir("rs_esrc")
+    Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
+    val destExec = tmpDir("rs_edest").toString + "/out"
+    val destNative = tmpDir("rs_edest").toString + "/out"
+    RainStormJob.runBatch(spark, s"exec:${refBin("op1_t1")}", "identity",
+      src.toString + "/signs.txt", destExec, numTasks = 3)
+    RainStormJob.runBatch(spark, "filter_contains:Punched", "identity",
+      src.toString + "/signs.txt", destNative, numTasks = 3)
+    assert(readLines(destExec).sorted == readLines(destNative).sorted)
+    assert(readLines(destExec).nonEmpty)
+  }
+
+  test("exec ABI parity: t1 pipeline through real binaries == native t1") {
+    val src = tmpDir("rs_esrc")
+    Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
+    val dest = tmpDir("rs_edest").toString + "/out"
+    RainStormJob.runBatch(spark,
+      s"exec:${refBin("op1_t1")}", s"exec_transform:${refBin("op2_t1")}",
+      src.toString + "/signs.txt", dest, numTasks = 3)
+    assert(readLines(dest).sorted ==
+      Seq("1001,Stop", "1003,Speed", "1004,Stop2", "1005,Warn", "1006,Warn2"))
+  }
+
+  test("exec ABI parity: t2 pipeline through real binaries == native t2") {
+    val src = tmpDir("rs_esrc")
+    Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
+    val dest = tmpDir("rs_edest").toString + "/out"
+    RainStormJob.runBatch(spark,
+      s"exec:${refBin("op1_t2")}", s"exec_agg:${refBin("op2_t2")}",
+      src.toString + "/signs.txt", dest, numTasks = 3)
+    assert(readLines(dest).sorted == Seq("Other,1", "Warning,1"))
+  }
+
+  test("aggregate specs are rejected in the op1 slot at parse time") {
+    val src = tmpDir("rs_asrc")
+    Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
+    val dest = tmpDir("rs_adest").toString + "/out"
+    val e = intercept[IllegalArgumentException] {
+      RainStormJob.runBatch(spark, "count:8", "project:2,3",
+        src.toString + "/signs.txt", dest, numTasks = 3)
+    }
+    assert(e.getMessage.contains("op2"))
+  }
+
   test("streaming restart from checkpoint does not double-process (O9)") {
     val src = tmpDir("rs_rsrc")
     val dest = tmpDir("rs_rdest").toString + "/out"
@@ -89,6 +147,35 @@ class RainStormJobSpec extends AnyFunSuite with SparkSuite {
       "filter_contains:Punched", "project:2,3", src.toString, dest, ckpt)
     q2.awaitTermination()
     // a.txt rows must appear exactly once despite the restart
+    assert(readLines(dest).sorted ==
+      Seq("1001,Stop", "1003,Speed", "1004,Stop2", "1005,Warn", "1006,Warn2"))
+  }
+
+  test("continuous-trigger run with mid-run kill/restart (test_MP4 analogue)") {
+    // The reference's test_MP4 launches RainStorm and kills worker VMs
+    // 1.5 s into a running job (user/tests.go:152-191); the Spark
+    // analogue is a ProcessingTime-triggered query — a live tail, not
+    // AvailableNow's drain-and-stop — stopped after the first wave
+    // commits and restarted on the same checkpoint.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("rs_csrc")
+    val dest = tmpDir("rs_cdest").toString + "/out"
+    val ckpt = tmpDir("rs_cckpt").toString
+    Files.write(src.resolve("a.txt"), rows.take(3).mkString("\n").getBytes)
+    val q1 = RainStormJob.runStreaming(spark,
+      "filter_contains:Punched", "project:2,3", src.toString, dest, ckpt,
+      Trigger.ProcessingTime("50 milliseconds"))
+    q1.processAllAvailable()   // first wave committed...
+    q1.stop()                  // ...then the job is killed mid-run
+    assert(readLines(dest).sorted == Seq("1001,Stop", "1003,Speed"))
+    // more data lands while the job is down; restart must pick it up
+    // without re-emitting the first wave
+    Files.write(src.resolve("b.txt"), rows.drop(3).mkString("\n").getBytes)
+    val q2 = RainStormJob.runStreaming(spark,
+      "filter_contains:Punched", "project:2,3", src.toString, dest, ckpt,
+      Trigger.ProcessingTime("50 milliseconds"))
+    q2.processAllAvailable()
+    q2.stop()
     assert(readLines(dest).sorted ==
       Seq("1001,Stop", "1003,Speed", "1004,Stop2", "1005,Warn", "1006,Warn2"))
   }

@@ -78,4 +78,41 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
       .groupBy("k").count().orderBy("k").as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("groupsHint above threshold falls back to the spillable window plan") {
+    // every row its own group: the heap operator's worst case (its map
+    // would hold the whole input off the memory manager); the hint must
+    // route planning to WindowExec, which sorts and spills instead
+    spark.conf.set(TopK.maxGroupsKey, "100000")
+    try {
+      val df = spark.range(200000L).selectExpr("id AS key", "id % 7 AS v")
+      val planned = TopK.perKey(df, Seq(col("key")), Seq(col("v")), k = 1,
+        groupsHint = Some(200000L))
+      val plan = planned.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), plan)
+      assert(plan.contains("Window"), plan)
+      // and it still computes: one row per group
+      assert(planned.count() == 200000L)
+    } finally spark.conf.unset(TopK.maxGroupsKey)
+  }
+
+  test("runtime guard: exceeding maxGroupsPerPartition fails fast with advice") {
+    spark.conf.set(TopK.maxGroupsKey, "100")
+    try {
+      val df = spark.range(1000L).selectExpr("id AS key", "id AS v")
+      val e = intercept[org.apache.spark.SparkException] {
+        TopK.perKey(df, Seq(col("key")), Seq(col("v")), k = 1).count()
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg.contains("TopK.windowed"), msg)
+    } finally spark.conf.unset(TopK.maxGroupsKey)
+  }
+
+  test("runtime guard threshold honors the session conf (below cap passes)") {
+    spark.conf.set(TopK.maxGroupsKey, "100")
+    try {
+      val df = spark.range(300L).selectExpr("id % 50 AS key", "id AS v")
+      assert(TopK.perKey(df, Seq(col("key")), Seq(col("v")), k = 1).count() == 50L)
+    } finally spark.conf.unset(TopK.maxGroupsKey)
+  }
 }
