@@ -473,11 +473,13 @@ object LshBucket8 {
   * This is the LSH-banding amplification (Leskovec/Rajaraman/Ullman,
   * "Mining of Massive Datasets" ch.3) applied to SRP: two vectors are
   * candidates iff ANY band matches exactly. With per-plane agreement
-  * probability p = 1 − θ/π, candidate probability is 1 − (1 − p^bits)^bands
-  * — at cosine 0.45 (p ≈ 0.649) the default 32×5 gives ≈ 0.98 recall,
-  * while a non-matching random pair collides on a band with
-  * probability ≈ bands/2^bits. One fused loop over all bands·bits
-  * planes in generated Java.
+  * probability p = 1 − θ/π, candidate probability is
+  * 1 − (1 − p^bits)^bands, while a non-matching random pair (p ≈ ½)
+  * collides with probability ≈ 1 − (1 − 2^−bits)^bands — `bits` buys
+  * precision, `bands` buys recall back; the regime-specific tuning
+  * table lives at the call site ([[graft.queries.AnnQueries]]'s
+  * s3Bands/s3Bits). One fused loop over all bands·bits planes in
+  * generated Java.
   */
 case class LshBandSigs(child: Expression, bands: Int, bits: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -72,24 +72,35 @@ object AnnQueries {
       .limit(5)
   }
 
-  /** s3 band count / bits-per-band. 32 bands × 5 bits = 160 planes:
-    * per-plane agreement p = 1 − θ/π ≈ 0.649 at cosine 0.45, so recall
-    * = 1 − (1 − p⁵)³² ≈ 0.98 at the threshold itself (higher above it);
-    * a random pair collides on a band with prob ≈ 32/2⁵. The knobs
-    * trade recall against key width: at 100 TB raise `s3Bits` (wider
-    * shuffle-key space, fewer false candidates) and raise `s3Bands` to
-    * buy the recall back — recall math is in [[graft.functions.LshBandSigs]]. */
-  private[graft] val s3Bands = 32
-  private[graft] val s3Bits = 5
+  /** s3 band count / bits-per-band — the LSH S-curve knobs, set for the
+    * test corpus's regime and documented so a user can retune:
+    *
+    * recall(sim)      = 1 − (1 − p^bits)^bands,  p = 1 − acos(sim)/π
+    * falseCandRate    ≈ 1 − (1 − 2^−bits)^bands  (random pairs, p ≈ ½)
+    *
+    * This corpus is near the hard edge for LSH: true pairs sit at
+    * cosine 0.45–0.51 (p ≈ 0.65–0.67) while the background's 99.9th
+    * percentile is 0.37 — almost no similarity gap, so per-band
+    * selectivity (p/½)^bits needs large `bits`, and recall then needs
+    * many bands. 256×10 gives recall ≈ 0.97 at the 0.45 threshold with
+    * a ~22 % false-candidate rate and a 256·2¹⁰ = 262 144-value join
+    * key (shuffle parallelism at 100 TB). The per-vector price —
+    * bands·bits·dims ≈ 164 k multiplies — is one embarrassingly
+    * parallel scan, and it is the cost of the LOW threshold, not of the
+    * operator: at a production near-dup threshold (cosine ≥ 0.85,
+    * p ≈ 0.82) the same operator at 24×12 costs 18 k multiplies and
+    * prunes candidates to < 1 %. */
+  private[graft] val s3Bands = 256
+  private[graft] val s3Bits = 10
 
   /** s3 — embedding near-dup PAIRS at scale (l4's production path):
     * banded SRP signatures (d1-style LSH amplification — any exact band
     * match makes a candidate pair), then exact cosine ≥ 0.45 on the
     * candidates only. No O(n²) stage anywhere and no Hamming post-pass:
     * the band equi-join IS the candidate rule. The join key packs
-    * (band, sig) into one long — bands·2^bits = 1024 distinct values
-    * here (vs the 256 of a flat 8-bit bucket), and hot-band skew at
-    * scale is AQE-skew-join territory plus the `s3Bits` knob above. */
+    * (band, sig) into one long — bands·2^bits = 262 144 distinct values
+    * (vs the 256 of a flat 8-bit bucket), and hot-band skew at scale is
+    * AQE-skew-join territory plus the `s3Bits` knob above. */
   def s3LshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("sigs", LshBandSigs(col("embedding"), s3Bands, s3Bits))
@@ -183,26 +194,27 @@ object AnnQueries {
           ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id = 0 AND b.vec_id <> 0
         ORDER BY sim DESC, b.vec_id LIMIT 5""",
       // brute-force form of the same deterministic spec: pairs sharing
-      // any of the 32 banded 5-bit SRP signatures (regenerated from the
-      // same literal LCG) and exact cosine >= 0.45 (oracle scale is
-      // small enough that candidate generation needn't be replicated)
+      // any of the banded SRP signatures (regenerated from the same
+      // literal LCG) and exact cosine >= 0.45 (oracle scale is small
+      // enough that candidate generation needn't be replicated)
       "s3_lsh_near_dup" -> {
+        val (bands, bits) = (s3Bands, s3Bits)
         // LCG→xorshift→LCG weight mix, identical to LshBandSigs
-        val u1 = s"((CAST(1103515245 AS BIGINT) * ((g * 5 + j) * 64 + k) + 12345) % 2147483648)"
+        val u1 = s"((CAST(1103515245 AS BIGINT) * ((g * $bits + j) * 64 + k) + 12345) % 2147483648)"
         val u2 = s"xor($u1, $u1 >> 16)"
         val u3 = s"((CAST(1103515245 AS BIGINT) * $u2 + 12345) % 2147483648)"
         val planeDot =
           s"list_sum(list_transform(range(0, $dims), k -> " +
             s"(CAST($u3 AS DOUBLE) / 2147483648.0 - 0.5) * CAST(embedding[k + 1] AS DOUBLE)))"
         val sigList =
-          s"list_transform(range(0, 32), g -> list_sum(list_transform(range(0, 5), j -> " +
+          s"list_transform(range(0, $bands), g -> list_sum(list_transform(range(0, $bits), j -> " +
             s"CASE WHEN $planeDot > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
         s"""WITH eb AS (SELECT vec_id, embedding, $sigList AS sigs FROM embeddings)
         SELECT * FROM (
           SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, ROUND($cos, 9) AS sim
           FROM eb a JOIN eb b
             ON a.vec_id < b.vec_id
-            AND len(list_filter(range(1, 33), g -> a.sigs[g] = b.sigs[g])) > 0) t
+            AND len(list_filter(range(1, ${bands + 1}), g -> a.sigs[g] = b.sigs[g])) > 0) t
         WHERE sim >= 0.45 ORDER BY vec_id_a, vec_id_b"""
       },
       "s4_ann_ivf" -> {

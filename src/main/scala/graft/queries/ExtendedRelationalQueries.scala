@@ -82,6 +82,34 @@ object ExtendedRelationalQueries {
       .orderBy("event_id")
   }
 
+  /** x19 — range (interval) join WITHOUT an equi key: for each click
+    * event, count the events (any type, any user) in the hour after it.
+    * Spark's planner has only BroadcastNestedLoopJoin for a pure
+    * inequality predicate — O(n·m) compared pairs and a broadcast of a
+    * whole side. This spelling buckets time into window-sized cells and
+    * turns the range predicate into a bucket EQUI-join: a probe interval
+    * of length H overlaps exactly 2 H-cells, so the left side fans out
+    * 2×, the join shuffles on the cell id (tens of thousands of distinct
+    * values per month of data — real parallelism), and each qualifying
+    * pair meets exactly once (the right row's single cell is one of the
+    * probe's two) — no dedup pass. The exact range filter then prunes
+    * within cells. This is the standard scale spelling of interval
+    * joins (cf. bucketed interval joins in genomics/AsOf literature). */
+  def x19RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L // 1 hour in microseconds
+    val e = Tables.load(spark, dir, "events")
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("event_id"), unix_micros(col("ts")).as("a_us"))
+      .select(col("event_id"), col("a_us"),
+        explode(array(expr(s"a_us div $H"), expr(s"a_us div $H + 1"))).as("cell"))
+    val build = e.select(unix_micros(col("ts")).as("b_us"))
+      .select(col("b_us"), expr(s"b_us div $H").as("cell"))
+    probes.join(build, "cell")
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + H)
+      .groupBy("event_id").agg(count(lit(1)).as("followers"))
+      .orderBy("event_id")
+  }
+
   /** x17 — top-3 orders per customer through the CUSTOM TopKPerKey
     * physical operator (bounded per-key heaps, no partition sort) —
     * hash-checked against DuckDB's window row_number spelling, making
@@ -97,6 +125,7 @@ object ExtendedRelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_topk_per_key" -> (x17TopkPerKey _),
+    "x19_range_join" -> (x19RangeJoin _),
     "x8_semi_anti"  -> (x8SemiAnti _),
     "x9_rollup"     -> (x9Rollup _),
     "x10_json"      -> (x10Json _),
@@ -105,6 +134,15 @@ object ExtendedRelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // plain non-equi join: DuckDB's optimizer handles the oracle scale;
+    // the Spark side's bucketing is the distributed spelling of the
+    // same predicate
+    "x19_range_join" ->
+      ("SELECT a.event_id, COUNT(*) AS followers FROM " +
+        "(SELECT event_id, epoch_us(ts) AS a_us FROM events WHERE event_type = 'click') a " +
+        "JOIN (SELECT epoch_us(ts) AS b_us FROM events) b " +
+        "ON b.b_us > a.a_us AND b.b_us <= a.a_us + 3600000000 " +
+        "GROUP BY a.event_id ORDER BY a.event_id"),
     "x17_topk_per_key" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER " +

@@ -21,18 +21,20 @@ import graft.core.Tables
 object StreamingQueries {
 
   /** R9 — running aggregate (O8, rainstorm.go:551-566): feed events in
-    * 8 ts-range chunks (repartitionByRange preserves global ts order
-    * across files), one micro-batch per file, `groupBy(event_type)
-    * .count()` in complete mode; return the final snapshot. */
+    * ts-ordered chunks (repartitionByRange preserves global ts order
+    * across files), `groupBy(event_type).count()` in complete mode;
+    * return the final snapshot. */
   def r9StreamingAgg(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val tmp = Files.createTempDirectory("graft_r9").toString
-    events.repartitionByRange(8, col("ts"))
+    events.repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(s"$tmp/feed")
     val schema = spark.read.parquet(s"$tmp/feed").schema
-    // 8 ts-range files fed 2 per trigger -> 4 genuine micro-batches;
-    // per-trigger fixed cost (~1 s planning+commit each) is the whole
-    // runtime of this query, so batch count is the knob that matters.
+    // 4 ts-range files fed 2 per trigger -> 2 genuine micro-batches:
+    // the minimum that still exercises cross-batch state merge (the
+    // semantics under test); per-trigger fixed cost (~1 s
+    // planning+commit each) is the whole runtime of this query, so
+    // batch count is the knob that matters.
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "2")

@@ -96,15 +96,17 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("LshBandSigs == independent Scala spelling of the LCG formula") {
+    val (bands, bits) =
+      (graft.queries.AnnQueries.s3Bands, graft.queries.AnnQueries.s3Bits)
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = e.select($"vec_id",
-      graft.functions.LshBandSigs($"embedding", 32, 5).as("sigs"),
+      graft.functions.LshBandSigs($"embedding", bands, bits).as("sigs"),
       $"embedding").as[(Long, Seq[Long], Seq[Float])].collect()
     assert(got.nonEmpty)
     got.foreach { case (_, sigs, emb) =>
-      val ref = (0 until 32).map { g =>
-        (0 until 5).foldLeft(0L) { (sig, j) =>
-          val p = g * 5 + j
+      val ref = (0 until bands).map { g =>
+        (0 until bits).foldLeft(0L) { (sig, j) =>
+          val p = g * bits + j
           var s = 0.0
           var k = 0
           while (k < emb.length) {
@@ -123,9 +125,9 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
 
   test("s3 banded-LSH pair mining: recall floor vs l4 exact pairs is ASSERTED") {
     // sf0.01 is the oracle scale where l4's exact answer has its full
-    // pair set; the 32×5 banding math predicts ≈0.98 recall at the 0.45
-    // threshold (see LshBandSigs doc), so a 0.85 floor has headroom but
-    // still catches any regression to flat-bucket-sized recall (~0.07).
+    // pair set; the banding math (see AnnQueries.s3Bands) predicts
+    // ≈0.97 recall at the 0.45 threshold, so a 0.85 floor has headroom
+    // but still catches any regression to flat-bucket recall (~0.07).
     val dir = "/root/testdata/sf0.01"
     val exact = graft.queries.LlmQueries.l4NearDupPairs(spark, dir)
       .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet

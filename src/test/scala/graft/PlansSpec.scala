@@ -46,6 +46,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("min_by"), p.take(2000))
   }
 
+  test("x19: range join is a bucket equi-join, not a nested loop") {
+    val p = plan("x19_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Join") || p.contains("hashpartitioning"), p.take(2000))
+  }
+
   test("r3: column pruning reaches the scan (2-column read of 11-column lineitem)") {
     val p = plan("r3_projection")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_returnflag:string>"),
