@@ -102,16 +102,25 @@ object AnnQueries {
     * (vs the 256 of a flat 8-bit bucket), and hot-band skew at scale is
     * AQE-skew-join territory plus the `s3Bits` knob above. */
   def s3LshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("sigs", LshBandSigs(col("embedding"), s3Bands, s3Bits))
+    val raw = Tables.load(spark, dir, "embeddings")
+    // The signature scan is compute-dense (bands·bits·dims multiplies
+    // per vector); a small single-file input plans as ONE task, so lift
+    // it to the session's parallelism. At real scale the scan already
+    // has more splits than cores and this branch never fires.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    val e = spread.withColumn("sigs", LshBandSigs(col("embedding"), s3Bands, s3Bits))
     // Candidate generation over (vec_id, band_key) ONLY — a key row is
     // 16 bytes, so the band fan-out and the pair join never shuffle
     // embedding arrays, and each surviving pair computes cosine exactly
-    // once after the dedup.
+    // once after the dedup. Persisted: the self-join references it on
+    // both sides and exchange reuse does not fire across the rename,
+    // so without it the signature scan would run twice.
     val keys = e.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
       .select(col("vec_id"),
         (col("band").cast("long") * (1 << s3Bits) + col("sig")).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keys.select(col("vec_id").as("vec_id_a"), col("bkey"))
     val b = keys.select(col("vec_id").as("vec_id_b"), col("bkey"))
     val cand = a.join(b, Seq("bkey"))
