@@ -88,7 +88,43 @@ object FunctionQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** x20 — approximate distinct counting through the CUSTOM
+    * [[graft.functions.KmvDistinct]] sketch aggregate: distinct
+    * l_orderkey per return flag via k=64 minimum hash values. The
+    * query hashes the key with a literal LCG→xorshift→LCG mix (a plain
+    * affine map `(a·x+b) mod P` never wraps for small keys, so its
+    * values are NOT uniform over the space and the KMV estimate biases
+    * high — same lattice lesson as the LSH planes); the DuckDB oracle
+    * reproduces the exact estimate, making the sketch's determinism
+    * part of the oracle gate, not just unit-tested. x16 is the exact
+    * two-shuffle spelling; this is its one-shuffle, k-longs-per-group
+    * scale twin. */
+  def x20KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_returnflag",
+        FunctionQueries.kmvHashSpark("l_orderkey") + " AS h")
+    li.groupBy("l_returnflag")
+      .agg(graft.functions.KmvDistinct(col("h"), 64).as("est_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The KMV input hash, Spark dialect (`^` = xor). */
+  private[graft] def kmvHashSpark(x: String): String = {
+    val h1 = s"((48271 * $x + 11) % 1000000007)"
+    s"(48271 * ($h1 ^ ($h1 >> 16)) + 11) % 1000000007"
+  }
+
+  /** Same hash, DuckDB dialect (`^` is power there; xor() is the
+    * function; literals forced BIGINT — DuckDB's INT32 multiplication
+    * errors on overflow rather than widening). */
+  private[graft] def kmvHashDuck(x: String): String = {
+    val h1 = s"((CAST(48271 AS BIGINT) * $x + 11) % 1000000007)"
+    s"(CAST(48271 AS BIGINT) * xor($h1, $h1 >> 16) + 11) % 1000000007"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_kmv_distinct" -> (x20KmvDistinct _),
     "x18_percentile"   -> (x18Percentile _),
     "x13_string_funcs" -> (x13StringFuncs _),
     "x14_date_funcs"   -> (x14DateFuncs _),
@@ -97,6 +133,14 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same mixed hash, same k-th smallest distinct hash, same integer
+    // estimate arithmetic -> bit-identical to the Spark sketch
+    "x20_kmv_distinct" ->
+      s"""SELECT l_returnflag,
+        CASE WHEN count(DISTINCT h) < 64 THEN count(DISTINCT h)
+             ELSE CAST(63 AS BIGINT) * 1000000007 // list_sort(list(DISTINCT h))[64] END AS est_orders
+      FROM (SELECT l_returnflag, ${kmvHashDuck("l_orderkey")} AS h FROM lineitem)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x18_percentile" ->
       """SELECT o_orderstatus,
         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -142,6 +142,33 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.85, s"s3 recall $recall below floor 0.85")
   }
 
+  test("KmvDistinct: merge-invariant across partitionings, accurate, exact below k") {
+    import graft.functions.KmvDistinct
+    val hashed = spark.range(100000L)
+      .selectExpr("id % 10 AS g",
+        graft.queries.FunctionQueries.kmvHashSpark("(id % 7919)") + " AS h")
+    def run(parts: Int): Seq[(Long, Long)] =
+      hashed.repartition(parts)
+        .groupBy("g").agg(KmvDistinct($"h", 64).as("est"))
+        .orderBy("g").as[(Long, Long)].collect().toSeq
+    val est1 = run(1)
+    // partial+final merge must be partitioning-invariant (the sketch's
+    // mergeability is what makes it distributed)
+    assert(est1 == run(32))
+    // true distinct per group is 7919 (ids cover 0..7918 per group);
+    // KMV stderr at k=64 is ~1/sqrt(63) ≈ 12.6%, assert within 4 sigma
+    est1.foreach { case (_, est) =>
+      assert(math.abs(est - 7919.0) / 7919.0 < 0.5, s"estimate $est vs 7919")
+    }
+    // below k: exact
+    val small = spark.range(40L)
+      .selectExpr("0 AS g",
+        graft.queries.FunctionQueries.kmvHashSpark("id") + " AS h")
+      .groupBy("g").agg(KmvDistinct($"h", 64).as("est"))
+      .as[(Int, Long)].collect()
+    assert(small.head._2 == 40L)
+  }
+
   test("s2 ANN recall: LSH bucket top-5 ⊆ corpus, exact top-5 overlap measured") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmQueries.l3CosineTopk(spark, dir)
