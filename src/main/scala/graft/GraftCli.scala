@@ -96,10 +96,8 @@ object GraftCli {
         println(s"appended to $name")
       case "get" =>
         val Seq(name, local) = rest.toSeq
-        val chunks = store(name).read(Seq("content"))
-          .select("content").as[String].collect()
-        Files.writeString(Paths.get(local), chunks.mkString)
-        println(s"got $name -> $local (${chunks.length} chunks)")
+        val n = download(spark, store(name), name, local)
+        println(s"got $name -> $local ($n chunks)")
       case "getfromreplica" =>
         // reference semantics (user/user.go:103-140): ALWAYS merge
         // first, then read from the chosen replica — so any replica
@@ -108,10 +106,8 @@ object GraftCli {
         // replication) but the merge-before-read contract is kept.
         val Seq(vm, name, local) = rest.toSeq
         store(name).compact(Seq("content"))
-        val chunks = store(name).read(Seq("content"))
-          .select("content").as[String].collect()
-        Files.writeString(Paths.get(local), chunks.mkString)
-        println(s"got $name from replica $vm -> $local (${chunks.length} chunks)")
+        val n = download(spark, store(name), name, local)
+        println(s"got $name from replica $vm -> $local ($n chunks)")
       case "multiappend" =>
         // reference test5 (user/user.go:256-317): fan out CONCURRENT
         // appends — one writer thread per local file, each with its own
@@ -145,6 +141,29 @@ object GraftCli {
       case other =>
         throw new IllegalArgumentException(s"unknown command '$other'")
     }
+  }
+
+  /** Driver-side download cap for `get`/`getfromreplica` — a "download
+    * one file" command collects to the driver like the reference's get
+    * (user/user.go:74-140), which is fine for files and wrong for
+    * tables; past the cap it fails with advice instead of an
+    * executor-to-driver OOM. Overridable for tests. */
+  private[graft] var maxGetBytes: Long = 256L * 1024 * 1024
+
+  /** Merge-on-read, size-guard, then write the merged bytes to `local`;
+    * returns the chunk count. */
+  private def download(spark: SparkSession,
+                       s: AppendLogStore, name: String, local: String): Int = {
+    import org.apache.spark.sql.functions.{col, length, sum}
+    import spark.implicits._
+    val df = s.read(Seq("content"))
+    val bytes = df.agg(sum(length(col("content")))).head().getLong(0)
+    require(bytes <= maxGetBytes,
+      s"'$name' is $bytes bytes merged; get is a driver-side download " +
+        s"capped at $maxGetBytes — read the store as a DataFrame instead")
+    val chunks = df.select("content").as[String].collect()
+    Files.writeString(Paths.get(local), chunks.mkString)
+    chunks.length
   }
 
   /** Wall-clock microseconds since epoch — comparable across JVMs and

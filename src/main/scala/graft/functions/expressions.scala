@@ -600,6 +600,13 @@ object LshBandSigsHelper {
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
 object GraftFunctions {
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)  => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got $other")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
@@ -609,5 +616,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash16", exprs => MinHash16(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_band_sigs",
+      exprs => LshBandSigs(exprs(0),
+        litInt(exprs(1), "lsh_band_sigs"), litInt(exprs(2), "lsh_band_sigs")), "scala_udf")
+    // an AggregateFunction returned bare: the analyzer wraps it in the
+    // AggregateExpression (Complete) when it resolves the call site
+    reg.createOrReplaceTempFunction("kmv_distinct",
+      exprs => KmvDistinct(exprs(0), litInt(exprs(1), "kmv_distinct")), "scala_udf")
   }
 }

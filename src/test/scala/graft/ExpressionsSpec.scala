@@ -169,6 +169,18 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(small.head._2 == 40L)
   }
 
+  test("SQL registration: kmv_distinct and lsh_band_sigs callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val est = spark.sql(
+      "SELECT kmv_distinct((48271 * id + 11) % 1000000007, 64) FROM range(40)")
+      .head().getLong(0)
+    assert(est == 40L)
+    val nsigs = spark.sql(
+      "SELECT size(lsh_band_sigs(CAST(array(1.0, -2.0) AS ARRAY<FLOAT>), 8, 4))")
+      .head().getInt(0)
+    assert(nsigs == 8)
+  }
+
   test("s2 ANN recall: LSH bucket top-5 ⊆ corpus, exact top-5 overlap measured") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmQueries.l3CosineTopk(spark, dir)
