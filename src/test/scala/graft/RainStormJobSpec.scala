@@ -122,6 +122,29 @@ class RainStormJobSpec extends AnyFunSuite with SparkSuite {
     assert(readLines(dest).sorted == Seq("Other,1", "Warning,1"))
   }
 
+  test("exec op runs under Structured Streaming (closure-serialized to tasks)") {
+    val src = tmpDir("rs_xsrc")
+    Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
+    val dest = tmpDir("rs_xdest").toString + "/out"
+    RainStormJob.runStreamingToCompletion(spark,
+      s"exec:${refBin("op1_t1")}", "project:2,3", src.toString, dest)
+    assert(readLines(dest).sorted ==
+      Seq("1001,Stop", "1003,Speed", "1004,Stop2", "1005,Warn", "1006,Warn2"))
+  }
+
+  test("exec op failure (non-zero exit) fails the job with the command named") {
+    val src = tmpDir("rs_fsrc")
+    Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
+    val dest = tmpDir("rs_fdest").toString + "/out"
+    val e = intercept[Exception] {
+      RainStormJob.runBatch(spark, "exec:/bin/false", "identity",
+        src.toString + "/signs.txt", dest, numTasks = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("/bin/false")), messages(e).mkString(" | "))
+  }
+
   test("aggregate specs are rejected in the op1 slot at parse time") {
     val src = tmpDir("rs_asrc")
     Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)
