@@ -88,6 +88,35 @@ object MultimodalQueries {
       .orderBy("doc_id", "bin")
   }
 
+  /** m4 — resize: downsample the payload by a fixed stride (every 8th
+    * byte), the 1-D stand-in for image resizing; emits the original and
+    * resized sizes plus a checksum of the resized payload so the kernel
+    * seam is oracle-checked end-to-end. Same batched mapPartitions
+    * contract as m1/m2 — a real resizer (libvips/PIL-style) slots into
+    * the loop body without touching the Spark plumbing. */
+  def m4Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          var i = 0
+          var sum = 0L
+          var m = 0L
+          while (i < bytes.length) {
+            sum = (sum + (bytes(i) & 0xff)) % 1000000007L
+            m += 1
+            i += 8
+          }
+          (id, bytes.length.toLong, m, sum)
+        }
+      }
+    }.toDF("doc_id", "orig_bytes", "resized_bytes", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** m3 — frame sampling: treat the payload as a sequence and keep every
     * k-th unit (the video-frame-sampling access pattern: decode only the
     * sampled frames). Units here are whitespace tokens; a real pipeline
@@ -106,6 +135,7 @@ object MultimodalQueries {
     "m1_multimodal_decode" -> (m1MultimodalDecode _),
     "m2_feature_extract"   -> (m2FeatureExtract _),
     "m3_frame_sample"      -> (m3FrameSample _),
+    "m4_resize"            -> (m4Resize _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -129,6 +159,14 @@ object MultimodalQueries {
     "m3_frame_sample" ->
       ("SELECT doc_id, array_to_string(" +
         "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +
+        "FROM documents ORDER BY doc_id"),
+    // ASCII corpus: byte positions == character positions; stride-8
+    // sample, count, and mod-1e9+7 checksum restated over ord()
+    "m4_resize" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes, " +
+        "CAST(length(range(1, length(text) + 1, 8)) AS BIGINT) AS resized_bytes, " +
+        "coalesce(list_sum(list_transform(range(1, length(text) + 1, 8), i -> ord(text[i]))), 0) " +
+        "% 1000000007 AS checksum " +
         "FROM documents ORDER BY doc_id"),
   )
 }
