@@ -123,8 +123,20 @@ object FunctionQueries {
     s"(CAST(48271 AS BIGINT) * xor($h1, $h1 >> 16) + 11) % 1000000007"
   }
 
+  /** x21 — skew-safe two-phase aggregation through [[graft.operators
+    * .Salting]]: lineitem counted by return flag, a 3-distinct-value
+    * key — the textbook hot-key regime where a plain groupBy lands each
+    * giant group on one reducer. The salted rewrite spreads each key's
+    * partials over 16 salt buckets and re-merges; the oracle gates the
+    * rewrite's correctness (result must equal the plain GROUP BY). */
+  def x21SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.saltedGroupCount(Seq("l_returnflag"))(
+      Tables.load(spark, dir, "lineitem"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_kmv_distinct" -> (x20KmvDistinct _),
+    "x21_salted_agg"   -> (x21SaltedAgg _),
     "x18_percentile"   -> (x18Percentile _),
     "x13_string_funcs" -> (x13StringFuncs _),
     "x14_date_funcs"   -> (x14DateFuncs _),
@@ -140,6 +152,9 @@ object FunctionQueries {
         CASE WHEN count(DISTINCT h) < 64 THEN count(DISTINCT h)
              ELSE CAST(63 AS BIGINT) * 1000000007 // list_sort(list(DISTINCT h))[64] END AS est_orders
       FROM (SELECT l_returnflag, ${kmvHashDuck("l_orderkey")} AS h FROM lineitem)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x21_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x18_percentile" ->
       """SELECT o_orderstatus,

@@ -67,11 +67,26 @@ object LlmQueries {
       .orderBy("vec_id_a", "vec_id_b")
   }
 
+  /** l5 — deterministic hash sampling: keep documents whose key hash
+    * falls under a threshold (~10 % here). This is how a reproducible
+    * training-data pipeline samples: membership is a pure function of
+    * the key — stable across runs, cluster sizes, and partitionings
+    * (a rand()-based sample is none of those) — and train/val splits
+    * are disjoint hash ranges of the same function. Pure filter: scans,
+    * never shuffles. */
+  def l5HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", FunctionQueries.kmvHashSpark("doc_id") + " AS h")
+      .filter(col("h") < 100000000L)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
     "l3_cosine_topk"   -> (l3CosineTopk _),
     "l4_near_dup_pairs" -> (l4NearDupPairs _),
+    "l5_hash_sample"   -> (l5HashSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -95,6 +110,10 @@ object LlmQueries {
         "ROUND(" + cosSql("a", "b") + ", 9) AS sim " +
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY vec_id_a, vec_id_b"),
+    "l5_hash_sample" ->
+      ("SELECT doc_id FROM (SELECT doc_id, " +
+        FunctionQueries.kmvHashDuck("doc_id") + " AS h FROM documents) t " +
+        "WHERE h < 100000000 ORDER BY doc_id"),
   )
 
   /** DuckDB double-precision cosine between `$l.embedding` and
