@@ -114,12 +114,20 @@ object GraftCli {
         // wall-clock stamp — then rely on the ordered merge to converge.
         val Seq(name, locals) = rest.toSeq
         val files = locals.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
         val threads = files.map { local =>
-          new Thread(() => store(name).append(
-            Seq((wallClockMicros(), Files.readString(Paths.get(local))))
-              .toDF("ts", "content")))
+          new Thread(() =>
+            try store(name).append(
+              Seq((wallClockMicros(), Files.readString(Paths.get(local))))
+                .toDF("ts", "content"))
+            catch { case t: Throwable => failures.add(t) })
         }
         threads.foreach(_.start()); threads.foreach(_.join())
+        if (!failures.isEmpty) {
+          val first = failures.peek()
+          throw new IllegalStateException(
+            s"${failures.size} of ${files.length} appends failed: ${first.getMessage}", first)
+        }
         println(s"multiappended ${files.length} files to $name")
       case "merge" =>
         val Seq(name) = rest.toSeq
@@ -154,10 +162,14 @@ object GraftCli {
     * returns the chunk count. */
   private def download(spark: SparkSession,
                        s: AppendLogStore, name: String, local: String): Int = {
-    import org.apache.spark.sql.functions.{col, length, sum}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum}
     import spark.implicits._
     val df = s.read(Seq("content"))
-    val bytes = df.agg(sum(length(col("content")))).head().getLong(0)
+    // octet_length, not length: Spark length() counts CHARACTERS, and
+    // the guard protects driver memory, which fills with BYTES;
+    // coalesce covers the empty-store case (sum over zero rows is null)
+    val bytes = df.agg(coalesce(sum(expr("octet_length(content)")), lit(0L)))
+      .head().getLong(0)
     require(bytes <= maxGetBytes,
       s"'$name' is $bytes bytes merged; get is a driver-side download " +
         s"capped at $maxGetBytes — read the store as a DataFrame instead")
@@ -167,12 +179,25 @@ object GraftCli {
   }
 
   /** Wall-clock microseconds since epoch — comparable across JVMs and
-    * machines (unlike nanoTime's arbitrary origin), with enough
-    * resolution that two appends from one writer stay distinct; create's
-    * ts=0 sorts below any realistic append stamp. */
+    * machines (unlike nanoTime's arbitrary origin); create's ts=0 sorts
+    * below any realistic append stamp. Monotonicity guard: the merge
+    * DEDUPS by ts (O11 — the reference does too, via map overwrite,
+    * user/user.go:161-170 + synchronizer.go:85), so two appends landing
+    * in the same microsecond (multiappend's concurrent threads, or a
+    * coarse platform clock) would silently drop one; the CAS loop makes
+    * stamps from THIS process strictly increasing. Cross-process
+    * collisions inherit the reference's last-writer-wins semantics. */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
   private def wallClockMicros(): Long = {
     val now = java.time.Instant.now()
-    now.getEpochSecond * 1000000L + now.getNano / 1000L
+    val micros = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    var prev = lastStamp.get()
+    var next = math.max(micros, prev + 1)
+    while (!lastStamp.compareAndSet(prev, next)) {
+      prev = lastStamp.get()
+      next = math.max(micros, prev + 1)
+    }
+    next
   }
 
   private def listFs(spark: SparkSession, path: String): Seq[String] = {

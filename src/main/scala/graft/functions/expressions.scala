@@ -461,7 +461,7 @@ object LshBucket8 {
 /** Banded sign-random-projection signatures of an array<float>
   * embedding: `bands` band values, each packing `bits` hyperplane signs
   * (plane index p = band·bits + j). Plane weights come from an
-  * LCG→xorshift→LCG integer mix of n = p·64+k:
+  * LCG→xorshift→LCG integer mix of n = p·dims+k:
   * `u₁ = (1103515245·n + 12345) mod 2³¹`, `u₂ = u₁ xor (u₁ >> 16)`,
   * `u₃ = (1103515245·u₂ + 12345) mod 2³¹`, `w = u₃/2³¹ − 0.5`.
   * The xorshift step matters: raw consecutive LCG outputs lie on a
@@ -481,7 +481,8 @@ object LshBucket8 {
   * s3Bands/s3Bits). One fused loop over all bands·bits planes in
   * generated Java.
   */
-case class LshBandSigs(child: Expression, bands: Int, bits: Int) extends UnaryExpression {
+case class LshBandSigs(child: Expression, bands: Int, bits: Int, dims: Int)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
     if (child.dataType match {
@@ -493,7 +494,12 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int) extends UnaryEx
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val w = LshBandSigs.weights(bands, bits, n)
+    // the weight formula strides by `dims`; an embedding of a different
+    // length would silently reuse LCG inputs across adjacent planes
+    // (re-correlating the hyperplanes), so a mismatch is an error
+    require(n == dims,
+      s"lsh_band_sigs: embedding has $n dims, expression built for $dims")
+    val w = LshBandSigs.weights(bands, bits, dims)
     val sigs = new Array[Long](bands)
     var g = 0
     while (g < bands) {
@@ -536,8 +542,12 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int) extends UnaryEx
     nullSafeCodeGen(ctx, ev, c => {
       s"""
         int $n = $c.numElements();
-        if ($wField == null || $wField.length != $bands * $bits * $n) {
-          $wField = $helper.weights($bands, $bits, $n);
+        if ($n != $dims) {
+          throw new IllegalArgumentException(
+            "lsh_band_sigs: embedding has " + $n + " dims, expression built for $dims");
+        }
+        if ($wField == null) {
+          $wField = $helper.weights($bands, $bits, $dims);
         }
         long[] $sigs = new long[$bands];
         for (int $g = 0; $g < $bands; $g++) {
@@ -562,8 +572,8 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int) extends UnaryEx
 }
 
 object LshBandSigs {
-  def apply(c: Column, bands: Int, bits: Int): Column =
-    GraftShims.column(LshBandSigs(GraftShims.expression(c), bands, bits))
+  def apply(c: Column, bands: Int, bits: Int, dims: Int = 64): Column =
+    GraftShims.column(LshBandSigs(GraftShims.expression(c), bands, bits, dims))
 
   /** Memoized plane-weight matrix (w[p·n + k] for plane p, dim k) from
     * the literal LCG→xorshift→LCG mix — the formula the DuckDB oracle
@@ -577,7 +587,8 @@ object LshBandSigs {
       while (p < bands * bits) {
         var k = 0
         while (k < n) {
-          val u1 = (1103515245L * (p * 64 + k) + 12345L) % 2147483648L
+          // stride = dims: distinct LCG input per (plane, dim) pair
+          val u1 = (1103515245L * (p * n + k) + 12345L) % 2147483648L
           val u2 = u1 ^ (u1 >> 16)
           val u3 = (1103515245L * u2 + 12345L) % 2147483648L
           w(p * n + k) = u3.toDouble / 2147483648.0 - 0.5
@@ -618,7 +629,8 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_band_sigs",
       exprs => LshBandSigs(exprs(0),
-        litInt(exprs(1), "lsh_band_sigs"), litInt(exprs(2), "lsh_band_sigs")), "scala_udf")
+        litInt(exprs(1), "lsh_band_sigs"), litInt(exprs(2), "lsh_band_sigs"),
+        if (exprs.length > 3) litInt(exprs(3), "lsh_band_sigs") else 64), "scala_udf")
     // an AggregateFunction returned bare: the analyzer wraps it in the
     // AggregateExpression (Complete) when it resolves the call site
     reg.createOrReplaceTempFunction("kmv_distinct",

@@ -23,13 +23,46 @@ import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, S
   * rainstorm.go:364-394).
   *
   * 100 TB posture: argv-per-batch is the reference contract and is kept
-  * faithfully (batchSize is the amortization knob — argv headroom allows
-  * thousands of lines per exec). For a throughput-first custom op the
-  * right ABI is stdin/stdout streaming with one long-lived process per
-  * partition (RDD `pipe()` style); that changes the contract (binaries
-  * see a stream, not argv) so it is deliberately NOT what `exec:` does.
+  * faithfully; batchSize is the amortization knob, bounded by the OS
+  * (Linux caps a single argv string at MAX_ARG_STRLEN = 128 KiB), so
+  * batches additionally split at [[PipeOps.maxArgBytes]] — a batch-size
+  * knob can never produce an E2BIG exec failure. For a throughput-first
+  * custom op the right ABI is stdin/stdout streaming with one
+  * long-lived process per partition (RDD `pipe()` style); that changes
+  * the contract (binaries see a stream, not argv) so it is deliberately
+  * NOT what `exec:` does.
   */
 object PipeOps {
+
+  /** Byte budget per exec argv, safely under Linux MAX_ARG_STRLEN
+    * (131072 including the NUL and the binary's other argv/env slack). */
+  val maxArgBytes: Int = 100000
+
+  /** Group `it` into batches of at most `batchSize` lines AND at most
+    * [[maxArgBytes]] joined UTF-8 bytes (a single oversized line still
+    * travels alone — the exec will fail with the OS error, which is the
+    * honest outcome for an un-splittable record). */
+  private[graft] def byteBoundedBatches(it: Iterator[String], batchSize: Int): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private var pending: Option[String] = None
+      def hasNext: Boolean = pending.isDefined || it.hasNext
+      def next(): Seq[String] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var bytes = 0
+        def fits(s: String): Boolean = {
+          val b = s.getBytes("UTF-8").length + (if (buf.isEmpty) 0 else 1)
+          buf.isEmpty || (buf.size < batchSize && bytes + b <= maxArgBytes)
+        }
+        pending.foreach { s => buf += s; bytes += s.getBytes("UTF-8").length; pending = None }
+        var done = false
+        while (!done && it.hasNext && buf.size < batchSize) {
+          val s = it.next()
+          if (fits(s)) { bytes += s.getBytes("UTF-8").length + 1; buf += s }
+          else { pending = Some(s); done = true }
+        }
+        buf.toSeq
+      }
+    }
 
   /** Run `cmd` with `arg` as its single argument, return stdout.
     * Stderr is discarded (the reference captures only stdout via
@@ -61,7 +94,7 @@ object PipeOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("value").cast("string")).as[String].mapPartitions { it =>
-      it.grouped(batchSize).map(batch => runOnce(cmd, batch.mkString("\n")))
+      byteBoundedBatches(it, batchSize).map(batch => runOnce(cmd, batch.mkString("\n")))
     }
   }
 

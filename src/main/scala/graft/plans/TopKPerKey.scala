@@ -110,10 +110,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   *  - [[windowed]] — `row_number().over(...)  <= k`: WindowExec sorts
   *    and SPILLS, so it survives any group cardinality at sort cost.
   *
-  * `perKey(groupsHint = Some(n))` picks automatically: above the
-  * `spark.graft.topk.maxGroupsPerPartition` threshold it returns the
-  * windowed plan; the exec node enforces the same threshold at runtime
-  * (fail-fast with advice, never a silent executor OOM).
+  * `perKey(groupsHint = Some(n))` picks automatically: `n` is the
+  * estimated TOTAL group count, divided by the planned shuffle
+  * partition count and compared against the per-partition
+  * `spark.graft.topk.maxGroupsPerPartition` threshold; past it the
+  * windowed plan is returned. The exec node enforces the same
+  * per-partition threshold at runtime (fail-fast with advice, never a
+  * silent executor OOM).
   */
 object TopK {
   val maxGroupsKey = "spark.graft.topk.maxGroupsPerPartition"
@@ -124,7 +127,11 @@ object TopK {
     val spark = df.sparkSession
     val threshold = spark.conf.getOption(maxGroupsKey)
       .map(_.toLong).getOrElse(maxGroupsDefault)
-    if (groupsHint.exists(_ > threshold)) return windowed(df, keys, order, k)
+    // the hint is TOTAL group cardinality; the threshold (like the
+    // runtime guard) is per PARTITION, and the hash shuffle spreads
+    // groups ~evenly — compare the per-partition expectation
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    if (groupsHint.exists(h => h / parts > threshold)) return windowed(df, keys, order, k)
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

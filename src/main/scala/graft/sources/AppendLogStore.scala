@@ -64,12 +64,16 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
   /** Committed log segments right now — the snapshot unit of
     * [[compact]]. A segment counts only once its `_SUCCESS` marker
     * exists: an in-flight concurrent append (no marker yet) is neither
-    * read nor deleted. */
+    * read nor deleted. Flat `part-*` files directly under `log/` (the
+    * layout a pre-segment version of this store wrote) are read and
+    * compacted too, so an existing store migrates transparently. */
   private def logSegments: Seq[org.apache.hadoop.fs.Path] =
     if (!fs.exists(hPath(logPath))) Seq.empty
     else fs.listStatus(hPath(logPath)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("append_") &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .filter(st =>
+        (st.isDirectory && st.getPath.getName.startsWith("append_") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))) ||
+        (st.isFile && st.getPath.getName.startsWith("part-")))
       .map(_.getPath)
       .sortBy(_.getName)
 
@@ -117,12 +121,22 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
     recoverBaseSwap()
     val snapshot = logSegments
     val merged = mergedOver(snapshot, tieBreak)
-    val tmp = s"$root/compact_tmp"
+    // unique tmp path: two compactors must not share a scratch dir
+    // (the reference's exp2 runs merge from several VMs)
+    val tmp = s"$root/compact_tmp_${java.util.UUID.randomUUID()}"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val old = s"$root/base_old"
+    // every rename RESULT is checked: Hadoop FileSystem.rename reports
+    // failure by returning false, and proceeding past a failed swap
+    // would delete the only copy of the snapshotted log rows
+    def renameOrDie(from: String, to: String): Unit =
+      if (!fs.rename(hPath(from), hPath(to)))
+        throw new IllegalStateException(
+          s"compact: rename $from -> $to failed (concurrent compact?); " +
+            "log segments left untouched")
     fs.delete(hPath(old), true)
-    fs.rename(hPath(basePath), hPath(old))
-    fs.rename(hPath(tmp), hPath(basePath))
+    renameOrDie(basePath, old)
+    renameOrDie(tmp, basePath)
     fs.delete(hPath(old), true)
     snapshot.foreach(f => fs.delete(f, true))
   }

@@ -51,12 +51,20 @@ object RainStormJob {
       ReferenceOps.projectFields(idxs.split(",").map(_.trim.toInt).toSeq)
     case Array("count", idx)               => ReferenceOps.groupCountField(idx.toInt)
     case Array("exec", path)               => PipeOps.execLines(path)
-    case Array("exec", path, bs)           => PipeOps.execLines(path, bs.toInt)
+    case Array("exec", path, bs)           => PipeOps.execLines(path, batchSize(spec, bs))
     case Array("exec_transform", path)     => PipeOps.execTransform(path)
+    case Array("exec_transform", path, bs) => PipeOps.execTransform(path, batchSize(spec, bs))
     case Array("exec_agg", path)           => PipeOps.execAgg(path)
+    case Array("exec_agg", path, bs)       => PipeOps.execAgg(path, batchSize(spec, bs))
     case other => throw new IllegalArgumentException(
       s"unknown op spec '$spec' (parsed: ${other.mkString("[", ":", "]")})")
   }
+
+  private def batchSize(spec: String, bs: String): Int =
+    try bs.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"op spec '$spec': batch size '$bs' is not an integer")
+    }
 
   private def isAggregate(spec: String): Boolean =
     spec.startsWith("count") || spec.startsWith("exec_agg")

@@ -176,7 +176,7 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
       .head().getLong(0)
     assert(est == 40L)
     val nsigs = spark.sql(
-      "SELECT size(lsh_band_sigs(CAST(array(1.0, -2.0) AS ARRAY<FLOAT>), 8, 4))")
+      "SELECT size(lsh_band_sigs(CAST(array(1.0, -2.0) AS ARRAY<FLOAT>), 8, 4, 2))")
       .head().getInt(0)
     assert(nsigs == 8)
   }

@@ -132,6 +132,22 @@ class RainStormJobSpec extends AnyFunSuite with SparkSuite {
       Seq("1001,Stop", "1003,Speed", "1004,Stop2", "1005,Warn", "1006,Warn2"))
   }
 
+  test("exec batching splits on the argv byte budget, preserving line order") {
+    import graft.operators.PipeOps
+    val big = "x" * 40000
+    val lines = (1 to 7).map(i => s"$big$i")
+    val batches = PipeOps.byteBoundedBatches(lines.iterator, batchSize = 5).toSeq
+    assert(batches.flatten == lines)                      // nothing lost or reordered
+    batches.foreach { b =>
+      assert(b.nonEmpty)
+      assert(b.map(_.length).sum + b.size - 1 <= PipeOps.maxArgBytes)
+    }
+    assert(batches.forall(_.size <= 5))
+    // small lines: the 5-line reference batch size still governs
+    val small = (1 to 12).map(_.toString)
+    assert(PipeOps.byteBoundedBatches(small.iterator, 5).toSeq.map(_.size) == Seq(5, 5, 2))
+  }
+
   test("exec op failure (non-zero exit) fails the job with the command named") {
     val src = tmpDir("rs_fsrc")
     Files.write(src.resolve("signs.txt"), rows.mkString("\n").getBytes)

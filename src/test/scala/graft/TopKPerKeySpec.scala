@@ -83,7 +83,9 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
     // every row its own group: the heap operator's worst case (its map
     // would hold the whole input off the memory manager); the hint must
     // route planning to WindowExec, which sorts and spills instead
-    spark.conf.set(TopK.maxGroupsKey, "100000")
+    // hint is TOTAL groups; the threshold is per partition — with the
+    // session's shuffle partitions, 200k total ÷ parts must exceed 1000
+    spark.conf.set(TopK.maxGroupsKey, "1000")
     try {
       val df = spark.range(200000L).selectExpr("id AS key", "id % 7 AS v")
       val planned = TopK.perKey(df, Seq(col("key")), Seq(col("v")), k = 1,
