@@ -110,6 +110,33 @@ object ExtendedRelationalQueries {
       .orderBy("event_id")
   }
 
+  /** x22 — pivot: per-user event counts spread into one column per
+    * event type. The value list is explicit (the contract for
+    * deterministic output columns — an inferred pivot would scan once
+    * just to discover them); Catalyst compiles this to a single
+    * aggregate over `count(CASE WHEN ...)` expressions, one shuffle,
+    * which is also exactly the oracle's portable spelling. */
+  def x22Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** x23 — scalar subquery: orders above the average order value.
+    * Catalyst evaluates the subquery once and broadcasts the scalar
+    * into the filter — no per-row recomputation, filter still runs at
+    * scan speed. */
+  def x23ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey""")
+  }
+
   /** x17 — top-3 orders per customer through the CUSTOM TopKPerKey
     * physical operator (bounded per-key heaps, no partition sort) —
     * hash-checked against DuckDB's window row_number spelling, making
@@ -126,6 +153,8 @@ object ExtendedRelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_topk_per_key" -> (x17TopkPerKey _),
     "x19_range_join" -> (x19RangeJoin _),
+    "x22_pivot" -> (x22Pivot _),
+    "x23_scalar_subquery" -> (x23ScalarSubquery _),
     "x8_semi_anti"  -> (x8SemiAnti _),
     "x9_rollup"     -> (x9Rollup _),
     "x10_json"      -> (x10Json _),
@@ -143,6 +172,18 @@ object ExtendedRelationalQueries {
         "JOIN (SELECT epoch_us(ts) AS b_us FROM events) b " +
         "ON b.b_us > a.a_us AND b.b_us <= a.a_us + 3600000000 " +
         "GROUP BY a.event_id ORDER BY a.event_id"),
+    "x22_pivot" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (event_type = 'click')    AS click, " +
+        "count(*) FILTER (event_type = 'error')    AS error, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup')   AS signup, " +
+        "count(*) FILTER (event_type = 'view')     AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "x23_scalar_subquery" ->
+      ("SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
+        "WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) " +
+        "ORDER BY o_orderkey"),
     "x17_topk_per_key" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER " +
