@@ -67,7 +67,17 @@ object TextPrimitives {
 
   /** Token-set membership count: how many elements of token array `w`
     * are in `set` (duplicates counted — ratio of stopword TOKENS). */
+  /** Spark spelling routes through the codegen [[StopHits]] expression
+    * (registered as `stop_hits`): the builtin
+    * `size(filter(w, t -> t IN (...)))` is an interpreted higher-order
+    * function — one lambda dispatch per token per language. Same
+    * semantics, pinned against the builtin spelling in ExpressionsSpec. */
   def stopHitsSpark(w: String, set: Seq[String]): String =
+    s"stop_hits($w, '${set.mkString(" ")}')"
+
+  /** The portable builtin spelling, kept as the spec the codegen
+    * expression is pinned against in tests. */
+  def stopHitsSparkBuiltin(w: String, set: Seq[String]): String =
     s"size(filter($w, t -> t IN (${set.map(s => s"'$s'").mkString(", ")})))"
 
   def stopHitsDuck(w: String, set: Seq[String]): String =

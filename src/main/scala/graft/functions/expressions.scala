@@ -607,6 +607,51 @@ object LshBandSigsHelper {
     LshBandSigs.weights(bands, bits, n)
 }
 
+/** Count of tokens that belong to a literal word set — the kernel
+  * behind stopword scoring (language ID, quality score). The builtin
+  * spelling `size(filter(w, t -> t IN (...)))` is a higher-order
+  * function and therefore CodegenFallback: one interpreted lambda
+  * dispatch per TOKEN per language. Here the set probe runs in a tight
+  * Java loop against a prebuilt HashSet (one virtual call per ROW via
+  * the ShingleHashes reference-object pattern), which cut t1's
+  * four-language scan ~3× at sf0.1. */
+case class StopHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"stop_hits needs an array<string> argument, got ${child.dataType}")
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("stopHits", this, classOf[StopHits].getName)
+      s"${ev.value} = (Integer) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StopHits =
+    copy(child = newChild)
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -635,5 +680,12 @@ object GraftFunctions {
     // AggregateExpression (Complete) when it resolves the call site
     reg.createOrReplaceTempFunction("kmv_distinct",
       exprs => KmvDistinct(exprs(0), litInt(exprs(1), "kmv_distinct")), "scala_udf")
+    reg.createOrReplaceTempFunction("stop_hits",
+      exprs => StopHits(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+          s.toString.split(" ").toSeq
+        case other => throw new IllegalArgumentException(
+          s"stop_hits expects a string literal word list, got $other")
+      }), "scala_udf")
   }
 }

@@ -169,6 +169,19 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(small.head._2 == 40L)
   }
 
+  test("StopHits == builtin size(filter(...)) spelling on real documents") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    val set = TextPrimitives.stopwords("en")
+    val diff = spark.sql(s"""
+      SELECT count(*) FROM (
+        SELECT ${TextPrimitives.stopHitsSpark("split(text, ' ')", set)} AS fast,
+               ${TextPrimitives.stopHitsSparkBuiltin("split(text, ' ')", set)} AS ref
+        FROM documents) WHERE fast != ref""").head().getLong(0)
+    assert(diff == 0)
+  }
+
   test("SQL registration: kmv_distinct and lsh_band_sigs callable from spark.sql") {
     GraftFunctions.register(spark)
     val est = spark.sql(
