@@ -607,6 +607,71 @@ object LshBandSigsHelper {
     LshBandSigs.weights(bands, bits, n)
 }
 
+/** Squared L2 distance between an array<double> column (an IVF
+  * centroid) and an array<float> column (an embedding), in one fused
+  * codegen loop — the builtin `aggregate(zip_with(c, x, (a,b) ->
+  * (a-b)*(a-b)), 0.0, +)` spelling is two interpreted higher-order
+  * passes per pair. Same left-to-right fold order ⇒ bit-identical
+  * doubles, so the DuckDB oracle and the pinned builtin spelling both
+  * still match. */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    if ((left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(FloatType, _)) => true
+      case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_sq needs (array<double>, array<float>), got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"l2_sq: length mismatch $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          throw new IllegalArgumentException(
+            "l2_sq: length mismatch " + $n + " vs " + $b.numElements());
+        }
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $a.getDouble($i) - (double) $b.getFloat($i);
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SquaredDistance =
+    copy(left = l, right = r)
+}
+
+object L2SquaredDistance {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(L2SquaredDistance(
+      GraftShims.expression(a), GraftShims.expression(b)))
+}
+
 /** Count of tokens that belong to a literal word set — the kernel
   * behind stopword scoring (language ID, quality score). The builtin
   * spelling `size(filter(w, t -> t IN (...)))` is a higher-order

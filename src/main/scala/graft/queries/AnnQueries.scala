@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{LshBandSigs, LshBucket8, Vectors}
+import graft.functions.{L2SquaredDistance, LshBandSigs, LshBucket8, Vectors}
 
 /** Approximate nearest-neighbor search — the 100 TB companion to the
   * exact L3 baseline.
@@ -153,9 +153,9 @@ object AnnQueries {
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
         .as("centroid"))
-    def l2sq(c: Column, emb: Column): Column =
-      aggregate(zip_with(c, Vectors.asDouble(emb), (cx, x) => (cx - x) * (cx - x)),
-        lit(0.0), (acc, v) => acc + v)
+    // codegen kernel; the interpreted aggregate(zip_with(...)) spelling
+    // it replaces is pinned as the spec in ExpressionsSpec
+    def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
     // assignment: nearest centroid per vector (vector side drops its own
     // label column — the quantizer must not peek at it, and it would
     // collide with the centroid table's label). Argmin via min_by over

@@ -169,6 +169,17 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(small.head._2 == 40L)
   }
 
+  test("L2SquaredDistance == builtin aggregate(zip_with(...)) spelling") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(100)(
+      (Array.fill(64)(rnd.nextDouble() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("c", "x").select(
+      graft.functions.L2SquaredDistance($"c", $"x").as("fast"),
+      aggregate(zip_with($"c", $"x".cast("array<double>"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v).as("ref"))
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+  }
+
   test("StopHits == builtin size(filter(...)) spelling on real documents") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
