@@ -672,6 +672,62 @@ object L2SquaredDistance {
       GraftShims.expression(a), GraftShims.expression(b)))
 }
 
+/** Count of BPE-pretokenizer-shaped tokens — matches of
+  * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — in one pass over the string's
+  * code points, without the regex engine or materializing every match
+  * the way `size(regexp_extract_all(...))` must. Semantics pinned
+  * against the regex spelling in tests (letter runs and digit runs
+  * count once; any other non-whitespace code point counts alone; `\s`
+  * is the regex default ASCII class). */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenCount.count(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.BpeTokenCount.count($c.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeTokenCount {
+  private def isLetter(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+  private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+  // java.util.regex default \s: [ \t\n\x0B\f\r]
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+  def count(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isLetter(cp)) {
+        n += 1
+        while (i < s.length && isLetter(s.charAt(i))) i += 1
+      } else if (isDigit(cp)) {
+        n += 1
+        while (i < s.length && isDigit(s.charAt(i))) i += 1
+      } else {
+        if (!isWs(cp)) n += 1
+        i += Character.charCount(cp)
+      }
+    }
+    n
+  }
+
+  def apply(c: Column): Column = GraftShims.column(BpeTokenCount(GraftShims.expression(c)))
+}
+
 /** Count of tokens that belong to a literal word set — the kernel
   * behind stopword scoring (language ID, quality score). The builtin
   * spelling `size(filter(w, t -> t IN (...)))` is a higher-order
@@ -745,6 +801,8 @@ object GraftFunctions {
     // AggregateExpression (Complete) when it resolves the call site
     reg.createOrReplaceTempFunction("kmv_distinct",
       exprs => KmvDistinct(exprs(0), litInt(exprs(1), "kmv_distinct")), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      exprs => BpeTokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("stop_hits",
       exprs => StopHits(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>

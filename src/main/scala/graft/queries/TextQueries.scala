@@ -71,7 +71,7 @@ object TextQueries {
     spark.sql(s"""
       SELECT doc_id,
         CAST(size(split(text, '\\\\s+')) AS BIGINT) AS n_ws_tokens,
-        CAST(size(regexp_extract_all(text, '$bpeTokenPatternSpark', 0)) AS BIGINT) AS n_bpe_tokens
+        CAST(bpe_token_count(text) AS BIGINT) AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")
   }
 

@@ -180,6 +180,25 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter($"fast" =!= $"ref").count() == 0)
   }
 
+  test("BpeTokenCount == size(regexp_extract_all(...)) on real documents + edges") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    val diff = spark.sql(s"""
+      SELECT count(*) FROM (
+        SELECT bpe_token_count(text) AS fast,
+          size(regexp_extract_all(text, '${TextPrimitives.bpeTokenPatternSpark}', 0)) AS ref
+        FROM documents) WHERE fast != ref""").head().getLong(0)
+    assert(diff == 0)
+    // edge cases: mixed runs, punctuation, unicode, empty
+    val edges = Seq("abc123, x!", "", "  \t\n", "a1b2", "héllo wörld", "日本語 text")
+    edges.foreach { s =>
+      val ref = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+        .matcher(s).results().count().toInt
+      assert(graft.functions.BpeTokenCount.count(s) == ref, s"on '$s'")
+    }
+  }
+
   test("StopHits == builtin size(filter(...)) spelling on real documents") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
