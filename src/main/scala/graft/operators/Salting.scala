@@ -20,22 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  private def saltCol(df: DataFrame, n: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(n))
+  /** The salt hashes an explicit column set (`saltBy`), not the whole
+    * row: hashing every column would reference every column and defeat
+    * column pruning — the scan of an 11-column fact table would read
+    * all 11 to count one. Pass row-identity columns (any set that
+    * varies WITHIN a key); empty `saltBy` falls back to all columns. */
+  private def saltCol(df: DataFrame, saltBy: Seq[String], n: Int): Column = {
+    val src = if (saltBy.nonEmpty) saltBy else df.columns.toSeq
+    pmod(hash(src.map(col): _*), lit(n))
+  }
 
   /** Two-phase salted count per key set. Result == groupBy(keys).count()
     * (pinned by SaltingSpec) with the hot key's partial counts spread
     * over `n` reducers in phase 1. */
-  def saltedGroupCount(keys: Seq[String], n: Int = 16)(df: DataFrame): DataFrame =
-    df.withColumn("__salt", saltCol(df, n))
+  def saltedGroupCount(keys: Seq[String], n: Int = 16,
+                       saltBy: Seq[String] = Seq.empty)(df: DataFrame): DataFrame =
+    df.withColumn("__salt", saltCol(df, saltBy, n))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as("cnt"))
 
   /** Two-phase salted sum of `value` per key set. */
-  def saltedGroupSum(keys: Seq[String], value: String, n: Int = 16)(df: DataFrame): DataFrame =
-    df.withColumn("__salt", saltCol(df, n))
+  def saltedGroupSum(keys: Seq[String], value: String, n: Int = 16,
+                     saltBy: Seq[String] = Seq.empty)(df: DataFrame): DataFrame =
+    df.withColumn("__salt", saltCol(df, saltBy, n))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(value)).as("__partial"))
       .groupBy(keys.map(col): _*)

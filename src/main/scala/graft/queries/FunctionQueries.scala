@@ -130,7 +130,8 @@ object FunctionQueries {
     * partials over 16 salt buckets and re-merges; the oracle gates the
     * rewrite's correctness (result must equal the plain GROUP BY). */
   def x21SaltedAgg(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Salting.saltedGroupCount(Seq("l_returnflag"))(
+    graft.operators.Salting.saltedGroupCount(Seq("l_returnflag"),
+      saltBy = Seq("l_orderkey", "l_linenumber"))(
       Tables.load(spark, dir, "lineitem"))
       .orderBy("l_returnflag")
 

@@ -46,6 +46,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("min_by"), p.take(2000))
   }
 
+  test("x21: salted aggregation prunes the scan to key + salt-source columns") {
+    val p = plan("x21_salted_agg")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_returnflag:string>"),
+      p.take(2000))
+  }
+
   test("x19: range join is a bucket equi-join, not a nested loop") {
     val p = plan("x19_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
