@@ -132,6 +132,28 @@ class RainStormJobSpec extends AnyFunSuite with SparkSuite {
       Seq("1001,Stop", "1003,Speed", "1004,Stop2", "1005,Warn", "1006,Warn2"))
   }
 
+  test("property: byteBoundedBatches is a partition of its input within bounds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.PipeOps
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      bs <- Gen.choose(1, 10)
+      lines <- Gen.listOfN(n, Gen.choose(0, 60000).map("y" * _))
+    } yield (lines, bs)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val res = SCTest.check(params, Prop.forAll(gen) { case (lines, bs) =>
+      val batches = PipeOps.byteBoundedBatches(lines.iterator, bs).toSeq
+      val order = batches.flatten == lines
+      val counts = batches.forall(b => b.nonEmpty && b.size <= bs)
+      // byte bound holds for every batch except a single oversized line
+      val bytes = batches.forall(b =>
+        b.size == 1 || b.map(_.length).sum + b.size - 1 <= PipeOps.maxArgBytes)
+      order && counts && bytes
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("exec batching splits on the argv byte budget, preserving line order") {
     import graft.operators.PipeOps
     val big = "x" * 40000
