@@ -71,9 +71,18 @@ object TextPrimitives {
     * (registered as `stop_hits`): the builtin
     * `size(filter(w, t -> t IN (...)))` is an interpreted higher-order
     * function — one lambda dispatch per token per language. Same
-    * semantics, pinned against the builtin spelling in ExpressionsSpec. */
-  def stopHitsSpark(w: String, set: Seq[String]): String =
+    * semantics, pinned against the builtin spelling in ExpressionsSpec.
+    * The word set travels as a space-joined string literal, so words
+    * must be single tokens without spaces or quotes — enforced here
+    * (silent corruption otherwise: 'new york' would split into two
+    * independent words). */
+  def stopHitsSpark(w: String, set: Seq[String]): String = {
+    require(set.nonEmpty, "stop_hits needs a non-empty word set")
+    set.foreach(s => require(
+      s.nonEmpty && !s.exists(c => c == ' ' || c == '\'' || c == '\\'),
+      s"stop_hits word '$s' must be a single unquoted token"))
     s"stop_hits($w, '${set.mkString(" ")}')"
+  }
 
   /** The portable builtin spelling, kept as the spec the codegen
     * expression is pinned against in tests. */

@@ -612,8 +612,11 @@ object LshBandSigsHelper {
   * codegen loop — the builtin `aggregate(zip_with(c, x, (a,b) ->
   * (a-b)*(a-b)), 0.0, +)` spelling is two interpreted higher-order
   * passes per pair. Same left-to-right fold order ⇒ bit-identical
-  * doubles, so the DuckDB oracle and the pinned builtin spelling both
-  * still match. */
+  * doubles on non-null input, so the DuckDB oracle and the pinned
+  * builtin spelling both still match; a null ELEMENT yields a null
+  * distance (as the builtin's NULL propagation does), while a length
+  * mismatch throws — a data bug, surfaced, the same stance as
+  * [[CosineSimilarity]]. */
 case class L2SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -625,6 +628,8 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"l2_sq needs (array<double>, array<float>), got ${left.dataType}, ${right.dataType}")
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -634,6 +639,9 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT yields a null distance, matching the builtin
+      // zip_with spelling ((cx - NULL) propagates NULL through the sum)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getFloat(i).toDouble
       s += d * d
       i += 1
@@ -655,10 +663,11 @@ case class L2SquaredDistance(left: Expression, right: Expression)
         }
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $d = $a.getDouble($i) - (double) $b.getFloat($i);
           $s += $d * $d;
         }
-        ${ev.value} = $s;
+        if (!${ev.isNull}) { ${ev.value} = $s; }
       """
     })
 
@@ -687,11 +696,11 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
       s"bpe_token_count needs a string argument, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    BpeTokenCount.count(input.asInstanceOf[UTF8String].toString)
+    BpeTokenCount.count(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      s"${ev.value} = graft.functions.BpeTokenCount.count($c.toString());"
+      s"${ev.value} = graft.functions.BpeTokenCount.count($c);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
@@ -699,31 +708,45 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
 }
 
 object BpeTokenCount {
-  private def isLetter(cp: Int): Boolean =
-    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
-  private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+  private def isLetter(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  private def isDigit(b: Int): Boolean = b >= '0' && b <= '9'
   // java.util.regex default \s: [ \t\n\x0B\f\r]
-  private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+  private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  def count(s: String): Int = {
+  /** Counts directly over the UTF-8 bytes — no String materialization
+    * or UTF-16 decode per row: every classified character (letters,
+    * digits, default-regex \s) is ASCII, and any non-ASCII code point
+    * counts as one token (a multi-byte sequence = one lead byte +
+    * skipped continuation bytes). */
+  def count(s: UTF8String): Int = {
+    val nb = s.numBytes()
     var n = 0
     var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      if (isLetter(cp)) {
-        n += 1
-        while (i < s.length && isLetter(s.charAt(i))) i += 1
-      } else if (isDigit(cp)) {
-        n += 1
-        while (i < s.length && isDigit(s.charAt(i))) i += 1
+    while (i < nb) {
+      val b = s.getByte(i) & 0xff
+      if (b < 0x80) {
+        if (isLetter(b)) {
+          n += 1
+          while (i < nb && isLetter(s.getByte(i) & 0xff)) i += 1
+        } else if (isDigit(b)) {
+          n += 1
+          while (i < nb && isDigit(s.getByte(i) & 0xff)) i += 1
+        } else {
+          if (!isWs(b)) n += 1
+          i += 1
+        }
       } else {
-        if (!isWs(cp)) n += 1
-        i += Character.charCount(cp)
+        // lead byte of a multi-byte code point: one token per code point
+        n += 1
+        i += UTF8String.numBytesForFirstByte(s.getByte(i))
       }
     }
     n
   }
+
+  def count(s: String): Int = count(UTF8String.fromString(s))
 
   def apply(c: Column): Column = GraftShims.column(BpeTokenCount(GraftShims.expression(c)))
 }
@@ -806,7 +829,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("stop_hits",
       exprs => StopHits(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
-          s.toString.split(" ").toSeq
+          // filter(_.nonEmpty): ''.split(" ") is Seq(""), and an empty
+          // "word" would count every empty token split() emits
+          s.toString.split(" ").toSeq.filter(_.nonEmpty)
         case other => throw new IllegalArgumentException(
           s"stop_hits expects a string literal word list, got $other")
       }), "scala_udf")

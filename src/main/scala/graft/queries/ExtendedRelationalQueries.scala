@@ -127,13 +127,17 @@ object ExtendedRelationalQueries {
   /** x23 — scalar subquery: orders above the average order value.
     * Catalyst evaluates the subquery once and broadcasts the scalar
     * into the filter — no per-row recomputation, filter still runs at
-    * scan speed. */
+    * scan speed. The threshold rounds avg to cents: a raw double avg is
+    * summation-order dependent (partial+final vs DuckDB's order differ
+    * in low-order bits), so an order priced within ulps of the boundary
+    * could flip between engines or partitionings; rounding pins one
+    * stable threshold on both sides. */
   def x23ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
     spark.sql("""
       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
       FROM orders
-      WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+      WHERE o_totalprice > 1.8 * round((SELECT avg(o_totalprice) FROM orders), 2)
       ORDER BY o_orderkey""")
   }
 
@@ -182,7 +186,7 @@ object ExtendedRelationalQueries {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     "x23_scalar_subquery" ->
       ("SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
-        "WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) " +
+        "WHERE o_totalprice > 1.8 * round((SELECT avg(o_totalprice) FROM orders), 2) " +
         "ORDER BY o_orderkey"),
     "x17_topk_per_key" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +

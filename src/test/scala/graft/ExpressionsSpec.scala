@@ -178,6 +178,11 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
       aggregate(zip_with($"c", $"x".cast("array<double>"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, v) => acc + v).as("ref"))
     assert(df.filter($"fast" =!= $"ref").count() == 0)
+    // a null ELEMENT nulls the distance, like the builtin's NULL propagation
+    val gotNull = Seq((Seq[java.lang.Double](1.0, null), Seq(1.0f, 2.0f))).toDF("c", "x")
+      .select(graft.functions.L2SquaredDistance($"c", $"x").as("l2"))
+      .head().isNullAt(0)
+    assert(gotNull)
   }
 
   test("BpeTokenCount == size(regexp_extract_all(...)) on real documents + edges") {
