@@ -150,10 +150,56 @@ object DedupQueries {
       ORDER BY doc_id_a, doc_id_b""")
   }
 
+  // --- d4: near-dup clusters (connected components) ------------------------
+
+  /** d4 — the step a real dedup pipeline runs AFTER pair mining:
+    * transitive clustering of d1's near-dup pairs (A~B and B~C must
+    * dedup to ONE survivor even when A~C was never emitted). Spark
+    * spelling: iterative minimum-label propagation — every document
+    * starts as its own label; each round, labels flow across edges and
+    * each node keeps the minimum seen; converged when a round changes
+    * nothing. Each round is one join + one min-aggregate, fully
+    * distributed; the driver sees only the per-round changed-count
+    * (the loop-control scalar, not data). Lineage is truncated every
+    * round with an eager localCheckpoint — iterative self-joins
+    * otherwise stack exponentially growing plans. Rounds needed = graph
+    * diameter (near-dup clusters are shallow; 20 is a generous cap).
+    * Output: (doc_id, cluster) for every document, cluster = min doc_id
+    * of its component — singletons label themselves, and `MIN(doc_id)
+    * per cluster` is exactly l1's keep-first survivor rule. */
+  def d4DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min, sum, when}
+    val pairs = d1MinhashLsh(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val flowed = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(flowed)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
+    "d4_dedup_clusters" -> (d4DedupClusters _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -196,6 +242,27 @@ object DedupQueries {
         FROM simh a JOIN simh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sim, b.sim)) <= $hamThreshold
         ORDER BY doc_id_a, doc_id_b""",
+      // transitive closure of d1's pairs via a recursive CTE: min
+      // reachable doc_id per node == the label-propagation fixpoint
+      "d4_dedup_clusters" ->
+        s"""WITH RECURSIVE $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.i AS pa, c.j AS pb
+                  FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j
+                  WHERE ${jacDuck("ia.ids", "ib.ids")} >= $jacThreshold),
+        edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+                  UNION
+                  SELECT e.dst AS id, reach.lab
+                  FROM edges e JOIN reach ON reach.id = e.src)
+        SELECT id AS doc_id, MIN(lab) AS cluster FROM reach
+        GROUP BY id ORDER BY doc_id""",
     )
   }
 }
