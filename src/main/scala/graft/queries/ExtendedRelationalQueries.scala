@@ -141,6 +141,32 @@ object ExtendedRelationalQueries {
       ORDER BY o_orderkey""")
   }
 
+  /** x24 — window FRAMES and offsets (x3 covers ranking only): per
+    * customer, the running order-value total (ROWS UNBOUNDED PRECEDING
+    * — deterministic because the frame order is a total order) and the
+    * gap in days since the previous order (lag). One hash shuffle on
+    * the partition key, sort within partitions only. */
+  def x24WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT o_custkey, o_orderkey,
+        round(sum(o_totalprice) OVER w, 2) AS running_total,
+        datediff(o_orderdate, lag(o_orderdate, 1) OVER wo) AS days_since_prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
+  /** x25 — CUBE: order counts over every subset of (status, year) —
+    * 4 grouping sets from one Expand + one aggregate, one shuffle. */
+  def x25Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
+
   /** x17 — top-3 orders per customer through the CUSTOM TopKPerKey
     * physical operator (bounded per-key heaps, no partition sort) —
     * hash-checked against DuckDB's window row_number spelling, making
@@ -159,6 +185,8 @@ object ExtendedRelationalQueries {
     "x19_range_join" -> (x19RangeJoin _),
     "x22_pivot" -> (x22Pivot _),
     "x23_scalar_subquery" -> (x23ScalarSubquery _),
+    "x24_window_frames" -> (x24WindowFrames _),
+    "x25_cube" -> (x25Cube _),
     "x8_semi_anti"  -> (x8SemiAnti _),
     "x9_rollup"     -> (x9Rollup _),
     "x10_json"      -> (x10Json _),
@@ -188,6 +216,21 @@ object ExtendedRelationalQueries {
       ("SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
         "WHERE o_totalprice > 1.8 * round((SELECT avg(o_totalprice) FROM orders), 2) " +
         "ORDER BY o_orderkey"),
+    // identical frame order (a total order) -> identical sequential
+    // double summation -> bit-identical running totals; rounded anyway
+    "x24_window_frames" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(sum(o_totalprice) OVER w, 2) AS running_total, " +
+        "CAST(date_diff('day', lag(o_orderdate, 1) OVER wo, o_orderdate) AS INT) AS days_since_prev " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "x25_cube" ->
+      ("SELECT o_orderstatus, year(o_orderdate) AS o_year, COUNT(*) AS cnt FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, year(o_orderdate)) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_year ASC NULLS FIRST"),
     "x17_topk_per_key" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER " +
