@@ -83,6 +83,21 @@ object ExtensionQueries {
     o.except(c).orderBy("o_custkey")
   }
 
+  /** x26 — bag-semantics set ops (x5/x11 are set-semantics): EXCEPT ALL
+    * keeps multiplicity — a customer with 5 orders and 2 urgent ones
+    * survives 3 times. Catalyst plans this as a count-aggregated
+    * anti-multiplicity join (Expand + aggregate), one shuffle, no
+    * row-by-row matching. */
+  def x26ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val all = o.select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority").contains("URGENT"))
+      .select(col("o_custkey"))
+    all.exceptAll(urgent)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
   /** X6 — scalar function surface: date part, substring, rounding.
     * year() cast to long to match DuckDB's BIGINT. */
   def x6ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -110,6 +125,7 @@ object ExtensionQueries {
     "x3_window_rank"  -> (x3WindowRank _),
     "x4_topk"         -> (x4TopK _),
     "x5_set_op"       -> (x5SetOp _),
+    "x26_except_all"  -> (x26ExceptAll _),
     "x6_scalar_funcs" -> (x6ScalarFuncs _),
     "x7_event_window" -> (x7EventWindow _),
   )
@@ -135,6 +151,11 @@ object ExtensionQueries {
     "x5_set_op" ->
       ("SELECT o_custkey FROM orders EXCEPT " +
         "SELECT c_custkey FROM customer WHERE c_acctbal < 0 ORDER BY o_custkey"),
+    "x26_except_all" ->
+      ("SELECT o_custkey, COUNT(*) AS n FROM " +
+        "(SELECT o_custkey FROM orders EXCEPT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%') t " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
     "x6_scalar_funcs" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
         "substring(o_orderpriority, 1, 1) AS prio_class, " +

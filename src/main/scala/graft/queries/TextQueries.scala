@@ -85,11 +85,28 @@ object TextQueries {
       FROM documents ORDER BY doc_id""")
   }
 
+  /** t5 — corpus character-trigram profile: the frequency table a real
+    * language-ID model is trained from (t1's stopword heuristic is the
+    * cheap runtime stand-in). Explode → partial+final count aggregate →
+    * top-30 with a full tie-break; the fan-out shuffles only (trigram,
+    * partial count) pairs, and the top-k is a TakeOrdered, never a
+    * global sort. */
+  def t5NgramProfile(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql("""
+      SELECT tg, count(*) AS cnt FROM (
+        SELECT explode(transform(sequence(1, char_length(text) - 2),
+                 i -> substring(lower(text), i, 3))) AS tg
+        FROM documents WHERE char_length(text) >= 3)
+      GROUP BY tg ORDER BY cnt DESC, tg LIMIT 30""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"       -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count"   -> (t3TokenCount _),
     "t4_fingerprint"   -> (t4Fingerprint _),
+    "t5_ngram_profile" -> (t5NgramProfile _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -127,6 +144,12 @@ object TextQueries {
         FROM documents ORDER BY doc_id""",
       "t4_fingerprint" ->
         s"SELECT doc_id, ${rollingHashDuck("text")} AS fp FROM documents ORDER BY doc_id",
+      "t5_ngram_profile" ->
+        """SELECT tg, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_transform(range(1, length(text) - 1),
+                   i -> substr(lower(text), CAST(i AS INT), 3))) AS tg
+          FROM documents WHERE length(text) >= 3) t
+        GROUP BY tg ORDER BY cnt DESC, tg LIMIT 30""",
     )
   }
 }
