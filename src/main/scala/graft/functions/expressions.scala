@@ -751,6 +751,51 @@ object BpeTokenCount {
   def apply(c: Column): Column = GraftShims.column(BpeTokenCount(GraftShims.expression(c)))
 }
 
+/** All character trigrams of the lowercased string, code-point-correct,
+  * in one pass — the builtin `transform(sequence(1, n-2), i ->
+  * substring(lower(text), i, 3))` spelling interprets one lambda per
+  * trigram and re-evaluates lower() per element. Pinned against the
+  * builtin spelling in tests; empty result below 3 code points. */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_trigrams needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    // code-point offsets (substring semantics are code-point-based in
+    // both engines; identical to char offsets on ASCII/BMP input)
+    val offs = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < s.length) { offs.add(i); i += Character.charCount(s.codePointAt(i)) }
+    offs.add(s.length)
+    val n = offs.size - 1
+    if (n < 3) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](n - 2)
+    var k = 0
+    while (k < n - 2) {
+      out(k) = UTF8String.fromString(s.substring(offs.get(k), offs.get(k + 3)))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("charTrigrams", this, classOf[CharTrigrams].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  def apply(c: Column): Column = GraftShims.column(CharTrigrams(GraftShims.expression(c)))
+}
+
 /** Count of tokens that belong to a literal word set — the kernel
   * behind stopword scoring (language ID, quality score). The builtin
   * spelling `size(filter(w, t -> t IN (...)))` is a higher-order
@@ -826,6 +871,8 @@ object GraftFunctions {
       exprs => KmvDistinct(exprs(0), litInt(exprs(1), "kmv_distinct")), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_token_count",
       exprs => BpeTokenCount(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_trigrams",
+      exprs => CharTrigrams(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("stop_hits",
       exprs => StopHits(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>

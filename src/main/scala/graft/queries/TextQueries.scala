@@ -95,8 +95,7 @@ object TextQueries {
     docs(spark, dir)
     spark.sql("""
       SELECT tg, count(*) AS cnt FROM (
-        SELECT explode(transform(sequence(1, char_length(text) - 2),
-                 i -> substring(lower(text), i, 3))) AS tg
+        SELECT explode(char_trigrams(text)) AS tg
         FROM documents WHERE char_length(text) >= 3)
       GROUP BY tg ORDER BY cnt DESC, tg LIMIT 30""")
   }

@@ -204,6 +204,23 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("CharTrigrams == builtin transform(sequence, substring(lower)) spelling") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    val diff = spark.sql("""
+      SELECT count(*) FROM (
+        SELECT char_trigrams(text) AS fast,
+          transform(sequence(1, char_length(text) - 2),
+            i -> substring(lower(text), i, 3)) AS ref
+        FROM documents WHERE char_length(text) >= 3) WHERE fast != ref""")
+      .head().getLong(0)
+    assert(diff == 0)
+    // below 3 chars -> empty array (sequence() would error on 1 > n-2)
+    val short = spark.sql("SELECT size(char_trigrams('ab'))").head().getInt(0)
+    assert(short == 0)
+  }
+
   test("StopHits == builtin size(filter(...)) spelling on real documents") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
