@@ -65,7 +65,11 @@ case class KmvDistinct(
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     if (buf.size < k) buf.size.toLong
-    else (k - 1).toLong * hashSpace / buf.last()
+    // Inputs are contracted to lie in (0, hashSpace); kmv_distinct is
+    // SQL-registered over arbitrary expressions though, so clamp the
+    // divisor — a 0 or negative k-th value (out-of-contract input)
+    // must not throw ArithmeticException or return a negative count.
+    else (k - 1).toLong * hashSpace / math.max(1L, buf.last())
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)

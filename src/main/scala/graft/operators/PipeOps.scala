@@ -57,7 +57,10 @@ object PipeOps {
         var done = false
         while (!done && it.hasNext && buf.size < batchSize) {
           val s = it.next()
-          if (fits(s)) { bytes += s.getBytes("UTF-8").length + 1; buf += s }
+          // the "\n" separator byte exists only between lines, so the
+          // first line of a batch is charged its own length only —
+          // matching fits()'s accounting
+          if (fits(s)) { bytes += s.getBytes("UTF-8").length + (if (buf.isEmpty) 0 else 1); buf += s }
           else { pending = Some(s); done = true }
         }
         buf.toSeq

@@ -123,10 +123,18 @@ object AnnQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keys.select(col("vec_id").as("vec_id_a"), col("bkey"))
     val b = keys.select(col("vec_id").as("vec_id_b"), col("bkey"))
+    // Candidate pairs are tiny next to the banded key table, so cut the
+    // pipeline here: the eager localCheckpoint materializes the join +
+    // distinct once, after which the keys cache has served its purpose
+    // and is released immediately — without this the MEMORY_AND_DISK
+    // blocks stay pinned for the rest of the session (e.g. across every
+    // later query in a bench loop).
     val cand = a.join(b, Seq("bkey"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       .select("vec_id_a", "vec_id_b")
       .distinct()
+      .localCheckpoint(true)
+    keys.unpersist()
     val ea = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
     val eb = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
     cand.join(ea, "vec_id_a").join(eb, "vec_id_b")

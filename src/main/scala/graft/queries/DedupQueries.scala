@@ -154,44 +154,23 @@ object DedupQueries {
 
   /** d4 — the step a real dedup pipeline runs AFTER pair mining:
     * transitive clustering of d1's near-dup pairs (A~B and B~C must
-    * dedup to ONE survivor even when A~C was never emitted). Spark
-    * spelling: iterative minimum-label propagation — every document
-    * starts as its own label; each round, labels flow across edges and
-    * each node keeps the minimum seen; converged when a round changes
-    * nothing. Each round is one join + one min-aggregate, fully
-    * distributed; the driver sees only the per-round changed-count
-    * (the loop-control scalar, not data). Lineage is truncated every
-    * round with an eager localCheckpoint — iterative self-joins
-    * otherwise stack exponentially growing plans. Rounds needed = graph
-    * diameter (near-dup clusters are shallow; 20 is a generous cap).
-    * Output: (doc_id, cluster) for every document, cluster = min doc_id
-    * of its component — singletons label themselves, and `MIN(doc_id)
-    * per cluster` is exactly l1's keep-first survivor rule. */
+    * dedup to ONE survivor even when A~C was never emitted), via the
+    * alternating large-star/small-star algorithm in
+    * [[graft.operators.ConnectedComponents]] — O(log² n) shuffle
+    * rounds instead of the O(diameter) rounds plain min-label flooding
+    * needs (boilerplate-heavy corpora chain near-dup pairs into deep
+    * paths), with each superseded round's snapshot released as soon as
+    * the next materializes. The driver never sees row data, only the
+    * per-round star-forest convergence booleans. Output: (doc_id,
+    * cluster) for every document, cluster = min doc_id of its
+    * component — singletons label themselves, and `MIN(doc_id) per
+    * cluster` is exactly l1's keep-first survivor rule. */
   def d4DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min, sum, when}
+    import org.apache.spark.sql.functions.col
     val pairs = d1MinhashLsh(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
-    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.load(spark, dir, "documents")
-      .select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val flowed = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(flowed)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)))
-        .head().getLong(0)
-      labels = next
-      rounds += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    graft.operators.ConnectedComponents.run(docs, pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
   }
 

@@ -161,12 +161,15 @@ object MultimodalQueries {
         "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +
         "FROM documents ORDER BY doc_id"),
     // ASCII corpus: byte positions == character positions; stride-8
-    // sample, count, and mod-1e9+7 checksum restated over ord()
+    // sample, count, and mod-1e9+7 checksum restated over ord().
+    // The outer CAST matters: DuckDB's list_sum is HUGEINT, so without
+    // it the checksum column is DECIMAL128(38,0) and the driver's
+    // type-aware hash diverges from Spark's BIGINT on equal values.
     "m4_resize" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes, " +
         "CAST(length(range(1, length(text) + 1, 8)) AS BIGINT) AS resized_bytes, " +
-        "coalesce(list_sum(list_transform(range(1, length(text) + 1, 8), i -> ord(text[i]))), 0) " +
-        "% 1000000007 AS checksum " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1, 8), i -> ord(text[i]))), 0) " +
+        "% 1000000007 AS BIGINT) AS checksum " +
         "FROM documents ORDER BY doc_id"),
   )
 }

@@ -134,10 +134,25 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
         throw new IllegalStateException(
           s"compact: rename $from -> $to failed (concurrent compact?); " +
             "log segments left untouched")
-    fs.delete(hPath(old), true)
-    renameOrDie(basePath, old)
-    renameOrDie(tmp, basePath)
-    fs.delete(hPath(old), true)
-    snapshot.foreach(f => fs.delete(f, true))
+    try {
+      fs.delete(hPath(old), true)
+      renameOrDie(basePath, old)
+      // A concurrent read()'s recoverBaseSwap can land between the two
+      // renames (it sees base missing + base_old present and restores
+      // base), making this rename fail spuriously. Retry the whole swap
+      // once: data is safe either way — log segments are deleted only
+      // after a successful swap.
+      if (!fs.rename(hPath(tmp), hPath(basePath))) {
+        fs.delete(hPath(old), true)
+        renameOrDie(basePath, old)
+        renameOrDie(tmp, basePath)
+      }
+      fs.delete(hPath(old), true)
+      snapshot.foreach(f => fs.delete(f, true))
+    } finally {
+      // an aborted compact must not orphan its scratch dir (no-op on
+      // success: tmp was renamed away)
+      fs.delete(hPath(tmp), true)
+    }
   }
 }

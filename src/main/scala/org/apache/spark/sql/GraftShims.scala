@@ -1,5 +1,7 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge into Spark's `private[sql]` Column↔Expression converters —
@@ -25,4 +27,20 @@ object GraftShims {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `Dataset.localCheckpoint(eager = true)` with a releasable handle:
+    * same semantics — the plan is materialized to executor storage and
+    * both the logical-plan and RDD lineage are truncated — but the
+    * backing RDD is returned so iterative algorithms (connected
+    * components, label propagation) can `unpersist()` each SUPERSEDED
+    * round's blocks as soon as the next round materializes.
+    * `Dataset.localCheckpoint` offers no public way to do that, so a
+    * 20-round loop would pin 20 rounds of blocks until session end. */
+  def checkpointReleasable(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd)
+  }
 }
