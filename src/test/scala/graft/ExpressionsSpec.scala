@@ -142,6 +142,37 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.85, s"s3 recall $recall below floor 0.85")
   }
 
+  test("s5 production-threshold LSH: planted twins found exactly, candidate rate < 1%") {
+    val dir = "/root/testdata/sf0.01"
+    // the query's own answer: exactly the 50 planted (v, v+1000000) twins
+    val got = graft.queries.AnnQueries.s5LshNearDupProd(spark, dir)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 500L by 10).map(v => (v, v + 1000000L)).toSet
+    assert(got == expected,
+      s"s5 must find the planted twins exactly; missing=${expected -- got} extra=${got -- expected}")
+    // measure the candidate rate the s5 scaladoc claims (<1%): rebuild
+    // the banded keys at the s5 knobs and count distinct candidate pairs
+    import graft.queries.AnnQueries.{s5Bands, s5Bits}
+    val raw = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val twins = raw.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(cast(x as double) * (1.0D + 0.05D * ((i % 3) - 1)) as float))").as("embedding"))
+    val corpus = raw.unionByName(twins)
+    val n = corpus.count()
+    val keys = corpus
+      .select(col("vec_id"), posexplode(
+        graft.functions.LshBandSigs(col("embedding"), s5Bands, s5Bits)).as(Seq("band", "sig")))
+      .select(col("vec_id"), (col("band").cast("long") * (1L << s5Bits) + col("sig")).as("bkey"))
+    val cands = keys.as("a").join(keys.as("b"), "bkey")
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    val rate = cands.toDouble / (n.toDouble * (n - 1) / 2)
+    info(f"s5 candidate rate = $cands/${n * (n - 1) / 2} = $rate%.4f")
+    assert(rate < 0.01, s"s5 candidate rate $rate breaches the <1%% claim")
+  }
+
   test("KmvDistinct: merge-invariant across partitionings, accurate, exact below k") {
     import graft.functions.KmvDistinct
     val hashed = spark.range(100000L)
