@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's test_MP4 analogue (user/tests.go:152-191: kill 2 of
+  * 10 worker VMs 1.5 s into a RainStorm run; the job must still finish
+  * with the right answer). Here the worker loss is REAL process death:
+  * the job runs on `local-cluster[2,1,1024]` — a standalone master with
+  * two separately-launched executor JVMs — and the op1 UDx binary
+  * SIGKILLs its own executor JVM the first time each executor invokes
+  * it. The standalone worker relaunches the executor, Spark's task
+  * retry reschedules the dead tasks, and the streaming checkpoint +
+  * complete-mode state give the exactly-once final answer the
+  * reference demands (its leader dedups batch re-deliveries the same
+  * way, rainstorm.go:538-544).
+  *
+  * Runs in a forked JVM (ChaosRunner) so executor death can't take the
+  * suite-shared SparkContext with it. */
+class ChaosRecoverySpec extends AnyFunSuite {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("executor JVMs die mid-job; RainStorm streaming job still finishes exactly-once") {
+    val work = Files.createTempDirectory("chaos").toString
+    val srcDir = s"$work/src"
+    val dest = s"$work/dest"
+    val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(srcDir))
+
+    // 2000 lines over 2 files, keyed so the expected counts are obvious
+    val keys = 0 until 5
+    (0 until 2).foreach { f =>
+      val lines = (0 until 1000).map(i => s"row${f * 1000 + i},k${(f * 1000 + i) % 5}")
+      Files.write(Paths.get(s"$srcDir/part$f.txt"), lines.asJava)
+    }
+
+    // the chaos UDx: on its FIRST invocation per executor (per-pid
+    // marker would re-fire on the relaunched executor, so the marker is
+    // global with an atomic mkdir; losers of the race just echo) it
+    // SIGKILLs the executor JVM ($PPID) — real worker death mid-task.
+    val marker = s"$work/killed"
+    val script = s"$work/chaos_op.sh"
+    Files.write(Paths.get(script),
+      s"""#!/bin/sh
+         |if mkdir "$marker" 2>/dev/null; then
+         |  kill -9 $$PPID
+         |  sleep 5
+         |fi
+         |printf '%s\\n' "$$1"
+         |""".stripMargin.getBytes)
+    Paths.get(script).toFile.setExecutable(true)
+
+    val mainClasses = "target/scala-2.13/classes"
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*",
+      Paths.get(mainClasses).toAbsolutePath.toString, testClasses).mkString(":")
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", cp, "graft.ChaosRunner",
+      "local-cluster[2,1,1024]",
+      Paths.get(mainClasses).toAbsolutePath.toString,
+      script, srcDir, dest, ckpt)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$work/driver.log"))
+    val p = pb.start()
+    val finished = p.waitFor(300, TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val log = new String(Files.readAllBytes(Paths.get(s"$work/driver.log")))
+    assert(finished, s"chaos run timed out; driver log tail:\n${log.takeRight(4000)}")
+    assert(p.exitValue() == 0,
+      s"chaos run exited ${p.exitValue()}; driver log tail:\n${log.takeRight(4000)}")
+
+    // the kill really happened (an executor died mid-run)...
+    assert(Files.exists(Paths.get(marker)), "chaos op never fired — no executor was killed")
+    assert(log.contains("ExecutorLostFailure") || log.contains("Lost executor") ||
+      log.contains("exited with") || log.contains("WorkerLost"),
+      s"no evidence of executor loss in driver log:\n${log.takeRight(4000)}")
+
+    // ...and the answer is still byte-exact: 400 rows per key, rendered
+    // as the sorted `key,cnt` lines the leader prints
+    val out = Files.list(Paths.get(dest)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".txt"))
+      .flatMap(f => Files.readAllLines(f).asScala)
+      .toSeq.sorted
+    val expected = keys.map(k => s"k$k,400").sorted
+    assert(out == expected, s"exactly-once violated: got $out")
+  }
+}
