@@ -12,12 +12,15 @@ import graft.core.Tables
   * for libjpeg/ffmpeg-style libraries that can't be expressed as
   * Catalyst expressions.
   *
-  * The decode itself is a STUB (this container has no media libraries):
-  * [[DecodeStub.decode]] derives deterministic fake dimensions from the
-  * byte payload. Everything AROUND the stub — binary column handling,
+  * m1–m4 use a deterministic STUB kernel (no ffmpeg/libjpeg in this
+  * container): [[DecodeStub.decode]] derives fake dimensions from the
+  * byte payload, and everything AROUND it — binary column handling,
   * the Dataset encoder round-trip, per-partition batching, the output
   * schema — is real and oracle-checked (the stub's arithmetic is
   * reproducible in SQL, which is exactly why it's the stand-in).
+  * m5/m6 go further: they run REAL codecs (the JDK's PNG and RIFF/WAVE
+  * implementations in [[MultimodalKernels]]) behind the same seam, with
+  * losslessness making the decoded metadata oracle-computable.
   */
 object MultimodalQueries {
 
@@ -117,6 +120,61 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m5 — a REAL image codec behind the m1 seam. Each payload is
+    * encoded to an actual PNG (javax.imageio — pure JDK, headless-safe:
+    * 32-wide 8-bit grayscale, pixel i = byte i, zero padding) and then
+    * DECODED back through the same codec; the emitted metadata
+    * (dimensions + pixel checksum) comes from the decoded
+    * `BufferedImage` only. Because PNG is lossless, the oracle can
+    * compute the expected values arithmetically from the source text —
+    * any codec mangling (stride, color model, truncation, byte order)
+    * breaks the hash. This retires the stub caveat for the image path:
+    * the decode stage is the production contract (bytes →
+    * BufferedImage → typed metadata) with a genuine codec in the loop;
+    * point the scan at crawled PNGs and nothing else changes. The
+    * compressed payload's size is deliberately NOT emitted (deflate
+    * output is codec-version-dependent — not oracle-reproducible);
+    * MultimodalKernelSpec asserts the PNG signature instead. */
+  def m5ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val png = MultimodalKernels.encodePng(bytes)
+          val (w, h, sum) = MultimodalKernels.decodePng(png)
+          (id, w, h, sum)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "px_sum")
+      .orderBy("doc_id")
+  }
+
+  /** m6 — a REAL audio codec behind the same seam: payload bytes become
+    * 8-bit unsigned PCM samples in a genuine WAV container written AND
+    * parsed by javax.sound.sampled (the JDK's RIFF/WAVE codec); the
+    * emitted metadata (format fields, frame count, sample checksum)
+    * comes from the parsed `AudioInputStream` only. PCM is lossless, so
+    * the oracle recomputes everything from the source text. */
+  def m6AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val wav = MultimodalKernels.encodeWav(bytes)
+          val (rate, channels, frames, sum) = MultimodalKernels.decodeWav(wav)
+          (id, rate, channels, frames, sum)
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "n_samples", "sample_sum")
+      .orderBy("doc_id")
+  }
+
   /** m3 — frame sampling: treat the payload as a sequence and keep every
     * k-th unit (the video-frame-sampling access pattern: decode only the
     * sampled frames). Units here are whitespace tokens; a real pipeline
@@ -136,6 +194,8 @@ object MultimodalQueries {
     "m2_feature_extract"   -> (m2FeatureExtract _),
     "m3_frame_sample"      -> (m3FrameSample _),
     "m4_resize"            -> (m4Resize _),
+    "m5_image_decode"      -> (m5ImageDecode _),
+    "m6_audio_decode"      -> (m6AudioDecode _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -171,5 +231,89 @@ object MultimodalQueries {
         "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1, 8), i -> ord(text[i]))), 0) " +
         "% 1000000007 AS BIGINT) AS checksum " +
         "FROM documents ORDER BY doc_id"),
+    // m5/m6 run REAL JDK codecs Spark-side (PNG / WAV); losslessness is
+    // the contract that lets the oracle restate the decoded metadata as
+    // plain arithmetic over the source text (ASCII corpus: bytes ==
+    // code points). If the codec roundtrip mangled anything, the
+    // checksums would diverge.
+    "m5_image_decode" ->
+      ("SELECT doc_id, CAST(32 AS BIGINT) AS width, " +
+        "CAST(greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS height, " +
+        "CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0) " +
+        "% 1000000007 AS BIGINT) AS px_sum " +
+        "FROM documents ORDER BY doc_id"),
+    "m6_audio_decode" ->
+      ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels, " +
+        "CAST(length(text) AS BIGINT) AS n_samples, " +
+        "CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0) " +
+        "% 1000000007 AS BIGINT) AS sample_sum " +
+        "FROM documents ORDER BY doc_id"),
   )
+}
+
+/** The real-codec kernels behind m5/m6 — separated so the spec can
+  * exercise them directly (signature checks, roundtrip property). All
+  * pure JDK (java.desktop module): no native libs, headless-safe. */
+object MultimodalKernels {
+  private val P = 1000000007L
+
+  /** bytes → real PNG: 32-wide, 8-bit grayscale, row-major pixels,
+    * zero-padded final row. */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val w = 32
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % w, i / w, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** PNG → (width, height, pixel-sum mod P) via the decoded raster
+    * ONLY — the production decode contract. */
+  def decodePng(png: Array[Byte]): (Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum = (sum + r.getSample(x, y, 0)) % P; x += 1 }
+      y += 1
+    }
+    (img.getWidth.toLong, img.getHeight.toLong, sum)
+  }
+
+  /** bytes → real WAV container: 8-bit unsigned PCM, mono, 8 kHz,
+    * written by the JDK's RIFF/WAVE writer. */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** WAV → (rate, channels, frames, sample-sum mod P) via the parsed
+    * stream ONLY. */
+  def decodeWav(wav: Array[Byte]): (Long, Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    val data = in.readAllBytes()
+    var sum = 0L
+    var i = 0
+    while (i < data.length) { sum = (sum + (data(i) & 0xff)) % P; i += 1 }
+    // n_samples = frames actually decoded (1 byte/frame here), not the
+    // header's claim — the honest decoded count
+    (fmt.getSampleRate.toLong, fmt.getChannels.toLong, data.length.toLong, sum)
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.MultimodalKernels
+
+/** m5/m6 run REAL JDK codecs; these tests pin that reality — the
+  * payloads are genuine PNG / RIFF-WAVE containers (magic bytes), the
+  * roundtrip is lossless for arbitrary byte content, and the decoded
+  * metadata matches the arithmetic the DuckDB oracle uses. */
+class MultimodalKernelSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(11)
+  private val payloads: Seq[Array[Byte]] =
+    Seq(Array.empty[Byte], Array[Byte](0), Array.fill(31)(7.toByte),
+      Array.fill(32)(255.toByte), Array.fill(33)(1.toByte)) ++
+      Seq.fill(20)(Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte))
+
+  test("m5 payloads are real PNGs (signature) and the roundtrip is lossless") {
+    payloads.foreach { bytes =>
+      val png = MultimodalKernels.encodePng(bytes)
+      // the 8-byte PNG signature, then IHDR
+      assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte), "not a PNG container")
+      assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+      val (w, h, sum) = MultimodalKernels.decodePng(png)
+      assert(w == 32)
+      assert(h == math.max(1, (bytes.length + 31) / 32))
+      val expected = bytes.foldLeft(0L)((s, b) => (s + (b & 0xff)) % 1000000007L)
+      assert(sum == expected, s"pixel sum $sum != byte sum $expected (len ${bytes.length})")
+    }
+  }
+
+  test("m6 payloads are real RIFF/WAVE containers and PCM roundtrips exactly") {
+    payloads.foreach { bytes =>
+      val wav = MultimodalKernels.encodeWav(bytes)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", "not a RIFF container")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val (rate, channels, frames, sum) = MultimodalKernels.decodeWav(wav)
+      assert(rate == 8000L && channels == 1L)
+      assert(frames == bytes.length.toLong)
+      val expected = bytes.foldLeft(0L)((s, b) => (s + (b & 0xff)) % 1000000007L)
+      assert(sum == expected)
+    }
+  }
+}
