@@ -72,10 +72,18 @@ object ConnectedComponents {
   /** Terminal-state test: a star forest centered at component minima —
     * no node is both a member (`hi`) and a center (`lo`), and every
     * member has exactly one center. Canonical orientation then makes
-    * each center the minimum of its star. */
+    * each center the minimum of its star. Fused into ONE aggregation
+    * job (the loop runs this every round, and a Spark action's fixed
+    * cost is the round tax): tag each endpoint role, count roles per
+    * node, and look for any node that is both member and center or a
+    * member twice. */
   private[graft] def isStarForest(edges: DataFrame): Boolean =
-    edges.select("hi").intersect(edges.select("lo")).isEmpty &&
-      edges.groupBy("hi").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
+    edges.select(col("hi").as("n"), lit(1L).as("asHi"), lit(0L).as("asLo"))
+      .union(edges.select(col("lo").as("n"), lit(0L).as("asHi"), lit(1L).as("asLo")))
+      .groupBy("n")
+      .agg(sum(col("asHi")).as("hiCnt"), sum(col("asLo")).as("loCnt"))
+      .filter((col("hiCnt") > 0 && col("loCnt") > 0) || col("hiCnt") > 1)
+      .isEmpty
 
   /** Connected components of `edges` over the node universe `nodes`:
     * returns `(id, cluster)` for EVERY node (singletons label

@@ -189,8 +189,27 @@ object ExtendedRelationalQueries {
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "o_orderkey")
 
+  /** x28 — SESSION windows: per-user sessions with a 30-minute
+    * inactivity gap, via the `session_window` builtin. Spark's
+    * streaming-capable session operator merges events where
+    * `ts − previous ts < gap`; a session's end is its last event + gap.
+    * One hash shuffle on (user, tentative window) then merge — at
+    * 100 TB the same query runs unchanged over `readStream` with a
+    * watermark bounding session state. The DuckDB oracle restates the
+    * semantics as gaps-and-islands SQL (break when the gap is ≥ 30 min,
+    * cumulative-sum the breaks into session ids), which also pins the
+    * boundary rule. */
+  def x28SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("cnt"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_topk_per_key" -> (x17TopkPerKey _),
+    "x28_session_window" -> (x28SessionWindow _),
     "x19_range_join" -> (x19RangeJoin _),
     "x22_pivot" -> (x22Pivot _),
     "x23_scalar_subquery" -> (x23ScalarSubquery _),
@@ -204,6 +223,27 @@ object ExtendedRelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // gaps-and-islands: a session breaks where the inactivity gap
+    // reaches 30 minutes (Spark merges strictly-smaller gaps);
+    // session_end = last event + gap
+    "x28_session_window" ->
+      """WITH e AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM e)
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS cnt
+      FROM g GROUP BY user_id, grp
+      ORDER BY user_id, session_start""",
     // plain non-equi join: DuckDB's optimizer handles the oracle scale;
     // the Spark side's bucketing is the distributed spelling of the
     // same predicate
