@@ -107,22 +107,31 @@ object ConnectedComponents {
       .distinct()
     var (cur, curRdd) = GraftShims.checkpointReleasable(canon)
     var rounds = 0
-    var done = isStarForest(cur)
-    while (!done && rounds < maxRounds) {
-      val (next, nextRdd) = GraftShims.checkpointReleasable(smallStar(largeStar(cur)))
+    // the finally releases whatever round is current — without it a
+    // non-convergence require() or a mid-round failure would pin the
+    // last round's blocks for the rest of the session
+    try {
+      var done = isStarForest(cur)
+      while (!done && rounds < maxRounds) {
+        val (next, nextRdd) = GraftShims.checkpointReleasable(smallStar(largeStar(cur)))
+        curRdd.unpersist(blocking = false)
+        cur = next
+        curRdd = nextRdd
+        rounds += 1
+        done = isStarForest(cur)
+      }
+      require(done, s"connected components did not reach a star forest in $rounds rounds")
+      val labels = nodes.toDF("id")
+        .join(cur.select(col("hi").as("id"), col("lo").as("cl")), Seq("id"), "left")
+        .groupBy("id")
+        .agg(min(coalesce(col("cl"), col("id"))).as("cluster"))
+      // the result snapshot IS the returned data and stays pinned — the
+      // one deliberate residual (|nodes| rows); callers that loop over
+      // many graphs should consume and release it promptly
+      val (result, _) = GraftShims.checkpointReleasable(labels)
+      (result, rounds)
+    } finally {
       curRdd.unpersist(blocking = false)
-      cur = next
-      curRdd = nextRdd
-      rounds += 1
-      done = isStarForest(cur)
     }
-    require(done, s"connected components did not reach a star forest in $rounds rounds")
-    val labels = nodes.toDF("id")
-      .join(cur.select(col("hi").as("id"), col("lo").as("cl")), Seq("id"), "left")
-      .groupBy("id")
-      .agg(min(coalesce(col("cl"), col("id"))).as("cluster"))
-    val (result, _) = GraftShims.checkpointReleasable(labels)
-    curRdd.unpersist(blocking = false)
-    (result, rounds)
   }
 }

@@ -166,22 +166,31 @@ object AnnQueries {
   private[graft] val s5Bands = 24
   private[graft] val s5Bits = 16
 
-  /** s5 — s3's operator at production settings, over a corpus with
-    * planted near-dups (the raw test corpus has no pairs above 0.51):
-    * every 10th vector gets a twin at `vec_id + 1000000` whose dims are
-    * scaled by the deterministic factor cycle {0.95, 1.0, 1.05} and
-    * float-rounded — cosine(base, twin) ≈ 0.999, background untouched.
-    * Both engines construct the twins from the same arithmetic, so the
-    * full pipeline — planting, banding, candidate rule, verify — stays
-    * hash-checked. */
-  def s5LshNearDupProd(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  /** Deterministic twin planting, shared by the s5 query and the
+    * candidate-rate measurement in ExpressionsSpec (one definition so
+    * retuning the planting can't silently decouple the test from the
+    * claim it pins): every 10th vector gets a twin at
+    * `vec_id + 1000000` whose dims are scaled by the factor cycle
+    * {0.95, 1.0, 1.05} and float-rounded — cosine(base, twin) ≈ 0.999,
+    * background untouched. The same arithmetic is restated (1-based) in
+    * the DuckDB oracle. */
+  private[graft] def plantTwins(raw: DataFrame): DataFrame = {
     val twins = raw.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         expr("transform(embedding, (x, i) -> " +
           "cast(cast(x as double) * (1.0D + 0.05D * ((i % 3) - 1)) as float))")
           .as("embedding"))
-    bandedNearDupPairs(spark, raw.unionByName(twins), s5Bands, s5Bits, threshold = 0.85)
+    raw.unionByName(twins)
+  }
+
+  /** s5 — s3's operator at production settings, over a corpus with
+    * planted near-dups (the raw test corpus has no pairs above 0.51 —
+    * see [[plantTwins]]). Both engines construct the twins from the
+    * same arithmetic, so the full pipeline — planting, banding,
+    * candidate rule, verify — stays hash-checked. */
+  def s5LshNearDupProd(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    bandedNearDupPairs(spark, plantTwins(raw), s5Bands, s5Bits, threshold = 0.85)
   }
 
   /** s4 — IVF-flat ANN: the other classic ANN scale path (inverted file

@@ -236,16 +236,20 @@ object MultimodalQueries {
     // plain arithmetic over the source text (ASCII corpus: bytes ==
     // code points). If the codec roundtrip mangled anything, the
     // checksums would diverge.
+    // byte sums are spelled over range()+ord(text[i]) (the m4 pattern),
+    // NOT string_split(text,''): DuckDB splits '' to [''] and ord('')
+    // is -1, so the split spelling returns -1 instead of 0 for an
+    // empty document while the kernels return 0
     "m5_image_decode" ->
       ("SELECT doc_id, CAST(32 AS BIGINT) AS width, " +
         "CAST(greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS height, " +
-        "CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0) " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> ord(text[i]))), 0) " +
         "% 1000000007 AS BIGINT) AS px_sum " +
         "FROM documents ORDER BY doc_id"),
     "m6_audio_decode" ->
       ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels, " +
         "CAST(length(text) AS BIGINT) AS n_samples, " +
-        "CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> ord(c))), 0) " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> ord(text[i]))), 0) " +
         "% 1000000007 AS BIGINT) AS sample_sum " +
         "FROM documents ORDER BY doc_id"),
   )

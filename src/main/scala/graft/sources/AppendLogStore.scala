@@ -115,7 +115,15 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
     *  - base is swapped via rename-to-side + rename-in (never a window
     *    with no base on disk after a delete): a crash at any point
     *    leaves either the old base, or `base_old` + the new base ready,
-    *    which [[recoverBaseSwap]] completes on the next read/compact.
+    *    which [[recoverBaseSwap]] completes on the next read/compact;
+    *  - a concurrent READ racing the swap (its recoverBaseSwap can
+    *    restore base mid-swap) is detected and undone — see the
+    *    nesting check in the swap loop.
+    *
+    * Concurrent COMPACTORS are each crash-safe (unique scratch dirs,
+    * snapshot-only segment deletes) but their swaps are not mutually
+    * serialized — run one compactor at a time or coordinate externally,
+    * the same operational stance as the reference's merge command.
     */
   def compact(tieBreak: Seq[String]): Unit = {
     recoverBaseSwap()
@@ -134,25 +142,48 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
         throw new IllegalStateException(
           s"compact: rename $from -> $to failed (concurrent compact?); " +
             "log segments left untouched")
+    // Mutable: the nesting-recovery path below re-homes the scratch dir
+    var curTmp = tmp
     try {
       fs.delete(hPath(old), true)
       renameOrDie(basePath, old)
-      // A concurrent read()'s recoverBaseSwap can land between the two
-      // renames (it sees base missing + base_old present and restores
-      // base), making this rename fail spuriously. Retry the whole swap
-      // once: data is safe either way — log segments are deleted only
-      // after a successful swap.
-      if (!fs.rename(hPath(tmp), hPath(basePath))) {
-        fs.delete(hPath(old), true)
-        renameOrDie(basePath, old)
-        renameOrDie(tmp, basePath)
+      // A concurrent read()'s recoverBaseSwap can land here (it sees
+      // base missing + base_old present and restores base). CRUCIAL
+      // Hadoop semantics: rename onto an EXISTING directory does not
+      // fail — it moves the source INSIDE it and returns true — so a
+      // blind rename would "succeed" while leaving the merged data
+      // invisible at base/compact_tmp_*/ and then delete the only copy
+      // of the snapshotted log rows. Instead: if base re-appeared,
+      // delete it (tmp strictly supersedes it — it was merged from that
+      // very base plus the snapshot), rename, and VERIFY the result is
+      // flat (marker at top level). The reader consumed base_old to
+      // restore, so the race can fire at most once per compact; the
+      // loop bound is safety, not an expected iteration count.
+      var attempts = 0
+      var swapped = false
+      while (!swapped && attempts < 3) {
+        attempts += 1
+        if (fs.exists(hPath(basePath))) fs.delete(hPath(basePath), true)
+        renameOrDie(curTmp, basePath)
+        val nested = new org.apache.hadoop.fs.Path(
+          hPath(basePath), hPath(curTmp).getName)
+        if (fs.exists(nested)) {
+          // restored-base race hit between delete and rename: un-nest
+          // the scratch and go again
+          val t2 = s"$root/compact_tmp_${java.util.UUID.randomUUID()}"
+          renameOrDie(nested.toString, t2)
+          curTmp = t2
+        } else swapped = true
       }
+      if (!swapped) throw new IllegalStateException(
+        "compact: base swap kept racing a concurrent reader; " +
+          "log segments left untouched")
       fs.delete(hPath(old), true)
       snapshot.foreach(f => fs.delete(f, true))
     } finally {
       // an aborted compact must not orphan its scratch dir (no-op on
-      // success: tmp was renamed away)
-      fs.delete(hPath(tmp), true)
+      // success: the scratch was renamed away)
+      fs.delete(hPath(curTmp), true)
     }
   }
 }

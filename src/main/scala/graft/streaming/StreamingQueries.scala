@@ -44,21 +44,40 @@ object StreamingQueries {
     * scratch dir (marker included), then one atomic directory rename —
     * a concurrent loser just deletes its scratch and reads the
     * winner's feed; a crashed build leaves no half-visible feed. */
+  /** Cache key for a per-SF-dir derived feed: the source file's
+    * identity AND content fingerprint (length + mtime), so a
+    * regenerated testdata dir or a path-hash collision can never serve
+    * a stale or foreign feed to a correctness harness. */
+  private def feedKey(dir: String, version: String): String = {
+    val src = new java.io.File(dir, "events.parquet")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.length}:${src.lastModified}").toLong & 0xffffffffL) + version
+  }
+
+  /** Commit a built feed scratch dir to `root` (atomic rename). On a
+    * lost race the winner's feed is used; on a rename failure with NO
+    * winner present (cross-device move, permissions) we fail loudly
+    * instead of returning a path that doesn't exist. */
+  private def commitFeed(scratch: java.io.File, root: java.io.File): Unit =
+    if (!scratch.renameTo(root)) {
+      val winner = new java.io.File(root, "_FEED_READY").exists()
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      if (!winner) throw new IllegalStateException(
+        s"feed commit failed: could not rename $scratch to $root and no " +
+          "completed feed exists there")
+    }
+
   private def feedFor(spark: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode) + "_v1"
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_r9_feed_$key")
+      sys.props("java.io.tmpdir"), s"graft_r9_feed_${feedKey(dir, "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_r9_build").toFile
       Tables.load(spark, dir, "events")
         .repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(new java.io.File(scratch, "feed").toString)
       new java.io.File(scratch, "_FEED_READY").createNewFile()
-      if (!scratch.renameTo(root)) {
-        // lost the race: the winner's feed is complete (rename is the
-        // commit point), drop ours
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
-      }
+      commitFeed(scratch, root)
     }
     new java.io.File(root, "feed").toString
   }
@@ -109,8 +128,8 @@ object StreamingQueries {
     * r9 feed. The mtime base is an arbitrary fixed epoch — only the
     * ORDER matters. */
   private def watermarkFeedFor(spark: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode) + "_x27_v2"
-    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_x27_feed_$key")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_x27_feed_${feedKey(dir, "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x27_build").toFile
       val events = Tables.load(spark, dir, "events").select(col("event_id"), col("ts"))
@@ -130,8 +149,7 @@ object StreamingQueries {
       writeOne(events.agg(lit(-1L).as("event_id"),
         (max(col("ts")) + expr("INTERVAL 10 MINUTES")).as("ts")), "d", t0 + 180000L)
       new java.io.File(scratch, "_FEED_READY").createNewFile()
-      if (!scratch.renameTo(root))
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      commitFeed(scratch, root)
     }
     root.toString
   }

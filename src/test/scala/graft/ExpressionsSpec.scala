@@ -155,11 +155,7 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     import graft.queries.AnnQueries.{s5Bands, s5Bits}
     val raw = graft.core.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val twins = raw.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-        expr("transform(embedding, (x, i) -> " +
-          "cast(cast(x as double) * (1.0D + 0.05D * ((i % 3) - 1)) as float))").as("embedding"))
-    val corpus = raw.unionByName(twins)
+    val corpus = graft.queries.AnnQueries.plantTwins(raw)
     val n = corpus.count()
     val keys = corpus
       .select(col("vec_id"), posexplode(
