@@ -64,4 +64,28 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_returnflag:string>"),
       p.take(2000))
   }
+
+  test("s5: production-threshold LSH keeps the no-nested-loop candidate join") {
+    val p = plan("s5_lsh_near_dup_prod")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("x28: session windows aggregate without a cartesian/nested-loop stage") {
+    val p = plan("x28_session_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // session merge plans as the session-window aggregate node family
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p.take(2000))
+  }
+
+  test("l4: the declared brute-force join spreads its probe side, not one task") {
+    // the final orderBy coalesces the (tiny) RESULT, so output partition
+    // count says nothing — assert the round-robin exchange that fans the
+    // single-split scan out under the pair join is in the plan
+    val p = plan("l4_near_dup_pairs")
+    assert(p.contains("RoundRobinPartitioning") || p.contains("REPARTITION_BY_NUM"),
+      p.take(3000))
+  }
 }
