@@ -127,31 +127,96 @@ object StreamingQueries {
     * Built once per SF dir with the same atomic-rename commit as the
     * r9 feed. The mtime base is an arbitrary fixed epoch — only the
     * ORDER matters. */
+  /** Write `df` as ONE flat parquet file `<name>.parquet` in `scratch`
+    * with an explicit mtime — FileStreamSource orders by (mtime, path),
+    * so this pins the batch order of a multi-file feed. */
+  private def writeOne(scratch: java.io.File)(df: DataFrame, name: String, mtime: Long): Unit = {
+    val part = new java.io.File(scratch, s"build_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+    val f = part.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(scratch, s"$name.parquet")
+    require(f.renameTo(dst) && dst.setLastModified(mtime), s"feed commit failed for $name")
+    org.apache.commons.io.FileUtils.deleteDirectory(part)
+  }
+
   private def watermarkFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_x27_feed_${feedKey(dir, "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x27_build").toFile
       val events = Tables.load(spark, dir, "events").select(col("event_id"), col("ts"))
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val part = new java.io.File(scratch, s"build_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(part.toString)
-        val f = part.listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(scratch, s"$name.parquet")
-        require(f.renameTo(dst) && dst.setLastModified(mtime), s"feed commit failed for $name")
-        org.apache.commons.io.FileUtils.deleteDirectory(part)
-      }
+      val w = writeOne(scratch) _
       val t0 = 1600000000000L
-      writeOne(events.filter(col("event_id") % 4 =!= 0), "a", t0)
-      writeOne(events.filter(lit(false)), "b", t0 + 60000L)
-      writeOne(events.filter(col("event_id") % 4 === 0), "c", t0 + 120000L)
-      writeOne(events.agg(lit(-1L).as("event_id"),
+      w(events.filter(col("event_id") % 4 =!= 0), "a", t0)
+      w(events.filter(lit(false)), "b", t0 + 60000L)
+      w(events.filter(col("event_id") % 4 === 0), "c", t0 + 120000L)
+      w(events.agg(lit(-1L).as("event_id"),
         (max(col("ts")) + expr("INTERVAL 10 MINUTES")).as("ts")), "d", t0 + 180000L)
       new java.io.File(scratch, "_FEED_READY").createNewFile()
       commitFeed(scratch, root)
     }
     root.toString
+  }
+
+  /** x29's feed: the on-time batch, an empty bridge, then a batch that
+    * RE-SENDS a third of the on-time rows verbatim (same event_id, same
+    * ts — the at-least-once re-delivery a real ingest pipeline sees).
+    * No flush sentinel: streaming dedup emits first arrivals
+    * immediately, nothing waits on a window close. */
+  private def dedupFeedFor(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_x29_feed_${feedKey(dir, "_v1")}")
+    if (!new java.io.File(root, "_FEED_READY").exists()) {
+      val scratch = Files.createTempDirectory("graft_x29_build").toFile
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val onTime = events.filter(col("event_id") % 4 =!= 0)
+      val w = writeOne(scratch) _
+      val t0 = 1600000000000L
+      w(onTime, "a", t0)
+      w(events.filter(lit(false)), "b", t0 + 60000L)
+      w(onTime.filter(col("event_id") % 3 === 0), "c", t0 + 120000L)
+      new java.io.File(scratch, "_FEED_READY").createNewFile()
+      commitFeed(scratch, root)
+    }
+    root.toString
+  }
+
+  /** x29 — streaming DEDUPLICATION with bounded state:
+    * `dropDuplicatesWithinWatermark(event_id)` under a 30 s watermark.
+    * Every re-delivered row is eliminated by one of the two mechanisms
+    * the operator composes — recent keys hit live dedup state, old keys
+    * are dropped by the late-event filter after their state expired —
+    * and the two regimes tile the ts axis with no gap (state for key k
+    * lives while k.ts ≥ watermark − delay; the late filter drops
+    * ts < watermark), so the appended output is exactly the distinct
+    * first deliveries. That state-expiry-plus-late-filter pairing is
+    * what makes exactly-once ingest AFFORDABLE at 100 TB: state holds
+    * only the last watermark-window of keys, not every key ever seen
+    * (plain dropDuplicates would). The oracle is the batch distinct
+    * over the same on-time set. */
+  def x29StreamDedup(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    val feed = dedupFeedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x29").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val qname = "x29_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = stream.withWatermark("ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("event_id")
   }
 
   /** x27 — event-time WATERMARK semantics, oracle-checked: 1-minute
@@ -195,6 +260,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r9_streaming_agg" -> (r9StreamingAgg _),
     "x27_stream_watermark" -> (x27StreamWatermark _),
+    "x29_stream_dedup" -> (x29StreamDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -217,5 +283,11 @@ object StreamingQueries {
         WHERE date_trunc('minute', f2.ts) + INTERVAL 1 MINUTE > wm.w1)
       SELECT date_trunc('minute', ts) AS wstart, COUNT(*) AS cnt
       FROM kept GROUP BY wstart ORDER BY wstart""",
+    // every re-delivery is eliminated (live state or expired-state +
+    // late filter — the regimes tile, see x29StreamDedup), so the
+    // appended output is the distinct on-time set
+    "x29_stream_dedup" ->
+      """SELECT event_id, ts, event_type FROM events
+      WHERE event_id % 4 <> 0 ORDER BY event_id""",
   )
 }
