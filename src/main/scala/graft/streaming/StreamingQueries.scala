@@ -257,10 +257,85 @@ object StreamingQueries {
     spark.table(qname).orderBy("wstart")
   }
 
+  /** p2's feed: documents with a synthetic event time (epoch +
+    * doc_id seconds — deterministic, monotone in doc_id), the on-time
+    * ¾, an empty bridge, then a re-delivery of a third of them — the
+    * at-least-once document source a streaming curation job ingests. */
+  private def docFeedFor(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_p2_feed_${feedKey(dir, "_v1")}")
+    if (!new java.io.File(root, "_FEED_READY").exists()) {
+      val scratch = Files.createTempDirectory("graft_p2_build").toFile
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)")
+            .as("ts"))
+      val onTime = docs.filter(col("doc_id") % 4 =!= 0)
+      val w = writeOne(scratch) _
+      val t0 = 1600000000000L
+      w(onTime, "a", t0)
+      w(docs.filter(lit(false)), "b", t0 + 60000L)
+      w(onTime.filter(col("doc_id") % 3 === 0), "c", t0 + 120000L)
+      new java.io.File(scratch, "_FEED_READY").createNewFile()
+      commitFeed(scratch, root)
+    }
+    root.toString
+  }
+
+  /** p2 — p1's curation pipeline as a STREAMING ingest job: documents
+    * arrive at-least-once (the feed re-delivers a third of them),
+    * `dropDuplicatesWithinWatermark(doc_id)` eliminates re-deliveries
+    * with bounded state (x29's tiling argument), then quality scoring,
+    * language ID and fingerprinting run as per-row codegen expressions
+    * INSIDE the stream, appending the curated manifest incrementally.
+    * This is the always-on shape of a pretraining data job — the batch
+    * p1 recomputes the corpus, p2 keeps it current — and every stage
+    * except the keyed dedup is stateless, so throughput scales with
+    * executors. p1's cross-document exact dedup (min doc_id per text)
+    * is deliberately NOT here: global grouping doesn't stream; a real
+    * deployment runs it as the periodic batch compaction (p1/d4). */
+  def p2StreamPipeline(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    graft.functions.GraftFunctions.register(spark)
+    val feed = docFeedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_p2").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val qname = "p2_state_" + UUID.randomUUID().toString.replace("-", "")
+    import graft.functions.TextPrimitives._
+    val w = "split(text, ' ')"
+    val q = stream.withWatermark("ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .filter(expr(s"size($w) > 0"))
+      .selectExpr(
+        "doc_id",
+        s"CAST(size($w) AS BIGINT) AS n_tokens",
+        s"""round(0.5 * CAST(${stopHitsSpark(w, stopwords("en"))} AS DOUBLE) / size($w)
+            + 0.3 * least(1.0, size($w) / 100.0)
+            + 0.2 * (1.0 - CAST(char_length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE)
+                           / CAST(n_chars AS DOUBLE)), 6) AS score""",
+        s"CASE WHEN ${stopHitsSpark(w, stopwords("en"))} > 0 THEN 'en' ELSE 'unknown' END AS pred_lang",
+        s"${rollingHashSpark("text")} AS fp")
+      .filter(col("score") >= 0.5)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r9_streaming_agg" -> (r9StreamingAgg _),
     "x27_stream_watermark" -> (x27StreamWatermark _),
     "x29_stream_dedup" -> (x29StreamDedup _),
+    "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -289,5 +364,23 @@ object StreamingQueries {
     "x29_stream_dedup" ->
       """SELECT event_id, ts, event_type FROM events
       WHERE event_id % 4 <> 0 ORDER BY event_id""",
+    // p1's scoring arithmetic over the on-time subset; re-deliveries
+    // contribute nothing (every duplicate is deduped or late-dropped)
+    "p2_stream_pipeline" -> {
+      import graft.functions.TextPrimitives._
+      val w = "string_split(text, ' ')"
+      s"""WITH scored AS (SELECT doc_id, text, n_chars,
+          CAST(length($w) AS BIGINT) AS n_tokens,
+          round(0.5 * CAST(${stopHitsDuck(w, stopwords("en"))} AS DOUBLE) / length($w)
+              + 0.3 * least(1.0, length($w) / 100.0)
+              + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                             / CAST(n_chars AS DOUBLE)), 6) AS score
+        FROM documents WHERE doc_id % 4 <> 0 AND length($w) > 0)
+      SELECT doc_id, n_tokens, score,
+        CASE WHEN ${stopHitsDuck(w, stopwords("en"))} > 0
+             THEN 'en' ELSE 'unknown' END AS pred_lang,
+        ${rollingHashDuck("text")} AS fp
+      FROM scored WHERE score >= 0.5 ORDER BY doc_id"""
+    },
   )
 }
