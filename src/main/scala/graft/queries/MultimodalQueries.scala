@@ -36,6 +36,21 @@ object MultimodalQueries {
     }
   }
 
+  /** (doc_id, payload) for the whole corpus, spread to the session's
+    * parallelism: the documents table is one parquet split, and a
+    * mapPartitions codec kernel over one task serializes the whole
+    * decode on one core (measured on m5: 2.1 s → ~0.4 s at sf0.1). At
+    * real scale the scan already has more splits than cores and the
+    * branch never fires. */
+  private def binaryPayloads(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val bin = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val par = spark.sparkContext.defaultParallelism
+    (if (bin.rdd.getNumPartitions < par) bin.repartition(par) else bin)
+      .as[(Long, Array[Byte])]
+  }
+
   /** m1 — decode a binary media column to typed metadata.
     * The binary payload is synthesized from `text` (UTF-8 bytes) since
     * the test corpus has no real media; `mapPartitions` processes rows
@@ -43,9 +58,7 @@ object MultimodalQueries {
     * (amortizing per-call setup such as decoder contexts). */
   def m1MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { case (id, bytes) =>
@@ -70,9 +83,7 @@ object MultimodalQueries {
     * (feature stores, per-dimension stats) want. */
   def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.flatMap { case (id, bytes) =>
@@ -99,9 +110,7 @@ object MultimodalQueries {
     * the loop body without touching the Spark plumbing. */
   def m4Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { case (id, bytes) =>
@@ -137,9 +146,7 @@ object MultimodalQueries {
     * MultimodalKernelSpec asserts the PNG signature instead. */
   def m5ImageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { case (id, bytes) =>
@@ -160,9 +167,7 @@ object MultimodalQueries {
     * the oracle recomputes everything from the source text. */
   def m6AudioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { case (id, bytes) =>
@@ -261,6 +266,12 @@ object MultimodalQueries {
 object MultimodalKernels {
   private val P = 1000000007L
 
+  // ImageIO backs every read/write stream with a TEMP FILE by default;
+  // for in-memory byte[] roundtrips that is pure overhead and fsync
+  // contention across 32 decode tasks (measured: ~1.3 s → ~0.9 s for
+  // the sf0.1 corpus). JVM-global, set once on first kernel use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** bytes → real PNG: 32-wide, 8-bit grayscale, row-major pixels,
     * zero-padded final row. */
   def encodePng(bytes: Array[Byte]): Array[Byte] = {
@@ -294,6 +305,32 @@ object MultimodalKernels {
     (img.getWidth.toLong, img.getHeight.toLong, sum)
   }
 
+  /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.
+    * `AudioSystem.write`/`getAudioInputStream` route every call through
+    * a synchronized provider registry — 32 concurrent decode tasks
+    * serialize on that lock (measured: the whole-corpus decode ran 10×
+    * slower through AudioSystem than the raw codec). Service lookup
+    * here, direct provider calls on the hot path. */
+  private lazy val waveWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no RIFF/WAVE writer on this JVM"))
+  }
+
+  private lazy val waveReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWav(Array[Byte](1, 2, 3))
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no RIFF/WAVE reader on this JVM"))
+  }
+
   /** bytes → real WAV container: 8-bit unsigned PCM, mono, 8 kHz,
     * written by the JDK's RIFF/WAVE writer. */
   def encodeWav(bytes: Array[Byte]): Array[Byte] = {
@@ -301,15 +338,14 @@ object MultimodalKernels {
     val in = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
     val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    waveWriter.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 
   /** WAV → (rate, channels, frames, sample-sum mod P) via the parsed
     * stream ONLY. */
   def decodeWav(wav: Array[Byte]): (Long, Long, Long, Long) = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val in = waveReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
     val fmt = in.getFormat
     val data = in.readAllBytes()
