@@ -37,6 +37,18 @@ object Tables {
     }
   }
 
+  /** [[load]], spread to the session's parallelism when the table is a
+    * single small split: compute-dense per-row kernels (shingling,
+    * minhash, codec work) otherwise run on ONE task locally. At real
+    * scale the scan already has more splits than cores and this is a
+    * no-op; the shuffle it adds locally moves the raw rows once —
+    * trivial next to the kernel work it parallelizes. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

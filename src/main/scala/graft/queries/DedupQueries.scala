@@ -71,7 +71,7 @@ object DedupQueries {
     * astronomically-unlikely collision case. */
   def d3NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql(s"""
       WITH $idsCteSpark,
       sz AS (SELECT doc_id, size(ids) AS sz FROM ids),
@@ -97,6 +97,11 @@ object DedupQueries {
     * so repeated calls reuse one materialization. */
   def d1MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // deliberately NOT loadSpread: the ids table is persisted right
+    // after the shingle kernel, and measured at sf0.1 the extra
+    // round-robin shuffle + 32-partition cache materialization costs
+    // more (~1 s) than the single-task kernel it parallelizes (~0.5 s);
+    // d2/d3 (no persist barrier) do spread
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -133,7 +138,7 @@ object DedupQueries {
     * thousand candidates. */
   def d2Simhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql(s"""
       WITH $idsCteSpark,
       simh AS (SELECT doc_id, simhash30(ids) AS sim FROM ids),
