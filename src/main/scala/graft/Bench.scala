@@ -32,6 +32,20 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // ...and one untimed pass of the whole inventory at the SMALLEST SF:
+    // generated-class compilation + C2 for the shared expression kernels
+    // (LshBandSigs, shingle/minhash, CosineSimilarity, …) otherwise lands
+    // on whichever measured query touches each class first — round-2
+    // measured s3 at 16.1 s cold vs ~2 s warm, pure first-use JIT. The
+    // timed numbers below are steady-state operator cost; warmup data is
+    // 100× smaller so it cannot pre-compute any measured work.
+    val warmDir = "/root/testdata/sf0.001"
+    System.err.println("[bench] untimed codegen warmup pass at sf0.001 ...")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
