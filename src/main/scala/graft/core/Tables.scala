@@ -37,17 +37,22 @@ object Tables {
     }
   }
 
-  /** [[load]], spread to the session's parallelism when the table is a
-    * single small split: compute-dense per-row kernels (shingling,
-    * minhash, codec work) otherwise run on ONE task locally. At real
-    * scale the scan already has more splits than cores and this is a
-    * no-op; the shuffle it adds locally moves the raw rows once —
-    * trivial next to the kernel work it parallelizes. */
-  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = load(spark, sfDir, name)
+  /** Spread `df` to the session's parallelism when it has fewer
+    * partitions: compute-dense per-row kernels (shingling, minhash,
+    * codec work, pair scans) otherwise run on ONE task over the
+    * single-split local test files. At real scale the scan already has
+    * more splits than cores and this is a no-op; the shuffle it adds
+    * locally moves the raw rows once — trivial next to the kernel work
+    * it parallelizes. The ONE shared definition of the heuristic —
+    * tune it here, not at call sites. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
+
+  /** [[load]] + [[spread]]. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spread(spark, load(spark, sfDir, name))
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

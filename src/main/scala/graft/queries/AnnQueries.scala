@@ -107,11 +107,9 @@ object AnnQueries {
                                  bands: Int, bits: Int, threshold: Double): DataFrame = {
     // The signature scan is compute-dense (bands·bits·dims multiplies
     // per vector); a small single-file input plans as ONE task, so lift
-    // it to the session's parallelism. At real scale the scan already
-    // has more splits than cores and this branch never fires.
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
-    val e = spread.withColumn("sigs", LshBandSigs(col("embedding"), bands, bits))
+    // it to the session's parallelism (Tables.spread).
+    val e = Tables.spread(spark, corpus)
+      .withColumn("sigs", LshBandSigs(col("embedding"), bands, bits))
     // Candidate generation over (vec_id, band_key) ONLY — a key row is
     // 16 bytes, so the band fan-out and the pair join never shuffle
     // embedding arrays, and each surviving pair computes cosine exactly

@@ -59,12 +59,11 @@ object LlmQueries {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     // the corpus is one small parquet split, so the nested-loop join
-    // would otherwise stream on ONE task — spread the probe side to the
-    // session's parallelism (n² pair evaluations split across cores;
-    // the broadcast side is whole either way)
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (e.rdd.getNumPartitions < par) e.repartition(par) else e
-    val a = spread.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+    // would otherwise stream on ONE task — spread the probe side
+    // (Tables.spread): the n² pair evaluations split across cores, the
+    // broadcast side is whole either way
+    val a = Tables.spread(spark, e)
+      .select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
       .select(col("vec_id_a"), col("vec_id_b"),

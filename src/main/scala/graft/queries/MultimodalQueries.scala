@@ -37,17 +37,13 @@ object MultimodalQueries {
   }
 
   /** (doc_id, payload) for the whole corpus, spread to the session's
-    * parallelism: the documents table is one parquet split, and a
-    * mapPartitions codec kernel over one task serializes the whole
-    * decode on one core (measured on m5: 2.1 s → ~0.4 s at sf0.1). At
-    * real scale the scan already has more splits than cores and the
-    * branch never fires. */
+    * parallelism ([[Tables.spread]]) — a mapPartitions codec kernel
+    * over the single local split would otherwise serialize the whole
+    * decode on one core (measured on m5: 2.1 s → ~0.9 s at sf0.1). */
   private def binaryPayloads(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val bin = Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val par = spark.sparkContext.defaultParallelism
-    (if (bin.rdd.getNumPartitions < par) bin.repartition(par) else bin)
       .as[(Long, Array[Byte])]
   }
 

@@ -36,23 +36,16 @@ object StreamingQueries {
     try body finally spark.conf.set(key, old)
   }
 
-  /** The r9 feed (4 ts-range parquet files) is a pure function of the
-    * source table, so it is written ONCE per SF dir and reused by every
-    * later run in the container (Verify then Bench both pay it
-    * otherwise — ~2 s of range-shuffle + write that measures the
-    * harness, not the streaming semantics). Commit protocol: build in a
-    * scratch dir (marker included), then one atomic directory rename —
-    * a concurrent loser just deletes its scratch and reads the
-    * winner's feed; a crashed build leaves no half-visible feed. */
-  /** Cache key for a per-SF-dir derived feed: the source file's
+  /** Cache key for a per-SF-dir derived feed: the SOURCE TABLE's
     * identity AND content fingerprint (length + mtime), so a
     * regenerated testdata dir or a path-hash collision can never serve
-    * a stale or foreign feed to a correctness harness. */
-  private def feedKey(dir: String, version: String): String = {
-    val src = new java.io.File(dir, "events.parquet")
+    * a stale or foreign feed to a correctness harness. Callers must
+    * name the table their feed is actually derived from. */
+  private def feedKey(dir: String, table: String, version: String): String = {
+    val src = new java.io.File(dir, s"$table.parquet")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir:${src.length}:${src.lastModified}").toLong & 0xffffffffL) + version
+        s"$dir:$table:${src.length}:${src.lastModified}").toLong & 0xffffffffL) + version
   }
 
   /** Commit a built feed scratch dir to `root` (atomic rename). On a
@@ -68,9 +61,17 @@ object StreamingQueries {
           "completed feed exists there")
     }
 
+  /** The r9 feed (4 ts-range parquet files) is a pure function of the
+    * source table, so it is written ONCE per SF dir and reused by every
+    * later run in the container (Verify then Bench both pay it
+    * otherwise — ~2 s of range-shuffle + write that measures the
+    * harness, not the streaming semantics). Commit protocol: build in a
+    * scratch dir (marker included), then one atomic directory rename —
+    * a concurrent loser just deletes its scratch and reads the
+    * winner's feed; a crashed build leaves no half-visible feed. */
   private def feedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_r9_feed_${feedKey(dir, "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_r9_feed_${feedKey(dir, "events", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_r9_build").toFile
       Tables.load(spark, dir, "events")
@@ -113,6 +114,19 @@ object StreamingQueries {
     spark.table(qname).orderBy("event_type")
   }
 
+  /** Write `df` as ONE flat parquet file `<name>.parquet` in `scratch`
+    * with an explicit mtime — FileStreamSource orders by (mtime, path),
+    * so this pins the batch order of a multi-file feed. */
+  private def writeOne(scratch: java.io.File)(df: DataFrame, name: String, mtime: Long): Unit = {
+    val part = new java.io.File(scratch, s"build_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+    val f = part.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(scratch, s"$name.parquet")
+    require(f.renameTo(dst) && dst.setLastModified(mtime), s"feed commit failed for $name")
+    org.apache.commons.io.FileUtils.deleteDirectory(part)
+  }
+
   /** x27's feed: four flat parquet files with explicit modification
     * times so FileStreamSource's (mtime, path) ordering is pinned —
     * `a` = the on-time ¾ of events (event_id % 4 ≠ 0), `b` = an EMPTY
@@ -127,22 +141,9 @@ object StreamingQueries {
     * Built once per SF dir with the same atomic-rename commit as the
     * r9 feed. The mtime base is an arbitrary fixed epoch — only the
     * ORDER matters. */
-  /** Write `df` as ONE flat parquet file `<name>.parquet` in `scratch`
-    * with an explicit mtime — FileStreamSource orders by (mtime, path),
-    * so this pins the batch order of a multi-file feed. */
-  private def writeOne(scratch: java.io.File)(df: DataFrame, name: String, mtime: Long): Unit = {
-    val part = new java.io.File(scratch, s"build_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(part.toString)
-    val f = part.listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    val dst = new java.io.File(scratch, s"$name.parquet")
-    require(f.renameTo(dst) && dst.setLastModified(mtime), s"feed commit failed for $name")
-    org.apache.commons.io.FileUtils.deleteDirectory(part)
-  }
-
   private def watermarkFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x27_feed_${feedKey(dir, "_v2")}")
+      sys.props("java.io.tmpdir"), s"graft_x27_feed_${feedKey(dir, "events", "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x27_build").toFile
       val events = Tables.load(spark, dir, "events").select(col("event_id"), col("ts"))
@@ -166,7 +167,7 @@ object StreamingQueries {
     * immediately, nothing waits on a window close. */
   private def dedupFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x29_feed_${feedKey(dir, "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_x29_feed_${feedKey(dir, "events", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x29_build").toFile
       val events = Tables.load(spark, dir, "events")
@@ -263,7 +264,7 @@ object StreamingQueries {
     * at-least-once document source a streaming curation job ingests. */
   private def docFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_p2_feed_${feedKey(dir, "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_p2_feed_${feedKey(dir, "documents", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_p2_build").toFile
       val docs = Tables.load(spark, dir, "documents")

@@ -16,11 +16,14 @@ class PartitionPruningSpec extends AnyFunSuite with SparkSuite {
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("day", to_date(col("ts")))
       .write.partitionBy("day").mode("overwrite").parquet(base)
-    val nDays = spark.read.parquet(base).select("day").distinct().count()
-    assert(nDays > 5, s"need a multi-partition layout to prove pruning, got $nDays")
+    val days = spark.read.parquet(base).select("day").distinct()
+      .orderBy("day").collect().map(_.getDate(0))
+    assert(days.length > 5, s"need a multi-partition layout to prove pruning, got ${days.length}")
 
+    // derive the probe day from the data just written — a hardcoded
+    // literal would couple the test to the fixture's ts epoch
     val pruned = spark.read.parquet(base)
-      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-05")))
+      .filter(col("day") === lit(days(days.length / 2)))
       .select(col("event_id"))
     val scan = pruned.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f

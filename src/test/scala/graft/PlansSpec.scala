@@ -72,12 +72,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("x28: session windows aggregate without a cartesian/nested-loop stage") {
+  test("x28: session windows plan as the MergingSessions aggregate, no cartesian stage") {
     val p = plan("x28_session_window")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
-    // session merge plans as the session-window aggregate node family
-    assert(p.contains("SessionWindow") || p.contains("session_window"), p.take(2000))
+    // the PHYSICAL session-merge node, not the column alias (which would
+    // appear in any plan shape and make the assertion vacuous)
+    assert(p.contains("MergingSessions"), p.take(2000))
   }
 
   test("l4: the declared brute-force join spreads its probe side, not one task") {
