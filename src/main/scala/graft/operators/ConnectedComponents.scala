@@ -38,6 +38,14 @@ import org.apache.spark.sql.functions._
   * as its successor is on disk — peak footprint is two edge snapshots,
   * not rounds·snapshots. Only the final (node → cluster) snapshot
   * stays persisted: it IS the returned data.
+  *
+  * Fault tolerance: by default the per-round snapshots are LOCAL
+  * checkpoints — executor loss mid-loop loses blocks and fails the
+  * run (acceptable where the loop is simply rerun). Long cluster runs
+  * with expected executor churn should set
+  * `spark.graft.checkpoint.reliable=true` + `setCheckpointDir` so each
+  * round also lands on fault-tolerant storage — see the trade-off note
+  * on [[GraftShims.checkpointReleasable]].
   */
 object ConnectedComponents {
 

@@ -172,10 +172,39 @@ object DedupQueries {
     * cluster` is exactly l1's keep-first survivor rule. */
   def d4DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    clusterLabels(spark, dir).orderBy("doc_id")
+  }
+
+  /** (doc_id, cluster) labels shared by d4 (the cluster dump) and d5
+    * (the survivor manifest) — cluster = min doc_id of the connected
+    * component of d1's near-dup pairs. */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val pairs = d1MinhashLsh(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
     graft.operators.ConnectedComponents.run(docs, pairs)
       .select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  // --- d5: the surviving corpus manifest ------------------------------------
+
+  /** d5 — the step that actually SHRINKS the corpus: every document
+    * whose cluster label is some OTHER document is a victim; the
+    * survivors (cluster == doc_id — exactly one per component, the
+    * minimum, matching l1's keep-first rule) form the deduped corpus
+    * manifest a training job reads. Shaped for 100 TB: the victim set
+    * (doc_id only, typically a small fraction of the corpus) drives a
+    * LEFT ANTI join against the full documents table, so the wide `text`
+    * column never shuffles and the output is a filter of the original
+    * scan, not a rewrite through a join with every label. */
+  def d5DedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val victims = clusterLabels(spark, dir)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
   }
 
@@ -184,6 +213,7 @@ object DedupQueries {
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
     "d4_dedup_clusters" -> (d4DedupClusters _),
+    "d5_dedup_survivors" -> (d5DedupSurvivors _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -247,6 +277,29 @@ object DedupQueries {
                   FROM edges e JOIN reach ON reach.id = e.src)
         SELECT id AS doc_id, MIN(lab) AS cluster FROM reach
         GROUP BY id ORDER BY doc_id""",
+      // d4's transitive clusters, reduced to the survivor manifest:
+      // keep exactly the component minima (cluster == doc_id)
+      "d5_dedup_survivors" ->
+        s"""WITH RECURSIVE $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.i AS pa, c.j AS pb
+                  FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j
+                  WHERE ${jacDuck("ia.ids", "ib.ids")} >= $jacThreshold),
+        edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+                  UNION
+                  SELECT e.dst AS id, reach.lab
+                  FROM edges e JOIN reach ON reach.id = e.src),
+        labels AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id)
+        SELECT d.doc_id, d.n_chars FROM documents d
+        JOIN labels l ON l.doc_id = d.doc_id
+        WHERE l.cluster = l.doc_id ORDER BY d.doc_id""",
     )
   }
 }

@@ -104,9 +104,14 @@ object ExtendedRelationalQueries {
     * probe's two) — no dedup pass. The exact range filter then prunes
     * within cells. This is the standard scale spelling of interval
     * joins (cf. bucketed interval joins in genomics/AsOf literature). */
-  def x19RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  def x19RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    x19Shape(Tables.load(spark, dir, "events"))
+
+  /** X19's operator shape over any events scan (both the probe and the
+    * build side read it) — PartitionPruningSpec drives this exact
+    * definition over a day-partitioned layout. */
+  def x19Shape(e: DataFrame): DataFrame = {
     val H = 3600000000L // 1 hour in microseconds
-    val e = Tables.load(spark, dir, "events")
     val probes = e.filter(col("event_type") === "click")
       .select(col("event_id"), unix_micros(col("ts")).as("a_us"))
       .select(col("event_id"), col("a_us"),

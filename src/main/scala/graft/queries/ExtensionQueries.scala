@@ -113,7 +113,12 @@ object ExtensionQueries {
     * Batch shape of the Structured Streaming X7 test; window start
     * surfaces as `ws` (DuckDB oracle: date_trunc). */
   def x7EventWindow(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    x7Shape(Tables.load(spark, dir, "events"))
+
+  /** X7's operator shape over any events scan — PartitionPruningSpec
+    * drives this exact definition over a day-partitioned layout. */
+  def x7Shape(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"))

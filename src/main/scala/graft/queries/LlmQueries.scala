@@ -53,8 +53,9 @@ object LlmQueries {
     * computed by the fused codegen cosine (one pass per pair; norm
     * recompute inside the fused loop is cheaper than materializing
     * norms ever was with interpreted array folds). Brute force is the
-    * exact, oracle-checkable baseline; the 100 TB path is the
-    * LSH-bucketed variant (s2_ann_lsh) which prunes the space first. */
+    * exact, oracle-checkable baseline; the 100 TB pair-mining path is
+    * the banded-LSH variants (s3_lsh_near_dup / s5_lsh_near_dup_prod)
+    * which prune the candidate space first (s2 is point-query ANN). */
   def l4NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))

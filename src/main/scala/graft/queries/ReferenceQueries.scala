@@ -28,7 +28,14 @@ object ReferenceQueries {
 
   /** R2 — positional field-equality filter (O5, op1_t2). */
   def r2FieldEqFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    r2Shape(Tables.load(spark, dir, "events"))
+
+  /** R2's operator shape over any events scan — the production layout
+    * is a partitioned dataset, and PartitionPruningSpec drives this
+    * exact definition over one to prove the predicate prunes at
+    * planning time. */
+  def r2Shape(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") === "click")
       .orderBy("event_id")
 
@@ -55,7 +62,11 @@ object ReferenceQueries {
   /** R6 — filter→group-count pipeline (t2 end-to-end: O5→O7→O8) — the
     * whole reference pipeline shape in one query (SURVEY §7 slice 0). */
   def r6FilterGroupCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    r6Shape(Tables.load(spark, dir, "events"))
+
+  /** R6's operator shape over any events scan (see [[r2Shape]]). */
+  def r6Shape(events: DataFrame): DataFrame =
+    events
       .filter(col("value") > 50)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"))

@@ -153,17 +153,29 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
       // fail — it moves the source INSIDE it and returns true — so a
       // blind rename would "succeed" while leaving the merged data
       // invisible at base/compact_tmp_*/ and then delete the only copy
-      // of the snapshotted log rows. Instead: if base re-appeared,
-      // delete it (tmp strictly supersedes it — it was merged from that
-      // very base plus the snapshot), rename, and VERIFY the result is
-      // flat (marker at top level). The reader consumed base_old to
-      // restore, so the race can fire at most once per compact; the
-      // loop bound is safety, not an expected iteration count.
+      // of the snapshotted log rows. If base re-appeared, it is
+      // superseded by tmp (tmp was merged from that very base plus the
+      // snapshot) — but it is NOT deleted here: a crash between a
+      // delete and the scratch rename would leave NO base and NO
+      // base_old, breaking the crash invariant above. Instead the
+      // restored base is renamed BACK to base_old (the reader consumed
+      // base_old to restore it, so that slot is free; if a stale
+      // leftover base_old somehow coexists with base, base supersedes
+      // it and it is dropped first while base still exists). At every
+      // instant a full copy of the pre-compact base rows lives at
+      // base/ or base_old/, and the snapshotted log segments are only
+      // deleted after the swap verifies — so recoverBaseSwap + the log
+      // reconstructs the store from any crash point. The race can fire
+      // at most once per compact; the loop bound is safety, not an
+      // expected iteration count.
       var attempts = 0
       var swapped = false
       while (!swapped && attempts < 3) {
         attempts += 1
-        if (fs.exists(hPath(basePath))) fs.delete(hPath(basePath), true)
+        if (fs.exists(hPath(basePath))) {
+          if (fs.exists(hPath(old))) fs.delete(hPath(old), true)
+          renameOrDie(basePath, old)
+        }
         renameOrDie(curTmp, basePath)
         val nested = new org.apache.hadoop.fs.Path(
           hPath(basePath), hPath(curTmp).getName)
@@ -182,8 +194,14 @@ class AppendLogStore(spark: SparkSession, root: String, tsCol: String = "ts") {
       snapshot.foreach(f => fs.delete(f, true))
     } finally {
       // an aborted compact must not orphan its scratch dir (no-op on
-      // success: the scratch was renamed away)
-      fs.delete(hPath(curTmp), true)
+      // success: the scratch was renamed away) — but the scratch is
+      // only scrubbed while a base (or a base_old that recoverBaseSwap
+      // can restore) exists. The rename-aside protocol above should
+      // guarantee that; the guard is defense in depth so no code path,
+      // foreseen or not, ever deletes the sole surviving copy of the
+      // merged rows.
+      if (fs.exists(hPath(basePath)) || fs.exists(hPath(old)))
+        fs.delete(hPath(curTmp), true)
     }
   }
 }

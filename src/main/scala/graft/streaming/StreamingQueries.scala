@@ -37,15 +37,21 @@ object StreamingQueries {
   }
 
   /** Cache key for a per-SF-dir derived feed: the SOURCE TABLE's
-    * identity AND content fingerprint (length + mtime), so a
-    * regenerated testdata dir or a path-hash collision can never serve
-    * a stale or foreign feed to a correctness harness. Callers must
-    * name the table their feed is actually derived from. */
+    * identity AND content fingerprint (length + mtime). The key is the
+    * source dir's (sanitized) basename plus a 128-bit SHA-256 prefix of
+    * the full identity string — collision-PROOF for any realistic set
+    * of feed dirs, not merely collision-unlikely (a 32-bit hash could
+    * silently alias two SF dirs and serve foreign data to a
+    * correctness harness). Callers must name the table their feed is
+    * actually derived from. */
   private def feedKey(dir: String, table: String, version: String): String = {
     val src = new java.io.File(dir, s"$table.parquet")
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir:$table:${src.length}:${src.lastModified}").toLong & 0xffffffffL) + version
+    val identity = s"${new java.io.File(dir).getAbsolutePath}:$table:${src.length}:${src.lastModified}"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(identity.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = sha.take(16).map(b => f"$b%02x").mkString
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${base}_$hex$version"
   }
 
   /** Commit a built feed scratch dir to `root` (atomic rename). On a

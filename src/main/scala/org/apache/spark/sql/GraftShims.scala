@@ -35,12 +35,43 @@ object GraftShims {
     * components, label propagation) can `unpersist()` each SUPERSEDED
     * round's blocks as soon as the next round materializes.
     * `Dataset.localCheckpoint` offers no public way to do that, so a
-    * 20-round loop would pin 20 rounds of blocks until session end. */
+    * 20-round loop would pin 20 rounds of blocks until session end.
+    *
+    * RELIABILITY trade-off: a local checkpoint stores its blocks in
+    * executor storage with lineage truncated — losing ANY executor
+    * mid-loop makes those partitions unrecoverable and fails the job.
+    * That is the right default for `local[n]` and for clusters where a
+    * failed iteration is simply rerun (the loop is deterministic), but
+    * an hours-long 100 TB run where executor churn is EXPECTED should
+    * set `spark.graft.checkpoint.reliable=true` (plus
+    * `sparkContext.setCheckpointDir` to a fault-tolerant FS): blocks
+    * are then persisted MEMORY_AND_DISK for speed AND written through
+    * `RDD.checkpoint` to the checkpoint dir, so a lost executor
+    * recomputes from the reliable copy instead of failing. The caller's
+    * `unpersist()` contract is unchanged — with reliable=true it only
+    * drops the cached copy (reads fall back to the checkpoint files);
+    * checkpoint files themselves are GC'd by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, else at
+    * checkpoint-dir cleanup. */
   def checkpointReleasable(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
+    val reliable =
+      spark.conf.getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.checkpoint.reliable=true requires " +
+          "sparkContext.setCheckpointDir(<fault-tolerant path>)")
+      // persist BEFORE checkpoint: the checkpoint job re-reads the RDD
+      // after the materializing count(), and without a cache that means
+      // recomputing the whole lineage a second time
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else {
+      rdd.localCheckpoint()
+    }
     rdd.count()
-    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd)
+    (spark.internalCreateDataFrame(rdd, ds.schema), rdd)
   }
 }

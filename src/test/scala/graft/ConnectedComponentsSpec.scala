@@ -73,6 +73,25 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("reliable checkpoint mode: blocks survive unpersist, CC loop still converges") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      // the reliable path must write a real checkpoint file and keep the
+      // data readable AFTER unpersist (that is what survives executor
+      // loss on a cluster; a local checkpoint dies with its blocks)
+      val (out, rdd) = org.apache.spark.sql.GraftShims
+        .checkpointReleasable(spark.range(100).toDF("id"))
+      assert(rdd.getCheckpointFile.isDefined, "expected a reliable checkpoint file")
+      rdd.unpersist(blocking = true)
+      assert(out.count() == 100L)
+      // and the full CC loop under the knob yields the same labels
+      val (labels, _) = cc(6, Seq((0L, 1L), (1L, 2L), (4L, 5L)))
+      assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+  }
+
   test("two chains joined by a bridge edge merge into one component") {
     // 0-1-...-9 and 20-21-...-29, bridge 9-20
     val c1 = (0L until 9L).map(i => (i, i + 1))

@@ -196,6 +196,38 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(small.head._2 == 40L)
   }
 
+  test("KmvDistinct: relative error bounded across random cardinalities (ScalaCheck)") {
+    import graft.functions.KmvDistinct
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // A sketch that is deterministic but DRIFTING would pass the
+    // merge-invariance test above; this pins the accuracy claim itself:
+    // KMV's relative standard error is ~1/sqrt(k-2) (Beyer et al., the
+    // unbiased (k-1)/h_k estimator), so |est - n|/n must stay within
+    // 3.5 sigma across random cardinalities. Fixed seed + a fixed hash
+    // family make every trial reproducible — a pass is a proof, not a
+    // lucky draw.
+    val gen = for {
+      n <- Gen.choose(2000, 150000)
+      k <- Gen.oneOf(64, 128, 256)
+    } yield (n, k)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val res = SCTest.check(params, Prop.forAll(gen) { case (n, k) =>
+      // ids 0..n-1 are distinct and the affine hash is injective mod P,
+      // so the true cardinality is exactly n
+      val est = spark.range(n.toLong)
+        .selectExpr(graft.queries.FunctionQueries.kmvHashSpark("id") + " AS h")
+        .agg(KmvDistinct($"h", k).as("est"))
+        .as[Long].head()
+      val relErr = math.abs(est - n.toDouble) / n
+      val bound = 3.5 / math.sqrt(k - 2.0)
+      if (relErr > bound) info(f"KMV outlier: n=$n k=$k est=$est relErr=$relErr%.4f > $bound%.4f")
+      relErr <= bound
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("L2SquaredDistance == builtin aggregate(zip_with(...)) spelling") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(100)(

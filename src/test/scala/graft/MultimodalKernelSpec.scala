@@ -43,4 +43,27 @@ class MultimodalKernelSpec extends AnyFunSuite {
       assert(sum == expected)
     }
   }
+
+  private def fixture(name: String): Array[Byte] = {
+    val is = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(is != null, s"missing checked-in fixture $name")
+    try is.readAllBytes() finally is.close()
+  }
+
+  test("FOREIGN payloads decode to pinned values (encoder-independent)") {
+    // Roundtrip tests can't catch a SYMMETRIC encode/decode bug (both
+    // sides agreeing on a wrong stride, color model, or byte order).
+    // These fixtures were produced by an independent implementation —
+    // a pure-python zlib PNG writer and the python stdlib `wave`
+    // module (dev/make_fixtures.py, values printed at generation) —
+    // so the decoders are checked against a second engine's bytes.
+    assert(MultimodalKernels.decodePng(fixture("foreign_5x3.png")) ==
+      ((5L, 3L, 450L)), "5x3 grayscale PNG (odd size: stride/transpose check)")
+    assert(MultimodalKernels.decodePng(fixture("foreign_32x2.png")) ==
+      ((32L, 2L, 2096L)), "32x2 grayscale PNG (encoder-width match)")
+    assert(MultimodalKernels.decodeWav(fixture("foreign_8k.wav")) ==
+      ((8000L, 1L, 39L, 4182L)), "8 kHz u8 PCM with 0/255 extremes")
+    assert(MultimodalKernels.decodeWav(fixture("foreign_16k.wav")) ==
+      ((16000L, 1L, 101L, 12399L)), "16 kHz u8 PCM: rate read from header")
+  }
 }

@@ -11,13 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * here a partitioned copy of events is written and probed.) */
 class PartitionPruningSpec extends AnyFunSuite with SparkSuite {
 
-  test("a day-partitioned scan prunes to the one matching partition") {
-    val base = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
+  private lazy val base: String = {
+    val b = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("day", to_date(col("ts")))
-      .write.partitionBy("day").mode("overwrite").parquet(base)
-    val days = spark.read.parquet(base).select("day").distinct()
+      .write.partitionBy("day").mode("overwrite").parquet(b)
+    b
+  }
+
+  private lazy val days: Array[java.sql.Date] =
+    spark.read.parquet(base).select("day").distinct()
       .orderBy("day").collect().map(_.getDate(0))
+
+  test("a day-partitioned scan prunes to the one matching partition") {
     assert(days.length > 5, s"need a multi-partition layout to prove pruning, got ${days.length}")
 
     // derive the probe day from the data just written — a hardcoded
@@ -38,5 +44,37 @@ class PartitionPruningSpec extends AnyFunSuite with SparkSuite {
     val filesRead = scan.metrics("numFiles").value
     val partsRead = scan.metrics("numPartitions").value
     assert(partsRead == 1, s"expected 1 partition read, got $partsRead ($filesRead files)")
+  }
+
+  test("the real r2/r6/x7/x19 definitions prune a day-sliced partitioned scan") {
+    // The production pattern at 100 TB: the SAME operator shapes the
+    // inventory declares, run over a day slice of a date-partitioned
+    // dataset — the pruned scan is the difference between reading a day
+    // and reading a decade. AQE is disabled for the probe only so the
+    // executed plan exposes its FileSourceScanExec nodes directly
+    // (pruning itself happens at planning time, with or without AQE).
+    val d = days(days.length / 2)
+    def slice = spark.read.parquet(base).filter(col("day") === lit(d))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shapes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "r2"  -> graft.queries.ReferenceQueries.r2Shape(slice),
+        "r6"  -> graft.queries.ReferenceQueries.r6Shape(slice),
+        "x7"  -> graft.queries.ExtensionQueries.x7Shape(slice),
+        "x19" -> graft.queries.ExtendedRelationalQueries.x19Shape(slice))
+      shapes.foreach { case (name, df) =>
+        val scans = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty, s"$name: no file scans in the executed plan")
+        scans.foreach(s => assert(s.metadata("PartitionFilters").contains("day"),
+          s"$name scan lacks a day partition filter: ${s.metadata("PartitionFilters")}"))
+        df.collect()
+        scans.foreach { s =>
+          val parts = s.metrics("numPartitions").value
+          assert(parts == 1, s"$name: expected 1 partition read, got $parts")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -59,6 +59,36 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(after == got)
   }
 
+  test("compact crash invariant: a recoverable base copy exists at every instant") {
+    val root = Files.createTempDirectory("als_crash").toString
+    val store = new AppendLogStore(spark, root)
+    store.create(Seq((1L, "a"), (2L, "b")).toDF("ts", "payload"))
+    store.append(Seq((3L, "c")).toDF("ts", "payload"))
+    val expected = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // crash state 1: between compact's two base renames — base missing,
+    // base_old present. read() must complete the swap and lose nothing.
+    assert(fs.rename(p(s"$root/base"), p(s"$root/base_old")))
+    assert(store.read(Seq("payload")).as[(Long, String)].collect().toSeq == expected)
+
+    // crash state 2: the reader-race path — the restored base was
+    // renamed ASIDE (not deleted) back to base_old and the compactor
+    // died before its scratch rename landed: base missing, base_old
+    // holding the pre-compact rows, an orphaned scratch dir, the
+    // snapshotted log segments untouched. Every row must still be
+    // reconstructible from base_old + log.
+    assert(fs.rename(p(s"$root/base"), p(s"$root/base_old")))
+    fs.mkdirs(p(s"$root/compact_tmp_deadbeef"))
+    assert(store.read(Seq("payload")).as[(Long, String)].collect().toSeq == expected)
+
+    // a fresh compact over the recovered state converges
+    store.compact(Seq("payload"))
+    assert(store.read(Seq("payload")).as[(Long, String)].collect().toSeq == expected)
+  }
+
   test("create refuses to overwrite (reference: create fails if file exists)") {
     val root = Files.createTempDirectory("als2").toString
     val store = new AppendLogStore(spark, root)
