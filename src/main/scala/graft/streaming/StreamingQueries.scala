@@ -268,7 +268,7 @@ object StreamingQueries {
     * doc_id seconds — deterministic, monotone in doc_id), the on-time
     * ¾, an empty bridge, then a re-delivery of a third of them — the
     * at-least-once document source a streaming curation job ingests. */
-  private def docFeedFor(spark: SparkSession, dir: String): String = {
+  private[graft] def docFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_p2_feed_${feedKey(dir, "documents", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
@@ -301,20 +301,17 @@ object StreamingQueries {
     * executors. p1's cross-document exact dedup (min doc_id per text)
     * is deliberately NOT here: global grouping doesn't stream; a real
     * deployment runs it as the periodic batch compaction (p1/d4). */
-  def p2StreamPipeline(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 8) {
-    graft.functions.GraftFunctions.register(spark)
-    val feed = docFeedFor(spark, dir)
-    val tmp = Files.createTempDirectory("graft_p2").toString
-    val schema = spark.read.parquet(feed).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(feed)
-    val qname = "p2_state_" + UUID.randomUUID().toString.replace("-", "")
+  /** p2's TRANSFORM over any document stream — the watermark-bounded
+    * dedup plus the stateless codegen curation stages. Factored out so
+    * the chaos-recovery spec can drive this exact definition through a
+    * restartable file sink (the memory-sink variant below is the
+    * oracle-checked one). Callers must have [[graft.functions
+    * .GraftFunctions.register]]ed on the session (poly_hash,
+    * stop_hits). */
+  def p2Transform(stream: DataFrame): DataFrame = {
     import graft.functions.TextPrimitives._
     val w = "split(text, ' ')"
-    val q = stream.withWatermark("ts", "30 seconds")
+    stream.withWatermark("ts", "30 seconds")
       .dropDuplicatesWithinWatermark("doc_id")
       .filter(expr(s"size($w) > 0"))
       .selectExpr(
@@ -327,6 +324,20 @@ object StreamingQueries {
         s"CASE WHEN ${stopHitsSpark(w, stopwords("en"))} > 0 THEN 'en' ELSE 'unknown' END AS pred_lang",
         s"${rollingHashSpark("text")} AS fp")
       .filter(col("score") >= 0.5)
+  }
+
+  def p2StreamPipeline(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    graft.functions.GraftFunctions.register(spark)
+    val feed = docFeedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_p2").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val qname = "p2_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = p2Transform(stream)
       .writeStream
       .outputMode("append")
       .format("memory")

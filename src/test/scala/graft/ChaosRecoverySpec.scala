@@ -21,7 +21,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Runs in a forked JVM (ChaosRunner) so executor death can't take the
   * suite-shared SparkContext with it. */
-class ChaosRecoverySpec extends AnyFunSuite {
+class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -99,5 +99,96 @@ class ChaosRecoverySpec extends AnyFunSuite {
       .toSeq.sorted
     val expected = keys.map(k => s"k$k,400").sorted
     assert(out == expected, s"exactly-once violated: got $out")
+  }
+
+  // ---- p2 streaming curation pipeline chaos scenarios ----------------------
+
+  import org.apache.spark.sql.streaming.Trigger
+
+  private lazy val p2Feed: String = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.streaming.StreamingQueries.docFeedFor(spark, "/root/testdata/sf0.01")
+  }
+
+  private def startP2(out: String, ckpt: String, trigger: Trigger) = {
+    val schema = spark.read.parquet(p2Feed).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(p2Feed)
+    graft.streaming.StreamingQueries.p2Transform(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(trigger).start()
+  }
+
+  /** The uninterrupted p2 manifest through the same file sink — the
+    * reference both chaos scenarios must reproduce byte-for-byte. (The
+    * memory-sink p2 variant is DuckDB-oracle-checked in CORRECTNESS;
+    * equality to this clean run chains that trust to the file sink.) */
+  private lazy val p2CleanManifest: Seq[String] = {
+    val work = Files.createTempDirectory("p2_clean").toString
+    val q = startP2(s"$work/out", s"$work/ckpt", Trigger.AvailableNow())
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$work/out")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows.nonEmpty, "clean p2 run produced an empty manifest")
+    rows
+  }
+
+  test("p2 pipeline killed mid-feed resumes from checkpoint; manifest exactly-once") {
+    val work = Files.createTempDirectory("p2_restart").toString
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    // run 1: free-running trigger; stop as soon as the first non-empty
+    // batch commits — mid-feed, with dedup state and sink manifest both
+    // partially written
+    val q1 = startP2(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
+    q1.stop()
+    q1.awaitTermination()
+    // run 2: same checkpoint, drain the rest (incl. the re-delivery
+    // batch, which the RESTORED dedup state must drop)
+    val q2 = startP2(out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == p2CleanManifest,
+      s"restart broke exactly-once: ${got.size} rows vs clean ${p2CleanManifest.size}")
+  }
+
+  test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {
+    val work = Files.createTempDirectory("chaos_p2").toString
+    val marker = s"$work/killed"
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = (Seq("/opt/spark/jars/*", mainClasses, testClasses)).mkString(":")
+    // executors must see test-classes too: the chaos UDF's lambda
+    // deserializes against graft.ChaosP2Runner, which lives there
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", cp, "graft.ChaosP2Runner",
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, p2Feed, out, ckpt)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$work/driver.log"))
+    val p = pb.start()
+    val finished = p.waitFor(300, TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val log = new String(Files.readAllBytes(Paths.get(s"$work/driver.log")))
+    assert(finished, s"p2 chaos run timed out; driver log tail:\n${log.takeRight(4000)}")
+    assert(p.exitValue() == 0,
+      s"p2 chaos run exited ${p.exitValue()}; driver log tail:\n${log.takeRight(4000)}")
+    assert(Files.exists(Paths.get(marker)), "chaos UDF never fired — no executor was killed")
+    assert(log.contains("ExecutorLostFailure") || log.contains("Lost executor") ||
+      log.contains("exited with") || log.contains("WorkerLost"),
+      s"no evidence of executor loss in driver log:\n${log.takeRight(4000)}")
+    val got = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == p2CleanManifest,
+      s"executor loss broke exactly-once: ${got.size} rows vs clean ${p2CleanManifest.size}")
   }
 }

@@ -27,3 +27,45 @@ object ChaosRunner {
     spark.stop()
   }
 }
+
+/** Driver main for the p2 chaos scenario: runs the REAL
+  * [[graft.streaming.StreamingQueries.p2Transform]] curation pipeline
+  * over a document feed on `local-cluster[2,1,1024]`, writing the
+  * manifest through the transactional parquet file sink. A chaos UDF on
+  * the source side HALTS its executor JVM (hard death — no shutdown
+  * hooks, mid-batch) the first time any task evaluates it; the global
+  * marker dir makes it fire exactly once across executor relaunches. */
+object ChaosP2Runner {
+  def main(args: Array[String]): Unit = {
+    val Array(master, execCp, marker, feed, out, ckpt) = args
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("chaos_p2")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.executor.extraClassPath", execCp)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, udf}
+    val kill = udf { (_: Long) =>
+      if (new java.io.File(marker).mkdir()) Runtime.getRuntime.halt(137)
+      true
+    }
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .filter(kill(col("doc_id")))
+    val q = graft.streaming.StreamingQueries.p2Transform(stream)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
