@@ -78,8 +78,13 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
     }
     releaseCaches()
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the timed passes (builder
+    // iteration knob; the driver never sets it -> full inventory)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def timedPass(pass: Int): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
           case e: Throwable =>

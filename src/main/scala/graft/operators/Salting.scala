@@ -49,4 +49,31 @@ object Salting {
       .agg(sum(col(value)).as("__partial"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(s"sum_$value"))
+
+  /** Salted inner equi-join for a skewed LEFT (fact) side — the classic
+    * replicate-the-build-side rewrite that AQE's skew-split performs at
+    * runtime, spelled explicitly for engines/paths where AQE cannot see
+    * the skew (a first shuffle whose stats AQE never gets, or a key so
+    * hot that one reducer would still own it after coalescing):
+    *
+    *   fact:  salt = pmod(hash(saltBy), n)     — hot key spread over n
+    *   dim:   replicated once per salt value   — n small copies
+    *   join on (key, salt), salt dropped after
+    *
+    * Equivalent to `left.join(right, leftKey === rightKey)` for inner
+    * joins (pinned by SkewSpec); the dim side grows n×, so use it when
+    * the dim is broadcast-small-ish but the join must still shuffle
+    * (e.g. the dim outgrew the broadcast threshold). Cost model at
+    * 100 TB: the fact side shuffles once either way; the rewrite buys a
+    * bounded max-reducer at the price of n× the (small) dim bytes.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String, n: Int = 16,
+                 saltBy: Seq[String] = Seq.empty): DataFrame = {
+    val fact = left.withColumn("__salt", saltCol(left, saltBy, n))
+    val dim = right.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
+    fact.join(dim,
+        fact(leftKey) === dim(rightKey) && fact("__salt") === dim("__salt"))
+      .drop("__salt")
+  }
 }

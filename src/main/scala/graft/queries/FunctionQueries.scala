@@ -135,9 +135,38 @@ object FunctionQueries {
       Tables.load(spark, dir, "lineitem"))
       .orderBy("l_returnflag")
 
+  /** x30 — skew-safe salted equi-join through [[graft.operators.Salting
+    * .saltedJoin]] on a PLANTED zipfian-head key: every 5th event is
+    * rerouted to user 0 (`event_id % 5 = 0`), so one key owns ~20 % of
+    * the fact side — the hot-user regime where a plain shuffle join
+    * lands a fifth of the table on one reducer. The fact joins a
+    * per-user dimension derived from the same events table; the salted
+    * rewrite spreads user 0 over 16 salt buckets and replicates the
+    * 150-row dim 16×. The oracle gates the rewrite against the plain
+    * inner join it must equal (join multiplicity checked by summing the
+    * dim measure over joined rows). SkewSpec carries the other half of
+    * the skew story: AQE's runtime skew-split on the same shape, plus
+    * the wall-time envelope vs uniform data.
+    */
+  def x30SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    val fact = ev.select(
+      when(col("event_id") % 5 === 0, lit(0L)).otherwise(col("user_id")).as("uid"),
+      col("event_type"), col("value"))
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      .withColumnRenamed("user_id", "d_uid")
+    graft.operators.Salting
+      .saltedJoin(fact, dim, "uid", "d_uid", n = 16, saltBy = Seq("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("user_events").as("sum_user_events"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_kmv_distinct" -> (x20KmvDistinct _),
     "x21_salted_agg"   -> (x21SaltedAgg _),
+    "x30_skew_join"    -> (x30SkewJoin _),
     "x18_percentile"   -> (x18Percentile _),
     "x13_string_funcs" -> (x13StringFuncs _),
     "x14_date_funcs"   -> (x14DateFuncs _),
@@ -157,6 +186,19 @@ object FunctionQueries {
     "x21_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the plain inner join the salted rewrite must equal; SUM cast back
+    // to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT, Spark keeps LONG)
+    "x30_skew_join" ->
+      """SELECT f.event_type,
+        COUNT(*)                            AS cnt,
+        CAST(SUM(d.user_events) AS BIGINT)  AS sum_user_events
+      FROM (SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id END AS uid,
+                   event_type
+            FROM events) f
+      JOIN (SELECT user_id AS d_uid, COUNT(*) AS user_events
+            FROM events GROUP BY user_id) d
+        ON f.uid = d.d_uid
+      GROUP BY f.event_type ORDER BY f.event_type""",
     "x18_percentile" ->
       """SELECT o_orderstatus,
         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

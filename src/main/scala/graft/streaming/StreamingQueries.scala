@@ -264,6 +264,85 @@ object StreamingQueries {
     spark.table(qname).orderBy("wstart")
   }
 
+  /** x31's feed: TWO file-source directories so the join's inputs are
+    * separate streams — `views/a` (every view event) arrives in batch 1;
+    * `purchases/` serves an EMPTY file first, then `purchases/b` (every
+    * purchase event) in batch 2. Sequencing matters: the purchases
+    * stream is silent while the views load, so its watermark (and with
+    * min-policy, the GLOBAL watermark) stays at epoch and none of the
+    * view-side join state can be evicted before the purchases arrive —
+    * the join is exercised ACROSS batches (buffered state, not a
+    * single-batch co-join) yet stays deterministic: every match is
+    * emitted, and the batch inner join is an exact oracle. */
+  private def joinFeedFor(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_x31_feed_${feedKey(dir, "events", "_v1")}")
+    if (!new java.io.File(root, "_FEED_READY").exists()) {
+      val scratch = Files.createTempDirectory("graft_x31_build").toFile
+      val vDir = new java.io.File(scratch, "views")
+      val pDir = new java.io.File(scratch, "purchases")
+      require(vDir.mkdirs() && pDir.mkdirs(), s"cannot create feed dirs under $scratch")
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val t0 = 1600000000000L
+      writeOne(vDir)(events.filter(col("event_type") === "view"), "a", t0)
+      writeOne(pDir)(events.filter(lit(false)), "e", t0)
+      writeOne(pDir)(events.filter(col("event_type") === "purchase"), "b", t0 + 60000L)
+      new java.io.File(scratch, "_FEED_READY").createNewFile()
+      commitFeed(scratch, root)
+    }
+    root.toString
+  }
+
+  /** x31 — STREAM-STREAM inner join, the canonical hard streaming
+    * operator: purchases joined to the same user's views from the
+    * preceding day, both sides watermarked, with the event-time range
+    * condition Spark needs to bound join state (view rows are held
+    * only until the global watermark passes v_ts + 1 day + 30 s — at
+    * 100 TB ingest, state is one day-plus-slack of views, not the
+    * stream's history). The two-batch feed above forces the matches to
+    * come out of BUFFERED state: batch 1 loads every view into the
+    * join state store, batch 2 streams the purchases through it. Inner
+    * join in append mode emits each match as soon as both sides exist,
+    * and since nothing here is late, the batch inner join with the
+    * same predicate is an exact oracle. */
+  def x31StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+      // 4, not 8: a stream-stream join runs FOUR state stores per
+      // partition (keyToNumValues + keyWithIndexToValue, each side) and
+      // commits every one per micro-batch — partition count is 4x the
+      // commit lever it is for a plain stateful agg
+      withShufflePartitions(spark, 4) {
+    val feed = joinFeedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x31").toString
+    val vPath = s"$feed/views"
+    val pPath = s"$feed/purchases"
+    val vSchema = spark.read.parquet(vPath).schema
+    val views = spark.readStream.schema(vSchema)
+      .option("maxFilesPerTrigger", "1").parquet(vPath)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 seconds")
+    val purchases = spark.readStream.schema(vSchema)
+      .option("maxFilesPerTrigger", "1").parquet(pPath)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 seconds")
+    val qname = "x31_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = purchases.join(views,
+        col("user_id") === col("v_uid") &&
+          expr("v_ts BETWEEN p_ts - INTERVAL 1 DAY AND p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("purchase_id", "view_id")
+  }
+
   /** p2's feed: documents with a synthetic event time (epoch +
     * doc_id seconds — deterministic, monotone in doc_id), the on-time
     * ¾, an empty bridge, then a re-delivery of a third of them — the
@@ -353,6 +432,7 @@ object StreamingQueries {
     "r9_streaming_agg" -> (r9StreamingAgg _),
     "x27_stream_watermark" -> (x27StreamWatermark _),
     "x29_stream_dedup" -> (x29StreamDedup _),
+    "x31_stream_stream_join" -> (x31StreamStreamJoin _),
     "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
@@ -382,6 +462,15 @@ object StreamingQueries {
     "x29_stream_dedup" ->
       """SELECT event_id, ts, event_type FROM events
       WHERE event_id % 4 <> 0 ORDER BY event_id""",
+    // nothing in the two-batch feed is late, so the streaming inner
+    // join emits exactly the batch inner join with the same predicate
+    "x31_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+      FROM events p JOIN events v
+        ON p.event_type = 'purchase' AND v.event_type = 'view'
+       AND p.user_id = v.user_id
+       AND v.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+      ORDER BY purchase_id, view_id""",
     // p1's scoring arithmetic over the on-time subset; re-deliveries
     // contribute nothing (every duplicate is deduped or late-dropped)
     "p2_stream_pipeline" -> {

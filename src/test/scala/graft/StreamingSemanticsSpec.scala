@@ -97,4 +97,21 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkSuite {
       assert(got.contains((1L, 120L, 120L, 1L))) // closed by timeout after watermark advance
     } finally q.stop()
   }
+
+  test("stream-stream join across batches equals the batch join (x31)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingQueries.x31StreamStreamJoin(spark, dir)
+      .collect().map(_.toString)
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val want = p.join(v, col("user_id") === col("v_uid") &&
+        expr("v_ts BETWEEN p_ts - INTERVAL 1 DAY AND p_ts"))
+      .select("user_id", "purchase_id", "view_id")
+      .orderBy("purchase_id", "view_id")
+      .collect().map(_.toString)
+    assert(want.nonEmpty && got.sameElements(want))
+  }
 }
