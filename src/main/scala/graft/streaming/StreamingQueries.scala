@@ -343,6 +343,103 @@ object StreamingQueries {
     spark.table(qname).orderBy("purchase_id", "view_id")
   }
 
+  /** x32's feed: x31's two-source layout plus one far-future SENTINEL
+    * row per source (user_id = -1, ts = max + 10 min — matches nothing).
+    * The sentinels exist because LEFT OUTER emission is watermark-
+    * driven: an unmatched purchase may only be emitted null-padded once
+    * the GLOBAL watermark (min across inputs) proves no matching view
+    * can still arrive, so BOTH sources must advance past every real
+    * event time before the join state flushes. Batch order
+    * (maxFilesPerTrigger = 1, mtime-pinned): views a then sentinel;
+    * purchases empty, data, sentinel, then an empty TAIL batch —
+    * watermarks take effect one batch after the data that moves them,
+    * so the tail is where the sentinel-advanced watermark actually
+    * evicts (and null-emits) the final purchase from join state. */
+  private def outerJoinFeedFor(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_x32_feed_${feedKey(dir, "events", "_v2")}")
+    if (!new java.io.File(root, "_FEED_READY").exists()) {
+      val scratch = Files.createTempDirectory("graft_x32_build").toFile
+      val vDir = new java.io.File(scratch, "views")
+      val pDir = new java.io.File(scratch, "purchases")
+      require(vDir.mkdirs() && pDir.mkdirs(), s"cannot create feed dirs under $scratch")
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val sentinel = events.agg(lit(-1L).as("event_id"),
+        (max(col("ts")) + expr("INTERVAL 10 MINUTES")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"))
+      val t0 = 1600000000000L
+      writeOne(vDir)(events.filter(col("event_type") === "view"), "a", t0)
+      writeOne(vDir)(sentinel, "s", t0 + 60000L)
+      writeOne(pDir)(events.filter(lit(false)), "e", t0)
+      writeOne(pDir)(events.filter(col("event_type") === "purchase"), "b", t0 + 60000L)
+      writeOne(pDir)(sentinel, "s", t0 + 120000L)
+      writeOne(pDir)(events.filter(lit(false)), "z", t0 + 180000L)
+      new java.io.File(scratch, "_FEED_READY").createNewFile()
+      commitFeed(scratch, root)
+    }
+    root.toString
+  }
+
+  /** x32 — stream-stream LEFT OUTER join: x31's purchases⋈views with
+    * the unmatched purchases KEPT, null-padded. The semantics under
+    * test is watermark-driven emission: a match emits as soon as both
+    * rows exist (inner path), but an unmatched purchase can only emit
+    * once the global watermark passes the latest event time a matching
+    * view could still carry (p_ts, since v_ts ≤ p_ts) — before that,
+    * "unmatched" is indistinguishable from "match not yet arrived".
+    * The far-future sentinels push both input watermarks (and so the
+    * min-policy global watermark) past every real purchase, flushing
+    * the join state; the sentinels' own rows are filtered out after
+    * the join (stateless filter, exact). At 100 TB this is the ingest
+    * join that still emits every fact exactly once when the dimension
+    * stream is lossy — state stays bounded by the range condition and
+    * the unmatched rows surface with bounded delay instead of leaking
+    * state or being dropped. Oracle: the batch LEFT JOIN. */
+  def x32StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 4) {
+    val feed = outerJoinFeedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x32").toString
+    val vPath = s"$feed/views"
+    val pPath = s"$feed/purchases"
+    val schema = spark.read.parquet(pPath).schema
+    val views = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(vPath)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 seconds")
+    val purchases = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(pPath)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 seconds")
+    val qname = "x32_state_" + UUID.randomUUID().toString.replace("-", "")
+    // NO sentinel filter inside the streaming plan: Catalyst pushes a
+    // left-column filter through the left join all the way into the
+    // purchases SCAN, where parquet row-group pruning drops the
+    // sentinel file before the watermark operator ever sees it — the
+    // purchases watermark then never advances and the final purchase
+    // is never flushed. The sentinel cannot reach the sink anyway (its
+    // own emission would need the watermark to pass its ts, which the
+    // 30 s delay forbids); the batch-side filter below is a guard.
+    val q = purchases.join(views,
+        col("user_id") === col("v_uid") &&
+          expr("v_ts BETWEEN p_ts - INTERVAL 1 DAY AND p_ts"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // NULLS LAST to match DuckDB's ASC default (Spark defaults first)
+    spark.table(qname).filter(col("user_id") =!= -1L)
+      .orderBy(col("purchase_id"), col("view_id").asc_nulls_last)
+  }
+
   /** p2's feed: documents with a synthetic event time (epoch +
     * doc_id seconds — deterministic, monotone in doc_id), the on-time
     * ¾, an empty bridge, then a re-delivery of a third of them — the
@@ -433,6 +530,7 @@ object StreamingQueries {
     "x27_stream_watermark" -> (x27StreamWatermark _),
     "x29_stream_dedup" -> (x29StreamDedup _),
     "x31_stream_stream_join" -> (x31StreamStreamJoin _),
+    "x32_stream_outer_join" -> (x32StreamOuterJoin _),
     "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
@@ -470,6 +568,17 @@ object StreamingQueries {
         ON p.event_type = 'purchase' AND v.event_type = 'view'
        AND p.user_id = v.user_id
        AND v.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+      ORDER BY purchase_id, view_id""",
+    // matches emit on arrival, unmatched purchases emit null-padded
+    // once the sentinel-advanced global watermark proves no matching
+    // view can still arrive — together exactly the batch LEFT JOIN
+    "x32_stream_outer_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+      FROM events p LEFT JOIN events v
+        ON v.event_type = 'view'
+       AND p.user_id = v.user_id
+       AND v.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+      WHERE p.event_type = 'purchase'
       ORDER BY purchase_id, view_id""",
     // p1's scoring arithmetic over the on-time subset; re-deliveries
     // contribute nothing (every duplicate is deduped or late-dropped)
