@@ -87,12 +87,33 @@ object LlmQueries {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** l6 — STRATIFIED deterministic sampling: per-class keep rates over
+    * the same hash-threshold mechanism as l5 (rare, valuable classes
+    * kept whole; abundant ones downsampled) — the class-rebalancing
+    * sample a training-data pipeline draws. Membership stays a pure
+    * function of (key, class): reproducible across runs, cluster
+    * sizes and partitionings, and still a pure scan-side filter — the
+    * per-class threshold is a row-local CASE, so nothing shuffles and
+    * no per-class pass is needed (a groupBy-then-sample spelling would
+    * shuffle the whole table per epoch). */
+  def l6StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "event_type",
+        FunctionQueries.kmvHashSpark("event_id") + " AS h")
+      .filter(col("h") < expr("""CASE event_type
+        WHEN 'purchase' THEN 1000000007 WHEN 'signup' THEN 1000000007
+        WHEN 'click' THEN 100000000 WHEN 'view' THEN 200000000
+        ELSE 500000000 END"""))
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
     "l3_cosine_topk"   -> (l3CosineTopk _),
     "l4_near_dup_pairs" -> (l4NearDupPairs _),
     "l5_hash_sample"   -> (l5HashSample _),
+    "l6_stratified_sample" -> (l6StratifiedSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -120,6 +141,14 @@ object LlmQueries {
       ("SELECT doc_id FROM (SELECT doc_id, " +
         FunctionQueries.kmvHashDuck("doc_id") + " AS h FROM documents) t " +
         "WHERE h < 100000000 ORDER BY doc_id"),
+    "l6_stratified_sample" ->
+      ("SELECT event_id, event_type FROM (SELECT event_id, event_type, " +
+        FunctionQueries.kmvHashDuck("event_id") + " AS h FROM events) t " +
+        """WHERE h < CASE event_type
+          WHEN 'purchase' THEN 1000000007 WHEN 'signup' THEN 1000000007
+          WHEN 'click' THEN 100000000 WHEN 'view' THEN 200000000
+          ELSE 500000000 END
+        ORDER BY event_id"""),
   )
 
   /** DuckDB double-precision cosine between `$l.embedding` and

@@ -100,12 +100,39 @@ object TextQueries {
       GROUP BY tg ORDER BY cnt DESC, tg LIMIT 30""")
   }
 
+  /** t6 — PII scrubbing, the redaction stage every pretraining curation
+    * pipeline runs before training: emails → `<EMAIL>`, URLs → `<URL>`,
+    * long digit runs (ids/phones) → `<ID>`, in that order (emails and
+    * URLs would otherwise lose their digits to the id rule first). The
+    * synthetic corpus carries no real PII, so a DETERMINISTIC PII layer
+    * derived from doc_id is injected first and then scrubbed — the
+    * oracle applies the same injection + redaction in SQL, so what's
+    * gated is the redaction semantics, not luck about the corpus. Pure
+    * per-row codegen regexp work: scan-speed, shuffles only for the
+    * final ORDER BY. Patterns stay in the Java∩RE2 common subset so
+    * both engines match identically. */
+  def t6PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via https://ex.com/u/"), col("doc_id").cast("string"),
+      lit(" ref "), (col("doc_id") + 9000000000L).cast("string"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(dirty,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+          "[0-9]{9,}", "<ID>").as("clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"       -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count"   -> (t3TokenCount _),
     "t4_fingerprint"   -> (t4Fingerprint _),
     "t5_ngram_profile" -> (t5NgramProfile _),
+    "t6_pii_scrub"     -> (t6PiiScrub _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -143,6 +170,18 @@ object TextQueries {
         FROM documents ORDER BY doc_id""",
       "t4_fingerprint" ->
         s"SELECT doc_id, ${rollingHashDuck("text")} AS fp FROM documents ORDER BY doc_id",
+      // same injected PII layer, same redaction order; DuckDB needs the
+      // explicit 'g' flag where Spark's regexp_replace is global by default
+      "t6_pii_scrub" ->
+        """SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com via https://ex.com/u/' || CAST(doc_id AS VARCHAR)
+                 || ' ref ' || CAST(9000000000 + doc_id AS VARCHAR),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ ]+', '<URL>', 'g'),
+            '[0-9]{9,}', '<ID>', 'g') AS clean
+        FROM documents ORDER BY doc_id""",
       "t5_ngram_profile" ->
         """SELECT tg, COUNT(*) AS cnt FROM (
           SELECT unnest(list_transform(range(1, length(text) - 1),
