@@ -274,7 +274,7 @@ object StreamingQueries {
     * the join is exercised ACROSS batches (buffered state, not a
     * single-batch co-join) yet stays deterministic: every match is
     * emitted, and the batch inner join is an exact oracle. */
-  private def joinFeedFor(spark: SparkSession, dir: String): String = {
+  private[graft] def joinFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_x31_feed_${feedKey(dir, "events", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
@@ -306,6 +306,25 @@ object StreamingQueries {
     * join in append mode emits each match as soon as both sides exist,
     * and since nothing here is late, the batch inner join with the
     * same predicate is an exact oracle. */
+  /** The x31 join over any (views, purchases) streams — factored so the
+    * chaos-recovery spec can drive this exact definition through a
+    * restartable file sink (the memory-sink variant below is the
+    * oracle-checked one). Expects the raw feed schema on both inputs. */
+  def x31Join(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 seconds")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 seconds")
+    p.join(v,
+        col("user_id") === col("v_uid") &&
+          expr("v_ts BETWEEN p_ts - INTERVAL 1 DAY AND p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   def x31StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
       // 4, not 8: a stream-stream join runs FOUR state stores per
       // partition (keyToNumValues + keyWithIndexToValue, each side) and
@@ -319,19 +338,10 @@ object StreamingQueries {
     val vSchema = spark.read.parquet(vPath).schema
     val views = spark.readStream.schema(vSchema)
       .option("maxFilesPerTrigger", "1").parquet(vPath)
-      .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "30 seconds")
     val purchases = spark.readStream.schema(vSchema)
       .option("maxFilesPerTrigger", "1").parquet(pPath)
-      .select(col("event_id").as("purchase_id"), col("user_id").as("user_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "30 seconds")
     val qname = "x31_state_" + UUID.randomUUID().toString.replace("-", "")
-    val q = purchases.join(views,
-        col("user_id") === col("v_uid") &&
-          expr("v_ts BETWEEN p_ts - INTERVAL 1 DAY AND p_ts"))
-      .select(col("user_id"), col("purchase_id"), col("view_id"))
+    val q = x31Join(views, purchases)
       .writeStream
       .outputMode("append")
       .format("memory")

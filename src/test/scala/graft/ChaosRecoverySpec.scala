@@ -158,6 +158,56 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"restart broke exactly-once: ${got.size} rows vs clean ${p2CleanManifest.size}")
   }
 
+  // ---- x31 stream-stream join chaos scenario -------------------------------
+
+  private lazy val x31Feed: String =
+    graft.streaming.StreamingQueries.joinFeedFor(spark, "/root/testdata/sf0.01")
+
+  private def startX31(out: String, ckpt: String, trigger: Trigger) = {
+    val schema = spark.read.parquet(s"$x31Feed/purchases").schema
+    def src(sub: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$x31Feed/$sub")
+    graft.streaming.StreamingQueries.x31Join(src("views"), src("purchases"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(trigger).start()
+  }
+
+  private def x31Manifest(out: String): Seq[String] =
+    spark.read.parquet(out).orderBy("purchase_id", "view_id")
+      .collect().map(_.toString).toSeq
+
+  test("stream-stream join killed mid-feed resumes from checkpoint; matches exactly-once") {
+    // clean reference run through the same file sink
+    val cleanWork = Files.createTempDirectory("x31_clean").toString
+    val qc = startX31(s"$cleanWork/out", s"$cleanWork/ckpt", Trigger.AvailableNow())
+    qc.awaitTermination()
+    val clean = x31Manifest(s"$cleanWork/out")
+    assert(clean.nonEmpty, "clean x31 run produced no matches")
+
+    // run 1: stop as soon as the first non-empty batch commits — the
+    // views are then BUFFERED in join state but the purchases have not
+    // arrived, so every match depends on state restored from checkpoint
+    val work = Files.createTempDirectory("x31_restart").toString
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val q1 = startX31(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
+    q1.stop()
+    q1.awaitTermination()
+    // run 2: same checkpoint, drain the rest — purchases must join
+    // against the RESTORED view-side state
+    val q2 = startX31(out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = x31Manifest(out)
+    assert(got == clean,
+      s"restart broke the join: ${got.size} rows vs clean ${clean.size}")
+  }
+
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {
     val work = Files.createTempDirectory("chaos_p2").toString
     val marker = s"$work/killed"
