@@ -176,6 +176,41 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m7 — a real LOSSY codec behind the same seam: the JDK's JPEG
+    * implementation (DCT + quantization at quality 0.95). Lossy means
+    * the pixel sum is NOT oracle-reproducible — what survives the
+    * roundtrip exactly is the geometry (width, height, pixel count),
+    * and what survives approximately is the signal, which this query
+    * turns into an oracle-checkable bit: `within_tol` = 1 iff the mean
+    * absolute error between the decoded samples and the source bytes
+    * is ≤ 8 grey levels (MultimodalKernelSpec measures the actual
+    * error at ~1.1 mean / &lt;2.5 max-per-doc on the corpus, so the
+    * bound has ~3× headroom without being vacuous — a stride bug,
+    * channel mixup or truncation pushes MAE to ~85 on uniform-random
+    * bytes). This is the decode contract a crawled-JPEG pipeline runs:
+    * bytes → BufferedImage → typed metadata + quality gate. */
+  def m7JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val jpg = MultimodalKernels.encodeJpeg(bytes)
+          val (w, h, px) = MultimodalKernels.decodeJpeg(jpg)
+          var i = 0
+          var err = 0L
+          while (i < bytes.length) {
+            err += math.abs(px(i) - (bytes(i) & 0xff))
+            i += 1
+          }
+          val mae = if (bytes.isEmpty) 0.0 else err.toDouble / bytes.length
+          (id, w, h, w * h, if (mae <= 8.0) 1L else 0L)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "n_px", "within_tol")
+      .orderBy("doc_id")
+  }
+
   /** m3 — frame sampling: treat the payload as a sequence and keep every
     * k-th unit (the video-frame-sampling access pattern: decode only the
     * sampled frames). Units here are whitespace tokens; a real pipeline
@@ -197,6 +232,7 @@ object MultimodalQueries {
     "m4_resize"            -> (m4Resize _),
     "m5_image_decode"      -> (m5ImageDecode _),
     "m6_audio_decode"      -> (m6AudioDecode _),
+    "m7_jpeg_decode"       -> (m7JpegDecode _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,6 +289,19 @@ object MultimodalQueries {
         "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> ord(text[i]))), 0) " +
         "% 1000000007 AS BIGINT) AS sample_sum " +
         "FROM documents ORDER BY doc_id"),
+    // m7 runs the JDK's LOSSY JPEG codec: the geometry survives the
+    // roundtrip exactly (oracle-computable), the signal only
+    // approximately — so the oracle pins the bounded-error GATE
+    // (within_tol = 1 for every document), not the pixel values. A
+    // codec regression (stride, channel order, truncation, quality
+    // misconfig) drives MAE far past the 8-grey-level bound and flips
+    // the column.
+    "m7_jpeg_decode" ->
+      ("SELECT doc_id, CAST(32 AS BIGINT) AS width, " +
+        "CAST(greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS height, " +
+        "CAST(32 * greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS n_px, " +
+        "CAST(1 AS BIGINT) AS within_tol " +
+        "FROM documents ORDER BY doc_id"),
   )
 }
 
@@ -299,6 +348,57 @@ object MultimodalKernels {
       y += 1
     }
     (img.getWidth.toLong, img.getHeight.toLong, sum)
+  }
+
+  /** bytes → real JPEG: same 32-wide grayscale layout as [[encodePng]]
+    * but through the JDK's LOSSY DCT codec, quality pinned to 0.95
+    * explicitly (the default 0.75 loses ~3 grey levels MAE on random
+    * bytes; 0.95 keeps the roundtrip within ~1–2 — tight enough that
+    * m7's `within_tol` gate is meaningful). A writer instance per call:
+    * ImageWriter is stateful and NOT thread-safe across the 32 decode
+    * tasks. */
+  def encodeJpeg(bytes: Array[Byte]): Array[Byte] = {
+    val w = 32
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % w, i / w, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** JPEG → (width, height, band-0 samples row-major) via the decoded
+    * raster ONLY — the lossy twin of [[decodePng]]'s contract. */
+  def decodeJpeg(jpeg: Array[Byte]): (Long, Long, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w.toLong, h.toLong, px)
   }
 
   /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.

@@ -18,13 +18,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  /** start/last are event-time MICROseconds — `Timestamp.getTime` is
+    * millis and silently truncates the source's microsecond component
+    * (caught by x33's DuckDB oracle, which keeps full precision). */
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
 
   def sessions(spark: SparkSession, events: Dataset[Event],
                gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
@@ -35,19 +47,19 @@ object Sessionize {
             // watermark passed (last + gap): close and emit the session
             val s = state.get
             state.remove()
-            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            Iterator.single(Session(user, toTs(s.start), toTs(s.last), s.n))
           } else {
             // micro-batch arrivals for this user, in event-time order
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
-                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  closed ::= Session(user, toTs(s.start), toTs(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -55,7 +67,9 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // timeout API is millisecond-granular; round UP so the
+              // session cannot close before last + gap has fully passed
+              state.setTimeoutTimestamp((s.last + gapUs + 999L) / 1000L)
             }
             closed.reverseIterator
           }

@@ -450,6 +450,92 @@ object StreamingQueries {
       .orderBy(col("purchase_id"), col("view_id").asc_nulls_last)
   }
 
+  /** x33's feed: the events stream in TWO ts-ordered halves (split at
+    * the time-range midpoint — batch 2 never delivers an event older
+    * than batch 1's max, so cross-batch session state only ever extends
+    * forward), then one far-future SENTINEL (user −1, max ts + 100 min)
+    * and an empty TAIL batch. The sentinel exists because
+    * `flatMapGroupsWithState` with an event-time timeout only CLOSES a
+    * still-open session when the watermark passes `last + gap`; with a
+    * 1 h watermark delay the sentinel pushes the final watermark to
+    * max + 40 min > every possible `last + 30 min`, and since a
+    * watermark takes effect one batch after the data that moves it, the
+    * tail batch is where the timeouts actually fire. (The 1 h delay ≥
+    * the 30 min gap also guarantees no session closes EARLY across the
+    * batch boundary: any batch-2 event that could merge with an open
+    * session implies `last > mid − 30 min`, putting the session's
+    * timeout safely above the mid − 1 h watermark.) */
+  private def sessionFeedFor(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_x33_feed_${feedKey(dir, "events", "_v1")}")
+    if (!new java.io.File(root, "_FEED_READY").exists()) {
+      val scratch = Files.createTempDirectory("graft_x33_build").toFile
+      val events = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      // midpoint as a broadcast 1-row join, not a driver collect
+      val mid = events.agg(expr(
+        "timestamp_micros((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2)").as("mid"))
+      val withMid = events.crossJoin(broadcast(mid))
+      val sentinel = events.agg(lit(-1L).as("user_id"),
+        (max(col("ts")) + expr("INTERVAL 100 MINUTES")).as("ts"),
+        lit("sentinel").as("event_type"))
+      val w = writeOne(scratch) _
+      val t0 = 1600000000000L
+      w(withMid.filter(col("ts") <= col("mid")).drop("mid"), "a", t0)
+      w(withMid.filter(col("ts") > col("mid")).drop("mid"), "b", t0 + 60000L)
+      w(sentinel, "s", t0 + 120000L)
+      w(events.filter(lit(false)), "z", t0 + 180000L)
+      new java.io.File(scratch, "_FEED_READY").createNewFile()
+      commitFeed(scratch, root)
+    }
+    root.toString
+  }
+
+  /** x33 — ARBITRARY per-key streaming state via
+    * `flatMapGroupsWithState` ([[Sessionize]]): gap-based sessionization
+    * of the events stream, the general-state primitive none of the
+    * built-in stateful operators (agg / dedup / session_window / join)
+    * covers — user code owns the per-key state record, its merge rule
+    * and its event-time expiry. State is ONE open session per user
+    * (start, last, n) — O(users), not O(events) — and the timeout
+    * mechanism is the same watermark machinery that bounds every other
+    * stateful operator, so the 100 TB posture matches x27/x29.
+    * Session boundaries depend only on event times, so the batch
+    * gaps-and-islands SQL is an exact oracle (break when the inactivity
+    * gap exceeds 30 min; session end = last event, not last + gap —
+    * [[Sessionize]]'s rule, deliberately distinct from x28's
+    * `session_window` convention, and the oracle pins WHICH rule the
+    * operator implements). */
+  def x33StatefulSessions(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    val feed = sessionFeedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x33").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val qname = "x33_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = Sessionize.sessions(spark, stream.as[Sessionize.Event], gapMinutes = 30)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // sentinel guard on the BATCH side (a filter inside the streaming
+    // plan could be pushed into the scan and starve the watermark —
+    // the x32 lesson); the sentinel's own session never emits anyway
+    // (its timeout sits past the final watermark)
+    spark.table(qname).filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("start").as("session_start"),
+        col("end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** p2's feed: documents with a synthetic event time (epoch +
     * doc_id seconds — deterministic, monotone in doc_id), the on-time
     * ¾, an empty bridge, then a re-delivery of a third of them — the
@@ -541,6 +627,7 @@ object StreamingQueries {
     "x29_stream_dedup" -> (x29StreamDedup _),
     "x31_stream_stream_join" -> (x31StreamStreamJoin _),
     "x32_stream_outer_join" -> (x32StreamOuterJoin _),
+    "x33_stateful_sessions" -> (x33StatefulSessions _),
     "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
@@ -590,6 +677,28 @@ object StreamingQueries {
        AND v.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
       WHERE p.event_type = 'purchase'
       ORDER BY purchase_id, view_id""",
+    // session boundaries depend only on event times, so gaps-and-islands
+    // over the batch table is exact: break where the inactivity gap
+    // EXCEEDS 30 min (Sessionize merges gap <= 30 min — the complement
+    // of x28's session_window rule, which breaks at >= 30 min);
+    // session_end = last event's ts (no +gap), n_events counts rows
+    "x33_stateful_sessions" ->
+      """WITH e AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM e)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM g GROUP BY user_id, grp
+      ORDER BY user_id, session_start""",
     // p1's scoring arithmetic over the on-time subset; re-deliveries
     // contribute nothing (every duplicate is deduped or late-dropped)
     "p2_stream_pipeline" -> {

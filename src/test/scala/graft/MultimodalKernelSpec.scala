@@ -44,6 +44,29 @@ class MultimodalKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("m7 payloads are real JPEGs and the lossy roundtrip is bounded-error") {
+    var worstMae = 0.0
+    payloads.foreach { bytes =>
+      val jpg = MultimodalKernels.encodeJpeg(bytes)
+      // SOI marker, then a JFIF/EXIF APPn segment
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+      val (w, h, px) = MultimodalKernels.decodeJpeg(jpg)
+      assert(w == 32)
+      assert(h == math.max(1, (bytes.length + 31) / 32))
+      assert(px.length == (w * h).toInt)
+      var err = 0L
+      var i = 0
+      while (i < bytes.length) { err += math.abs(px(i) - (bytes(i) & 0xff)); i += 1 }
+      val mae = if (bytes.isEmpty) 0.0 else err.toDouble / bytes.length
+      worstMae = math.max(worstMae, mae)
+      // m7's oracle gate is MAE <= 8; uniform-random bytes are the
+      // worst case for a DCT codec and still decode within ~2.5 at
+      // quality 0.95 — a stride/channel/truncation bug lands near 85
+      assert(mae <= 8.0, s"JPEG roundtrip MAE $mae out of tolerance (len ${bytes.length})")
+    }
+    info(f"worst roundtrip MAE across payloads: $worstMae%.3f (gate: 8.0)")
+  }
+
   private def fixture(name: String): Array[Byte] = {
     val is = getClass.getResourceAsStream(s"/fixtures/$name")
     assert(is != null, s"missing checked-in fixture $name")
@@ -65,5 +88,19 @@ class MultimodalKernelSpec extends AnyFunSuite {
       ((8000L, 1L, 39L, 4182L)), "8 kHz u8 PCM with 0/255 extremes")
     assert(MultimodalKernels.decodeWav(fixture("foreign_16k.wav")) ==
       ((16000L, 1L, 101L, 12399L)), "16 kHz u8 PCM: rate read from header")
+  }
+
+  test("FOREIGN JPEGs (external encoders) parse to their known geometry") {
+    // Fixtures produced by genuinely foreign encoders (test images
+    // shipped with the IPython and CPython source distributions) —
+    // proves the decoder handles real-world JPEG streams, not just the
+    // JDK writer's output. Pixel values are NOT pinned (lossy decode is
+    // IDCT-implementation-specific); geometry and signal presence are.
+    val (w1, h1, px1) = MultimodalKernels.decodeJpeg(fixture("foreign_2x2.jpg"))
+    assert((w1, h1) == ((2L, 2L)), s"2x2.jpg decoded as ${w1}x$h1")
+    assert(px1.length == 4)
+    val (w2, h2, px2) = MultimodalKernels.decodeJpeg(fixture("foreign_logo.jpg"))
+    assert((w2, h2) == ((16L, 16L)), s"logo decoded as ${w2}x$h2")
+    assert(px2.exists(_ > 0), "logo decoded to all-black — band wiring broken")
   }
 }

@@ -88,19 +88,28 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
 
   test("skewed join wall time stays within the uniform envelope under AQE") {
     withConfs(skewConfs: _*) {
-      def bestOf(reps: Int)(f: DataFrame): Double =
-        (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          joinShape(f, dim(200)).collect()
-          (System.nanoTime() - t0) / 1e9
-        }.min
+      def timed(f: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        joinShape(f, dim(200)).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
       val n = 600000L
-      bestOf(1)(fact(n, 0, 200)) // untimed: JIT + codegen for the shape
-      val uniform = bestOf(3)(fact(n, 0, 200))
-      val skewed = bestOf(3)(fact(n, 30, 200))
-      // envelope: 2x per the plan-audit claim, plus a 0.5 s absolute
+      timed(fact(n, 0, 200)) // untimed: JIT + codegen for the shape
+      // INTERLEAVED passes (u,s,u,s,u,s), min per arm: when the whole
+      // suite (or a co-tenant) competes for the cores, a CPU burst
+      // lands inside one interleaving slot, not on one whole arm —
+      // back-to-back arms made this flake under `sbt test`'s
+      // suite-level parallelism
+      val pairs = (1 to 3).map { _ =>
+        (timed(fact(n, 0, 200)), timed(fact(n, 30, 200)))
+      }
+      val uniform = pairs.map(_._1).min
+      val skewed = pairs.map(_._2).min
+      // envelope: 2x per the plan-audit claim, plus a 1 s absolute
       // floor so scheduler jitter on a sub-second join can't flake it
-      assert(skewed <= math.max(2.0 * uniform, uniform + 0.5),
+      // (an unsplit 30 %-hot partition costs ~27x the median reducer,
+      // far outside either bound)
+      assert(skewed <= math.max(2.0 * uniform, uniform + 1.0),
         f"skewed $skewed%.2f s vs uniform $uniform%.2f s — hot partition is serializing the join")
     }
   }
