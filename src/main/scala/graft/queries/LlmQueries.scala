@@ -107,6 +107,33 @@ object LlmQueries {
       .select("event_id", "event_type")
       .orderBy("event_id")
 
+  /** l7 — SEQUENCE-PACKING bookkeeping: assign every document a
+    * (shard, pack) slot under a fixed token budget — the step that
+    * turns a curated corpus into training sequences. Documents are
+    * hash-SHARDED first (pure function of doc_id, same stability story
+    * as l5: membership survives reruns, cluster resizes and
+    * repartitioning), then packed greedily in doc_id order within the
+    * shard: a doc's pack is its running start offset integer-divided
+    * by the 2048-token budget. The only wide operation is ONE window
+    * per shard — partition-local sort, no global sort, no shuffle
+    * beyond the shard exchange — and shards are independent, so at
+    * 100 TB parallelism is the shard count (8 here for test data;
+    * a real run uses ~#cores×k shards). Boundary docs straddle two
+    * budget windows by design — the trainer's concat-and-split view —
+    * so the bookkeeping stays a scan+window instead of a sequential
+    * bin-packing loop no engine can parallelize. */
+  def l7SequencePack(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        s"CAST(${FunctionQueries.kmvHashSpark("doc_id")} % 8 AS BIGINT) AS shard")
+      .selectExpr("shard", "doc_id", "n_tokens",
+        """CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           DIV 2048 AS BIGINT) AS pack_id""")
+      .orderBy("shard", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
@@ -114,6 +141,7 @@ object LlmQueries {
     "l4_near_dup_pairs" -> (l4NearDupPairs _),
     "l5_hash_sample"   -> (l5HashSample _),
     "l6_stratified_sample" -> (l6StratifiedSample _),
+    "l7_sequence_pack" -> (l7SequencePack _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,6 +177,20 @@ object LlmQueries {
           WHEN 'click' THEN 100000000 WHEN 'view' THEN 200000000
           ELSE 500000000 END
         ORDER BY event_id"""),
+    // the same shard-then-greedy-pack bookkeeping: running start
+    // offset (window sum up to 1 PRECEDING) integer-divided by the
+    // 2048-token budget; // is DuckDB's integer division, and the
+    // outer CAST collapses its HUGEINT window-sum arithmetic to
+    // Spark's BIGINT
+    "l7_sequence_pack" ->
+      ("""WITH t AS (SELECT doc_id,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST((""" + FunctionQueries.kmvHashDuck("doc_id") + """) % 8 AS BIGINT) AS shard
+        FROM documents)
+      SELECT shard, doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+      FROM t ORDER BY shard, doc_id"""),
   )
 
   /** DuckDB double-precision cosine between `$l.embedding` and

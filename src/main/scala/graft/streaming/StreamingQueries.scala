@@ -465,7 +465,7 @@ object StreamingQueries {
     * batch boundary: any batch-2 event that could merge with an open
     * session implies `last > mid − 30 min`, putting the session's
     * timeout safely above the mid − 1 h watermark.) */
-  private def sessionFeedFor(spark: SparkSession, dir: String): String = {
+  private[graft] def sessionFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_x33_feed_${feedKey(dir, "events", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {

@@ -208,6 +208,63 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"restart broke the join: ${got.size} rows vs clean ${clean.size}")
   }
 
+  // ---- x33 stateful sessionization chaos scenario --------------------------
+
+  private lazy val x33Feed: String =
+    graft.streaming.StreamingQueries.sessionFeedFor(spark, "/root/testdata/sf0.01")
+
+  private def startX33(out: String, ckpt: String, trigger: Trigger) = {
+    import spark.implicits._
+    val schema = spark.read.parquet(x33Feed).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(x33Feed)
+    graft.streaming.Sessionize
+      .sessions(spark, stream.as[graft.streaming.Sessionize.Event], gapMinutes = 30)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(trigger).start()
+  }
+
+  private def x33Manifest(out: String): Seq[String] =
+    spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("user_id") =!= -1L)
+      .orderBy("user_id", "start").collect().map(_.toString).toSeq
+
+  test("stateful sessionization killed mid-feed resumes from checkpoint; sessions exactly-once") {
+    // clean reference run through the same file sink (the memory-sink
+    // x33 variant is DuckDB-oracle-checked in CORRECTNESS; equality to
+    // this clean run chains that trust to the file sink)
+    val cleanWork = Files.createTempDirectory("x33_clean").toString
+    val qc = startX33(s"$cleanWork/out", s"$cleanWork/ckpt", Trigger.AvailableNow())
+    qc.awaitTermination()
+    val clean = x33Manifest(s"$cleanWork/out")
+    assert(clean.nonEmpty, "clean x33 run produced no sessions")
+
+    // run 1: stop after the first non-empty batch — only the first
+    // ts-half has arrived, so every session that spans the halves (or
+    // closes later by timeout) lives ONLY in flatMapGroupsWithState
+    // state; run 2 must restore that user-defined state, not rebuild it
+    val work = Files.createTempDirectory("x33_restart").toString
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val q1 = startX33(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
+    q1.stop()
+    q1.awaitTermination()
+    // run 2: same checkpoint, drain the rest — batch-2 events must
+    // merge into sessions RESTORED from checkpointed state, and the
+    // sentinel-driven timeouts must close them all
+    val q2 = startX33(out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = x33Manifest(out)
+    assert(got == clean,
+      s"restart broke sessionization: ${got.size} rows vs clean ${clean.size}")
+  }
+
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {
     val work = Files.createTempDirectory("chaos_p2").toString
     val marker = s"$work/killed"
