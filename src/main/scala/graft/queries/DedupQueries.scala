@@ -44,6 +44,12 @@ object DedupQueries {
   private def jacSpark(a: String, b: String): String =
     s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b))"
 
+  /** The 8 × 2-row LSH band structs over a `mh` minhash array — shared
+    * by d1 (intra-corpus pair mining) and d6 (incremental ingest). */
+  private val bandStructsSpark: String = (0 until 8).map(k =>
+    s"named_struct('bi', $k, 'bk', concat(CAST(mh[${2 * k}] AS STRING), '_', CAST(mh[${2 * k + 1}] AS STRING)))")
+    .mkString(", ")
+
   // --- shared DuckDB fragments --------------------------------------------
 
   private val shingleCteDuck: String =
@@ -106,13 +112,10 @@ object DedupQueries {
     spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .createOrReplaceTempView("ids")
-    val bandStructs = (0 until 8).map(k =>
-      s"named_struct('bi', $k, 'bk', concat(CAST(mh[${2 * k}] AS STRING), '_', CAST(mh[${2 * k + 1}] AS STRING)))")
-      .mkString(", ")
     spark.sql(s"""
       WITH mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
       eb AS (SELECT doc_id, band.bi AS bi, band.bk AS bk
-             FROM mh LATERAL VIEW explode(array($bandStructs)) AS band),
+             FROM mh LATERAL VIEW explode(array($bandStructsSpark)) AS band),
       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
       ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
@@ -208,12 +211,56 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // --- d6: incremental (new-batch-vs-base) dedup ----------------------------
+
+  /** d6 — INCREMENTAL dedup, the shape a production ingest actually
+    * runs: the corpus is already deduped (the "base"); only the
+    * incoming batch needs checking, AGAINST the base — never base ×
+    * base again. Here incoming = doc_id % 4 == 0, base = the rest
+    * (stand-ins for "this crawl" vs "the corpus"). Two asymmetric
+    * passes, both equi-joins: exact (sha-256 match — only (hash, id)
+    * shuffles, the l1 trick) and near-dup (d1's banded MinHash, but the
+    * band join is incoming × base only, so candidate cost follows the
+    * BATCH size, not the corpus size). Accepted = incoming minus both
+    * victim sets, via NOT EXISTS (planned as LEFT ANTI joins on 8-byte
+    * ids — the wide text column never moves). At 100 TB the base-side
+    * signature table is a precomputed index maintained across ingests
+    * (amortized exactly like d1's persisted ids); intra-batch dedup
+    * composes by running l1/d1 over the accepted set afterwards. */
+  def d6IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH $idsCteSpark,
+      mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
+      eb AS (SELECT doc_id, band.bi AS bi, band.bk AS bk
+             FROM mh LATERAL VIEW explode(array($bandStructsSpark)) AS band),
+      exact_dup AS (SELECT DISTINCT n.doc_id
+                    FROM (SELECT doc_id, sha2(text, 256) AS h FROM documents
+                          WHERE doc_id % 4 = 0) n
+                    JOIN (SELECT sha2(text, 256) AS h FROM documents
+                          WHERE doc_id % 4 <> 0) b ON n.h = b.h),
+      cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+               FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk
+               WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+      near_dup AS (SELECT DISTINCT c.i AS doc_id
+                   FROM cand c JOIN ids ia ON ia.doc_id = c.i
+                   JOIN ids ib ON ib.doc_id = c.j
+                   WHERE ${jacSpark("ia.ids", "ib.ids")} >= $jacThreshold)
+      SELECT d.doc_id, d.n_chars FROM documents d
+      WHERE d.doc_id % 4 = 0
+        AND NOT EXISTS (SELECT 1 FROM exact_dup e WHERE e.doc_id = d.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM near_dup nd WHERE nd.doc_id = d.doc_id)
+      ORDER BY d.doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
     "d4_dedup_clusters" -> (d4DedupClusters _),
     "d5_dedup_survivors" -> (d5DedupSurvivors _),
+    "d6_incremental_dedup" -> (d6IncrementalDedup _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -300,6 +347,31 @@ object DedupQueries {
         SELECT d.doc_id, d.n_chars FROM documents d
         JOIN labels l ON l.doc_id = d.doc_id
         WHERE l.cluster = l.doc_id ORDER BY d.doc_id""",
+      // the incremental gate restated: incoming (doc_id % 4 = 0) minus
+      // exact text matches against the base and minus band-join
+      // candidates that verify at jaccard >= threshold (plain text
+      // equality replaces the sha-256 match — identical semantics, the
+      // hash is only a shuffle-size optimization on the Spark side)
+      "d6_incremental_dedup" ->
+        s"""WITH $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        exact_dup AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents b
+                      ON n.doc_id % 4 = 0 AND b.doc_id % 4 <> 0 AND n.text = b.text),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk
+                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+        near_dup AS (SELECT DISTINCT c.i AS doc_id
+                     FROM cand c JOIN ids ia ON ia.doc_id = c.i
+                     JOIN ids ib ON ib.doc_id = c.j
+                     WHERE ${jacDuck("ia.ids", "ib.ids")} >= $jacThreshold)
+        SELECT d.doc_id, d.n_chars FROM documents d
+        WHERE d.doc_id % 4 = 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+          AND d.doc_id NOT IN (SELECT doc_id FROM near_dup)
+        ORDER BY d.doc_id""",
     )
   }
 }

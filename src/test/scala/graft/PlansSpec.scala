@@ -89,4 +89,23 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("RoundRobinPartitioning") || p.contains("REPARTITION_BY_NUM"),
       p.take(3000))
   }
+
+  test("l7: sequence packing is one shard-partitioned window, no global sort under it") {
+    val p = plan("l7_sequence_pack")
+    // exactly one Window operator, running over hashpartitioning(shard)
+    assert("Window\\b".r.findAllMatchIn(p).size == 1, p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    // the only global (range) sort is the final presentation orderBy —
+    // never underneath the window, where it would serialize packing
+    val windowIdx = p.indexOf("Window")
+    val rangeIdx = p.indexOf("rangepartitioning")
+    assert(rangeIdx < windowIdx, // presentation sort sits ABOVE the window
+      s"global sort below the packing window:\n${p.take(3000)}")
+  }
+
+  test("d6: incremental accept gate plans as anti-joins on ids, never a nested loop") {
+    val p = plan("d6_incremental_dedup")
+    assert("LeftAnti".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("NestedLoop"), p.take(3000))
+  }
 }
