@@ -124,6 +124,23 @@ object ExtensionQueries {
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
       .orderBy("ws", "event_type")
 
+  /** x34 — SLIDING event-time windows (1-hour width, 15-minute slide):
+    * the overlapping-window semantics x7 (tumbling) and x28 (session)
+    * don't cover. Spark's `window` with a slide plans one Expand (each
+    * event replicated into its width/slide = 4 windows) feeding the
+    * usual partial+final aggregate — the streaming-capable sliding
+    * trend counter. Shuffle volume is 4× the tumbling case BY DESIGN
+    * (that's the semantics), still one row per (window, type) after
+    * map-side combine. The oracle reconstructs window membership
+    * arithmetically: an event at ts belongs to the 4 grid windows
+    * starting in (ts − 1 h, ts]. */
+  def x34SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_equi_join"    -> (x1EquiJoin _),
     "x2_join_agg"     -> (x2JoinAgg _),
@@ -133,6 +150,7 @@ object ExtensionQueries {
     "x26_except_all"  -> (x26ExceptAll _),
     "x6_scalar_funcs" -> (x6ScalarFuncs _),
     "x7_event_window" -> (x7EventWindow _),
+    "x34_sliding_window" -> (x34SlidingWindow _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,5 +186,14 @@ object ExtensionQueries {
     "x7_event_window" ->
       ("SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),
+    // sliding membership reconstructed: each event belongs to the 4
+    // quarter-hour-grid windows starting in (ts - 1h, ts] — starts
+    // floor15(ts) - k*15min for k in 0..3 (time_bucket's origin is
+    // midnight-aligned, same 15-min grid as Spark's epoch alignment)
+    "x34_sliding_window" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS ws,
+             event_type, COUNT(*) AS cnt
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+      GROUP BY ws, event_type ORDER BY ws, event_type""",
   )
 }

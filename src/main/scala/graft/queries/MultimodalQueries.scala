@@ -211,6 +211,43 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m8 — the VIDEO access pattern with a real codec: the payload
+    * becomes an MJPEG-style stream (128-byte chunks, each an
+    * independent JDK-encoded JPEG, concatenated), the kernel DEMUXES
+    * the container on JPEG frame boundaries (EOI scan — sound for
+    * baseline JPEG, see [[MultimodalKernels.demuxMjpeg]]) and decodes
+    * only every 2nd frame — m3's frame-sampling pattern upgraded from
+    * a stub to genuine container parsing + codec decode, the "decode
+    * only the sampled frames" economics a video pipeline lives on.
+    * Emitted metadata (frame count, sampled count, summed decoded
+    * frame heights) is all geometry, so the lossy codec is still
+    * oracle-exact. */
+  def m8MjpegFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val frames = MultimodalKernels.demuxMjpeg(
+            MultimodalKernels.encodeMjpeg(bytes))
+          var hSum = 0L
+          var sampled = 0L
+          var k = 0
+          while (k < frames.length) {
+            if (k % 2 == 0) {
+              val (_, h, _) = MultimodalKernels.decodeJpeg(frames(k))
+              hSum += h
+              sampled += 1
+            }
+            k += 1
+          }
+          (id, frames.length.toLong, sampled, hSum)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled", "h_sum")
+      .orderBy("doc_id")
+  }
+
   /** m3 — frame sampling: treat the payload as a sequence and keep every
     * k-th unit (the video-frame-sampling access pattern: decode only the
     * sampled frames). Units here are whitespace tokens; a real pipeline
@@ -233,6 +270,7 @@ object MultimodalQueries {
     "m5_image_decode"      -> (m5ImageDecode _),
     "m6_audio_decode"      -> (m6AudioDecode _),
     "m7_jpeg_decode"       -> (m7JpegDecode _),
+    "m8_mjpeg_frames"      -> (m8MjpegFrames _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -302,6 +340,23 @@ object MultimodalQueries {
         "CAST(32 * greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS n_px, " +
         "CAST(1 AS BIGINT) AS within_tol " +
         "FROM documents ORDER BY doc_id"),
+    // m8's demux + sample geometry, restated: nf 128-byte frames
+    // (empty doc -> one empty frame), every full frame decodes 32x4,
+    // the LAST frame's height follows its residual size, and the last
+    // frame is sampled iff its index (nf-1) is even
+    "m8_mjpeg_frames" ->
+      """SELECT doc_id, nf AS n_frames,
+           CAST(ceil(nf / 2.0) AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN (nf - 1) % 2 = 0
+                THEN (CAST(ceil(nf / 2.0) AS BIGINT) - 1) * 4 + hl
+                ELSE CAST(ceil(nf / 2.0) AS BIGINT) * 4 END AS BIGINT) AS h_sum
+      FROM (SELECT doc_id,
+              CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nf,
+              CAST(greatest(1, ceil((CASE WHEN length(text) = 0 THEN 0
+                     WHEN length(text) % 128 = 0 THEN 128
+                     ELSE length(text) % 128 END) / 32.0)) AS BIGINT) AS hl
+            FROM documents) t
+      ORDER BY doc_id""",
   )
 }
 
@@ -399,6 +454,39 @@ object MultimodalKernels {
       y += 1
     }
     (w.toLong, h.toLong, px)
+  }
+
+  /** bytes → a real MJPEG-style stream: the payload chunked into
+    * 128-byte frames, each encoded as an INDEPENDENT baseline JPEG
+    * ([[encodeJpeg]]), concatenated — the motion-JPEG container shape
+    * (every frame self-contained, no inter-frame prediction). */
+  def encodeMjpeg(bytes: Array[Byte]): Array[Byte] = {
+    val frames =
+      if (bytes.isEmpty) Iterator(Array.empty[Byte]) else bytes.grouped(128)
+    val baos = new java.io.ByteArrayOutputStream()
+    frames.foreach(f => baos.write(encodeJpeg(f)))
+    baos.toByteArray
+  }
+
+  /** Demux an MJPEG stream into its frames by scanning for EOI
+    * (FF D9) — sound for baseline JPEG because 0xFF inside
+    * entropy-coded data is byte-stuffed (FF 00) and restart markers
+    * are FF D0–D7, so FF D9 only ever terminates a frame. (Streams
+    * whose frames embed EXIF thumbnails — a whole JPEG inside an APP1
+    * segment — would need a segment-walking demux instead; the JDK
+    * encoder emits none.) */
+  def demuxMjpeg(stream: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var start = 0
+    var i = 0
+    while (i + 1 < stream.length) {
+      if ((stream(i) & 0xff) == 0xff && (stream(i + 1) & 0xff) == 0xd9) {
+        out += java.util.Arrays.copyOfRange(stream, start, i + 2)
+        start = i + 2
+        i += 2
+      } else i += 1
+    }
+    out.toSeq
   }
 
   /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.

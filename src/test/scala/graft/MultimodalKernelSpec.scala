@@ -67,6 +67,26 @@ class MultimodalKernelSpec extends AnyFunSuite {
     info(f"worst roundtrip MAE across payloads: $worstMae%.3f (gate: 8.0)")
   }
 
+  test("m8 MJPEG streams demux on frame boundaries and every frame decodes") {
+    payloads.foreach { bytes =>
+      val stream = MultimodalKernels.encodeMjpeg(bytes)
+      val frames = MultimodalKernels.demuxMjpeg(stream)
+      val expected = math.max(1, (bytes.length + 127) / 128)
+      assert(frames.length == expected,
+        s"demux found ${frames.length} frames, expected $expected (len ${bytes.length})")
+      assert(frames.map(_.length).sum == stream.length, "demux dropped bytes")
+      frames.zipWithIndex.foreach { case (f, k) =>
+        assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, s"frame $k lacks SOI")
+        val size = if (k < frames.length - 1) 128
+                   else if (bytes.isEmpty) 0
+                   else bytes.length - 128 * (frames.length - 1)
+        val (w, h, _) = MultimodalKernels.decodeJpeg(f)
+        assert(w == 32 && h == math.max(1, (size + 31) / 32),
+          s"frame $k decoded ${w}x$h for chunk size $size")
+      }
+    }
+  }
+
   private def fixture(name: String): Array[Byte] = {
     val is = getClass.getResourceAsStream(s"/fixtures/$name")
     assert(is != null, s"missing checked-in fixture $name")
