@@ -229,10 +229,19 @@ object DedupQueries {
     * composes by running l1/d1 over the accepted set afterwards. */
   def d6IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    // plain load, not loadSpread — same reasoning as d1: the persist
+    // right below is the barrier that matters, and matching d1's exact
+    // ids plan lets the cache manager (which dedups by canonicalized
+    // plan) share ONE materialization across d1/d4/d5/d6 in a session
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    // the plan references ids four times (mh, band side b via mh, and
+    // both verify sides) — persist it like d1 does, or the shingle
+    // kernel recomputes per reference
+    spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("ids")
     spark.sql(s"""
-      WITH $idsCteSpark,
-      mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
+      WITH mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
       eb AS (SELECT doc_id, band.bi AS bi, band.bk AS bk
              FROM mh LATERAL VIEW explode(array($bandStructsSpark)) AS band),
       exact_dup AS (SELECT DISTINCT n.doc_id

@@ -443,6 +443,9 @@ object MultimodalKernels {
     * raster ONLY — the lossy twin of [[decodePng]]'s contract. */
   def decodeJpeg(jpeg: Array[Byte]): (Long, Long, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    // ImageIO.read signals an undecodable payload with null, not an
+    // exception — turn it into a diagnosable error, not a bare NPE
+    require(img != null, s"payload (${jpeg.length} bytes) is not a decodable JPEG")
     val r = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
@@ -486,6 +489,11 @@ object MultimodalKernels {
         i += 2
       } else i += 1
     }
+    // fail loudly on a truncated final frame / trailing garbage —
+    // silently dropping the tail would undercount frames with no signal
+    require(start == stream.length,
+      s"MJPEG stream has ${stream.length - start} bytes after the last EOI " +
+        "(truncated frame or trailing garbage)")
     out.toSeq
   }
 

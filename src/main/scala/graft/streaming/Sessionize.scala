@@ -14,6 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * A session closes when its user is silent for `gapMinutes`. State per
   * key is one open session (start, last, count) — O(users) state, not
   * O(events); with event-time timeout + watermark this runs unbounded.
+  *
+  * Ordering contract: within a micro-batch events are sorted here, but
+  * ACROSS batches a key's events must arrive event-time-monotonically
+  * (a later batch never carries an event older than an earlier batch's
+  * for the same key) — the property a watermarked, time-ordered source
+  * provides and the x33 feed pins with its ts-range split. One open
+  * session per key cannot be correct under arbitrary cross-batch
+  * disorder: an event older than the open session may belong to a
+  * session already CLOSED and emitted. Mild disorder inside the open
+  * session's span is still handled exactly (both `start` and `last`
+  * move to cover the event).
   */
 object Sessionize {
 
@@ -57,7 +68,8 @@ object Sessionize {
               val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= Session(user, toTs(s.start), toTs(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -120,10 +120,52 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       .trigger(trigger).start()
   }
 
-  /** The uninterrupted p2 manifest through the same file sink — the
-    * reference both chaos scenarios must reproduce byte-for-byte. (The
-    * memory-sink p2 variant is DuckDB-oracle-checked in CORRECTNESS;
-    * equality to this clean run chains that trust to the file sink.) */
+  /** The shared kill-restart protocol: (1) a clean AvailableNow run
+    * through the file sink is the reference manifest; (2) a second run
+    * starts free-running and is STOPPED as soon as the first non-empty
+    * batch commits — mid-feed, with operator state and sink manifest
+    * both partially written; (3) the same checkpoint is drained with
+    * AvailableNow and must reproduce the clean manifest byte-for-byte.
+    * (Each query's memory-sink variant is DuckDB-oracle-checked in
+    * CORRECTNESS; equality to the clean run chains that trust to the
+    * file sink + checkpoint path.) */
+  private def killRestartScenario(label: String,
+      start: (String, String, Trigger) => org.apache.spark.sql.streaming.StreamingQuery,
+      manifest: String => Seq[String]): Unit = {
+    val cleanWork = Files.createTempDirectory(s"${label}_clean").toString
+    val qc = start(s"$cleanWork/out", s"$cleanWork/ckpt", Trigger.AvailableNow())
+    qc.awaitTermination()
+    val clean = manifest(s"$cleanWork/out")
+    assert(clean.nonEmpty, s"clean $label run produced an empty manifest")
+
+    val work = Files.createTempDirectory(s"${label}_restart").toString
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val q1 = start(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
+    q1.stop()
+    q1.awaitTermination()
+    val q2 = start(out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = manifest(out)
+    assert(got == clean,
+      s"$label restart broke exactly-once: ${got.size} rows vs clean ${clean.size}")
+  }
+
+  test("p2 pipeline killed mid-feed resumes from checkpoint; manifest exactly-once") {
+    // the kill lands with dedup state and sink manifest partially
+    // written; the drain includes the re-delivery batch, which the
+    // RESTORED dedup state must drop
+    killRestartScenario("p2", startP2,
+      out => spark.read.parquet(out).orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
+  /** p2's clean manifest for the executor-SIGKILL scenario below (the
+    * kill-restart test derives its own clean run via the helper). */
   private lazy val p2CleanManifest: Seq[String] = {
     val work = Files.createTempDirectory("p2_clean").toString
     val q = startP2(s"$work/out", s"$work/ckpt", Trigger.AvailableNow())
@@ -132,30 +174,6 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(rows.nonEmpty, "clean p2 run produced an empty manifest")
     rows
-  }
-
-  test("p2 pipeline killed mid-feed resumes from checkpoint; manifest exactly-once") {
-    val work = Files.createTempDirectory("p2_restart").toString
-    val out = s"$work/out"
-    val ckpt = s"$work/ckpt"
-    // run 1: free-running trigger; stop as soon as the first non-empty
-    // batch commits — mid-feed, with dedup state and sink manifest both
-    // partially written
-    val q1 = startP2(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
-      Thread.sleep(25)
-    assert(q1.recentProgress.exists(_.numInputRows > 0),
-      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
-    q1.stop()
-    q1.awaitTermination()
-    // run 2: same checkpoint, drain the rest (incl. the re-delivery
-    // batch, which the RESTORED dedup state must drop)
-    val q2 = startP2(out, ckpt, Trigger.AvailableNow())
-    q2.awaitTermination()
-    val got = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toString).toSeq
-    assert(got == p2CleanManifest,
-      s"restart broke exactly-once: ${got.size} rows vs clean ${p2CleanManifest.size}")
   }
 
   // ---- x31 stream-stream join chaos scenario -------------------------------
@@ -178,34 +196,10 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toString).toSeq
 
   test("stream-stream join killed mid-feed resumes from checkpoint; matches exactly-once") {
-    // clean reference run through the same file sink
-    val cleanWork = Files.createTempDirectory("x31_clean").toString
-    val qc = startX31(s"$cleanWork/out", s"$cleanWork/ckpt", Trigger.AvailableNow())
-    qc.awaitTermination()
-    val clean = x31Manifest(s"$cleanWork/out")
-    assert(clean.nonEmpty, "clean x31 run produced no matches")
-
-    // run 1: stop as soon as the first non-empty batch commits — the
-    // views are then BUFFERED in join state but the purchases have not
-    // arrived, so every match depends on state restored from checkpoint
-    val work = Files.createTempDirectory("x31_restart").toString
-    val out = s"$work/out"
-    val ckpt = s"$work/ckpt"
-    val q1 = startX31(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
-      Thread.sleep(25)
-    assert(q1.recentProgress.exists(_.numInputRows > 0),
-      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
-    q1.stop()
-    q1.awaitTermination()
-    // run 2: same checkpoint, drain the rest — purchases must join
-    // against the RESTORED view-side state
-    val q2 = startX31(out, ckpt, Trigger.AvailableNow())
-    q2.awaitTermination()
-    val got = x31Manifest(out)
-    assert(got == clean,
-      s"restart broke the join: ${got.size} rows vs clean ${clean.size}")
+    // the kill lands after the views batch: views are BUFFERED in join
+    // state but the purchases have not arrived, so every match depends
+    // on state restored from the checkpoint
+    killRestartScenario("x31", startX31, x31Manifest)
   }
 
   // ---- x33 stateful sessionization chaos scenario --------------------------
@@ -231,38 +225,12 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       .orderBy("user_id", "start").collect().map(_.toString).toSeq
 
   test("stateful sessionization killed mid-feed resumes from checkpoint; sessions exactly-once") {
-    // clean reference run through the same file sink (the memory-sink
-    // x33 variant is DuckDB-oracle-checked in CORRECTNESS; equality to
-    // this clean run chains that trust to the file sink)
-    val cleanWork = Files.createTempDirectory("x33_clean").toString
-    val qc = startX33(s"$cleanWork/out", s"$cleanWork/ckpt", Trigger.AvailableNow())
-    qc.awaitTermination()
-    val clean = x33Manifest(s"$cleanWork/out")
-    assert(clean.nonEmpty, "clean x33 run produced no sessions")
-
-    // run 1: stop after the first non-empty batch — only the first
-    // ts-half has arrived, so every session that spans the halves (or
-    // closes later by timeout) lives ONLY in flatMapGroupsWithState
-    // state; run 2 must restore that user-defined state, not rebuild it
-    val work = Files.createTempDirectory("x33_restart").toString
-    val out = s"$work/out"
-    val ckpt = s"$work/ckpt"
-    val q1 = startX33(out, ckpt, Trigger.ProcessingTime("50 milliseconds"))
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
-      Thread.sleep(25)
-    assert(q1.recentProgress.exists(_.numInputRows > 0),
-      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
-    q1.stop()
-    q1.awaitTermination()
-    // run 2: same checkpoint, drain the rest — batch-2 events must
-    // merge into sessions RESTORED from checkpointed state, and the
-    // sentinel-driven timeouts must close them all
-    val q2 = startX33(out, ckpt, Trigger.AvailableNow())
-    q2.awaitTermination()
-    val got = x33Manifest(out)
-    assert(got == clean,
-      s"restart broke sessionization: ${got.size} rows vs clean ${clean.size}")
+    // the kill lands after the first ts-half: every session that spans
+    // the halves (or closes later by timeout) lives ONLY in
+    // flatMapGroupsWithState state, so the drain must restore that
+    // user-defined state — batch-2 events merge into restored sessions
+    // and the sentinel-driven timeouts close them all
+    killRestartScenario("x33", startX33, x33Manifest)
   }
 
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {

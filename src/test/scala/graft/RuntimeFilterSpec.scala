@@ -21,16 +21,6 @@ import graft.core.Tables
   */
 class RuntimeFilterSpec extends AnyFunSuite with SparkSuite {
 
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("selective build side injects a bloom-filter probe into the fact scan") {
     val dir = "/root/testdata/sf0.01"
     withConfs(
@@ -54,21 +44,14 @@ class RuntimeFilterSpec extends AnyFunSuite with SparkSuite {
 
       // and the filter is transparent: row-identical to the same join
       // with injection disabled
-      val expected = withRuntimeFilterOff {
-        orders.join(customer, orders("o_custkey") === customer("c_custkey"))
-          .select("o_orderkey", "c_custkey", "c_acctbal")
-          .collect().map(_.toString).sorted
-      }
+      val expected =
+        withConfs("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+          orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+            .select("o_orderkey", "c_custkey", "c_acctbal")
+            .collect().map(_.toString).sorted
+        }
       val got = joined.collect().map(_.toString).sorted
       assert(got.length == expected.length && got.sameElements(expected))
     }
-  }
-
-  private def withRuntimeFilterOff[T](body: => T): T = {
-    val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 }

@@ -45,16 +45,6 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
       col("id").as("d_k"),
       concat(lit("payload_"), col("id")).as("d_payload"))
 
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private val skewConfs = Seq(
     // enough reducers that the uniform keys spread thin and the hot
     // key's partition stands out against the median
