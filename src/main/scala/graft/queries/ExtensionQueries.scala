@@ -141,6 +141,24 @@ object ExtensionQueries {
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
       .orderBy("ws", "event_type")
 
+  /** x35 — FULL OUTER join, the join type the inventory still lacked
+    * (x1 inner, x8 semi/anti, x12 as-of, x32 streaming left-outer):
+    * orders ⋈ customer keeping BOTH unmatched sides null-padded — the
+    * reconciliation join (every order even if its customer is gone,
+    * every customer even with no orders). Plans as one shuffle on the
+    * key with both sides streamed (no broadcast: a full outer join
+    * cannot broadcast either side — unmatched build rows must also
+    * surface). Null ordering pinned NULLS LAST on both engines. */
+  def x35FullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "full_outer")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey").asc_nulls_last, col("c_custkey").asc_nulls_last)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_equi_join"    -> (x1EquiJoin _),
     "x2_join_agg"     -> (x2JoinAgg _),
@@ -151,6 +169,7 @@ object ExtensionQueries {
     "x6_scalar_funcs" -> (x6ScalarFuncs _),
     "x7_event_window" -> (x7EventWindow _),
     "x34_sliding_window" -> (x34SlidingWindow _),
+    "x35_full_outer_join" -> (x35FullOuterJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,5 +214,9 @@ object ExtensionQueries {
              event_type, COUNT(*) AS cnt
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
       GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "x35_full_outer_join" ->
+      """SELECT o_orderkey, o_totalprice, c_custkey, c_name
+      FROM orders FULL JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey NULLS LAST, c_custkey NULLS LAST""",
   )
 }
