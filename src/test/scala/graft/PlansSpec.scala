@@ -108,4 +108,16 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("LeftAnti".r.findAllMatchIn(p).size >= 2, p.take(3000))
     assert(!p.contains("NestedLoop"), p.take(3000))
   }
+
+  test("x34: sliding windows plan one Expand into a partial+final aggregate") {
+    val p = plan("x34_sliding_window")
+    assert("Expand".r.findAllMatchIn(p).size == 1, p.take(3000))
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+  }
+
+  test("x35: full outer join shuffles both sides — broadcast is impossible") {
+    val p = plan("x35_full_outer_join")
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
