@@ -841,6 +841,70 @@ case class StopHits(child: Expression, words: Seq[String]) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Every stride-th single-space-delimited token of a string, rejoined
+  * with single spaces — the codegen twin of
+  * `concat_ws(' ', filter(transform(split(s, ' '), (t, i) -> ...), i % stride = 0).t)`.
+  * The builtin spelling routes through ArrayTransform/ArrayFilter,
+  * which are CodegenFallback (interpreted, one closure call per
+  * element per row) and allocate the full token array plus a struct
+  * per token just to throw 7/8 of it away; this walks the UTF-8 bytes
+  * once and copies only the kept tokens. Byte-level split on 0x20 is
+  * exact: a space byte never occurs inside a multi-byte UTF-8
+  * sequence, and like `split` with its default -1 limit it keeps
+  * empty tokens (consecutive/trailing spaces) so token INDICES — what
+  * the stride selects on — agree with the builtin spelling
+  * (equivalence pinned in ExpressionsSpec). */
+case class StrideSampleTokens(child: Expression, stride: Int) extends UnaryExpression {
+  require(stride > 0, s"stride_sample stride must be positive, got $stride")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"stride_sample needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    StrideSampleTokens.sample(input.asInstanceOf[UTF8String], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StrideSampleTokens.sample($c, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): StrideSampleTokens =
+    copy(child = newChild)
+}
+
+object StrideSampleTokens {
+  /** One pass over the bytes: token boundaries at each 0x20, token i
+    * kept iff i % stride == 0, kept tokens joined by a single space.
+    * Called from generated code (static forwarder), so it must stay a
+    * plain (UTF8String, int) -> UTF8String signature. */
+  def sample(s: UTF8String, stride: Int): UTF8String = {
+    val bytes = s.getBytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length / stride + 8)
+    var tokenStart = 0
+    var tokenIdx = 0
+    var first = true
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (tokenIdx % stride == 0) {
+          if (!first) out.write(' ')
+          out.write(bytes, tokenStart, i - tokenStart)
+          first = false
+        }
+        tokenIdx += 1
+        tokenStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  def apply(c: Column, stride: Int): Column =
+    GraftShims.column(StrideSampleTokens(GraftShims.expression(c), stride))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -869,6 +933,8 @@ object GraftFunctions {
     // AggregateExpression (Complete) when it resolves the call site
     reg.createOrReplaceTempFunction("kmv_distinct",
       exprs => KmvDistinct(exprs(0), litInt(exprs(1), "kmv_distinct")), "scala_udf")
+    reg.createOrReplaceTempFunction("stride_sample",
+      exprs => StrideSampleTokens(exprs(0), litInt(exprs(1), "stride_sample")), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_token_count",
       exprs => BpeTokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_trigrams",

@@ -251,15 +251,20 @@ object MultimodalQueries {
   /** m3 — frame sampling: treat the payload as a sequence and keep every
     * k-th unit (the video-frame-sampling access pattern: decode only the
     * sampled frames). Units here are whitespace tokens; a real pipeline
-    * would slice container chunks the same way. */
+    * would slice container chunks the same way.
+    *
+    * The kernel is the codegen [[graft.functions.StrideSampleTokens]] —
+    * the builtin `filter(transform(split(...)))` spelling routes through
+    * CodegenFallback higher-order functions (interpreted closure per
+    * token per row) and was the most expensive line of the r04 bench
+    * (3.95 s at sf0.1); the fused byte-walk is scan-speed (equivalence
+    * to the builtin spelling pinned in ExpressionsSpec). */
   def m3FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql("""
-      SELECT doc_id,
-        filter(transform(split(text, ' '), (t, i) -> named_struct('t', t, 'i', i)),
-               s -> s.i % 8 = 0).t AS frames
+      SELECT doc_id, stride_sample(text, 8) AS sampled
       FROM documents ORDER BY doc_id""")
-      .selectExpr("doc_id", "concat_ws(' ', frames) AS sampled")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

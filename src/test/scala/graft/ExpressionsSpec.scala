@@ -293,6 +293,32 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("StrideSampleTokens == filter(transform(split(...))) spelling on real docs + edges") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    def refExpr(col: String, stride: Int): String =
+      s"""concat_ws(' ', filter(transform(split($col, ' '),
+         (t, i) -> named_struct('t', t, 'i', i)), s -> s.i % $stride = 0).t)"""
+    val diff = spark.sql(s"""
+      SELECT count(*) FROM (
+        SELECT stride_sample(text, 8) AS fast, ${refExpr("text", 8)} AS ref
+        FROM documents) WHERE fast != ref""").head().getLong(0)
+    assert(diff == 0)
+    // edges: empty string, consecutive/leading/trailing spaces (empty
+    // tokens count toward the stride index), multi-byte UTF-8, stride 1
+    val edges = Seq("", " ", "a", "a b c d e f g h i j",
+      "a  b   c ", " leading", "héllo wörld 日本語 x y z a b c d e")
+    edges.zipWithIndex.foreach { case (s, k) =>
+      Seq(1, 2, 8).foreach { st =>
+        val row = Seq(s).toDF("t")
+          .selectExpr(s"stride_sample(t, $st) AS fast", refExpr("t", st) + " AS ref")
+          .head()
+        assert(row.getString(0) == row.getString(1), s"edge $k '$s' stride $st")
+      }
+    }
+  }
+
   test("SQL registration: kmv_distinct and lsh_band_sigs callable from spark.sql") {
     GraftFunctions.register(spark)
     val est = spark.sql(
