@@ -28,12 +28,42 @@ object StreamingQueries {
     * sf0.1: x27 6.9 s → 3.2 s, r9 2.5 s → 1.4 s when sized to 8).
     * Sizing state partitions to the stream's volume is a per-deployment
     * operator decision; at 100 TB ingest the right value is much
-    * larger, and this wrapper is where that knob lives. */
+    * larger, and this wrapper is where that knob lives.
+    *
+    * The STATE STORE PROVIDER is also chosen here, and the choice is
+    * scale-deliberate: RocksDB with changelog checkpointing. The
+    * default HDFS-backed provider keeps every key of every state
+    * partition in executor heap memory and snapshots whole maps per
+    * commit — at 100 TB ingest (stream-stream join buffers, dedup key
+    * sets, session state for every active user) that heap residency is
+    * THE streaming scale ceiling; RocksDB keeps state off-heap with
+    * disk spill, and changelog checkpointing uploads only each batch's
+    * delta instead of a full snapshot, making commit cost follow the
+    * CHANGE rate, not the state size. Measured on the bounded demo
+    * feeds (sf0.1, min of two passes): 12.9 s → 14.1 s over the 7
+    * streaming queries — the +1.2 s is native-store open/commit fixed
+    * cost, concentrated in the stream-stream joins (x31/x32, which run
+    * FOUR state stores per partition), and is the deliberate price of
+    * state that no longer lives on the heap: at demo scale the HDFS
+    * provider's in-memory maps are unbeatable, at production state
+    * sizes they are the thing that falls over first.
+    * `spark.graft.streaming.stateStore=hdfs` restores the default
+    * provider (the conf escape hatch a deployment would use where
+    * RocksDB's native lib is unavailable). */
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+    val pairs =
+      Seq("spark.sql.shuffle.partitions" -> n.toString) ++
+        (if (spark.conf.getOption("spark.graft.streaming.stateStore").contains("hdfs")) Nil
+         else Seq(
+           "spark.sql.streaming.stateStore.providerClass" ->
+             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"))
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Cache key for a per-SF-dir derived feed: the SOURCE TABLE's

@@ -233,6 +233,51 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     killRestartScenario("x33", startX33, x33Manifest)
   }
 
+  test("d4 clustering survives executor SIGKILL with reliable checkpoints; labels exact") {
+    // the one crack in the dedup-clustering 100 TB posture was that
+    // localCheckpoint blocks die with their executor; this drives the
+    // spark.graft.checkpoint.reliable=true path (GraftShims) under REAL
+    // executor death: the runner SIGKILLs an executor the moment the
+    // first CC round snapshot lands in the checkpoint dir, so the whole
+    // star-forest loop must run against blocks recovered from the
+    // reliable checkpoint files instead of failing on lost lineage
+    val work = Files.createTempDirectory("chaos_d4").toString
+    val marker = s"$work/killed"
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val sfDir = "/root/testdata/sf0.01"
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", cp, "graft.ChaosD4Runner",
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, out, ckpt)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$work/driver.log"))
+    val p = pb.start()
+    val finished = p.waitFor(300, TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val log = new String(Files.readAllBytes(Paths.get(s"$work/driver.log")))
+    assert(finished, s"d4 chaos run timed out; driver log tail:\n${log.takeRight(4000)}")
+    assert(p.exitValue() == 0,
+      s"d4 chaos run exited ${p.exitValue()}; driver log tail:\n${log.takeRight(4000)}")
+    assert(Files.exists(Paths.get(marker)), "killer never fired — no executor was killed")
+    assert(log.contains("ExecutorLostFailure") || log.contains("Lost executor") ||
+      log.contains("exited with") || log.contains("WorkerLost"),
+      s"no evidence of executor loss in driver log:\n${log.takeRight(4000)}")
+    // exact-label check against the suite-shared session's clean run
+    val got = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val clean = graft.queries.DedupQueries.d4DedupClusters(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(clean.nonEmpty)
+    assert(got == clean,
+      s"executor loss corrupted cluster labels: ${got.size} rows vs clean ${clean.size}")
+  }
+
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {
     val work = Files.createTempDirectory("chaos_p2").toString
     val marker = s"$work/killed"

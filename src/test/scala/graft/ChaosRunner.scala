@@ -28,6 +28,58 @@ object ChaosRunner {
   }
 }
 
+/** Driver main for the d4 reliable-checkpoint chaos scenario: runs the
+  * REAL [[graft.queries.DedupQueries.d4DedupClusters]] pipeline (d1
+  * pair mining → connected-components loop) on `local-cluster[2,1,1024]`
+  * with `spark.graft.checkpoint.reliable=true` + a fault-tolerant
+  * checkpoint dir, and SIGKILLs one executor JVM as soon as the FIRST
+  * round snapshot lands in the checkpoint dir — i.e. mid-CC-loop, when
+  * the loop's working state lives in executor block storage. With local
+  * checkpoints those blocks die with the executor and the job fails
+  * (lineage is truncated — nothing to recompute from); the reliable
+  * path must instead fall back to the checkpoint FILES and finish with
+  * exact labels. Executor pids are harvested up front with a probe job
+  * (one ProcessHandle.pid per task, spread over both executors). */
+object ChaosD4Runner {
+  def main(args: Array[String]): Unit = {
+    val Array(master, execCp, marker, sfDir, out, ckpt) = args
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("chaos_d4")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.executor.extraClassPath", execCp)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val driverPid = ProcessHandle.current().pid
+    val execPids = spark.sparkContext.parallelize(1 to 16, 16)
+      .map(_ => ProcessHandle.current().pid)
+      .collect().distinct.filter(_ != driverPid)
+    require(execPids.length >= 2, s"expected 2 executor JVMs, saw ${execPids.toSeq}")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    val killer = new Thread(() => {
+      def roundSnapshotExists: Boolean = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try s.anyMatch(p => p.getFileName != null &&
+          p.getFileName.toString.startsWith("rdd-"))
+        finally s.close()
+      }
+      while (!roundSnapshotExists) Thread.sleep(20)
+      if (new java.io.File(marker).mkdir()) {
+        ProcessHandle.of(execPids.head).ifPresent(_.destroyForcibly())
+        System.err.println(s"[chaos_d4] SIGKILLed executor pid ${execPids.head}")
+      }
+    })
+    killer.setDaemon(true)
+    killer.start()
+    graft.queries.DedupQueries.d4DedupClusters(spark, sfDir)
+      .write.mode("overwrite").parquet(out)
+    spark.stop()
+  }
+}
+
 /** Driver main for the p2 chaos scenario: runs the REAL
   * [[graft.streaming.StreamingQueries.p2Transform]] curation pipeline
   * over a document feed on `local-cluster[2,1,1024]`, writing the

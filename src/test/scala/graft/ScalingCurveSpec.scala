@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empirical backing for the 100 TB posture arguments: the dedup/ANN
+  * suite's structural claims (banded equi-joins, broadcast probes,
+  * candidate cost following data size) predict near-LINEAR wall-time in
+  * corpus size. This measures the two-point curve sf0.01 → sf0.1 (10×
+  * the rows) inside one session and asserts ≤1.5× super-linearity —
+  * a quadratic regression (the thing the banding exists to avoid)
+  * would show ~100× and fail loudly, while fixed per-query overheads
+  * only ever push the measured ratio BELOW the data ratio, so the
+  * bound is meaningful in exactly the direction that matters.
+  *
+  * Methodology per the timing-test lessons baked into Bench/SkewSpec:
+  * an untimed JIT warmup pass at sf0.001 first (generated-class
+  * compilation + C2 otherwise lands on the first timed arm), then two
+  * INTERLEAVED passes over (query × sf) with min-per-cell — a co-tenant
+  * CPU burst lands on one pass, not both — and caches released before
+  * every timed run so no arm inherits another's materialization. */
+class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
+
+  private val small = "/root/testdata/sf0.01"
+  private val big = "/root/testdata/sf0.1"
+
+  private def releaseCaches(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("dedup/ANN suite scales near-linearly from sf0.01 to sf0.1 (10x rows)") {
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d1_minhash_lsh" -> (graft.queries.DedupQueries.d1MinhashLsh _),
+      "d2_simhash" -> (graft.queries.DedupQueries.d2Simhash _),
+      "d6_incremental_dedup" -> (graft.queries.DedupQueries.d6IncrementalDedup _),
+      "s5_lsh_near_dup_prod" -> (graft.queries.AnnQueries.s5LshNearDupProd _),
+    )
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      releaseCaches()
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.foreach { case (_, fn) => run(fn, "/root/testdata/sf0.001") } // JIT warmup, untimed
+
+    val best = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (_ <- 1 to 2; (name, fn) <- queries; dir <- Seq(small, big)) {
+      val t = run(fn, dir)
+      val k = (name, dir)
+      best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+    }
+    queries.foreach { case (name, _) =>
+      val ts = best((name, small))
+      val tb = best((name, big))
+      val ratio = tb / ts
+      info(f"$name%-22s sf0.01 $ts%6.2f s -> sf0.1 $tb%6.2f s   wall ratio ${ratio}%5.2f (data 10x)")
+      assert(ratio <= 15.0,
+        f"$name wall-time grew ${ratio}%.1fx on 10x data — super-linear beyond the 1.5x envelope")
+    }
+  }
+}
