@@ -59,6 +59,51 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(after == got)
   }
 
+  test("multiappend soak: 1000 concurrent appends converge exactly once (exp2_append analogue)") {
+    // the reference's one published performance experiment
+    // (user/user.go:446-466, exp2_append): 1000 appends to one file,
+    // round-robined over N concurrent clients, then merge — the store
+    // must hold every append exactly once and every replica read of the
+    // merged result must be identical. Same shape here: 10 writer
+    // threads x 100 single-row appends, unique writer timestamps, then
+    // convergence is asserted three ways (read == re-read, survives
+    // compact, exact payload set) and the wall time is recorded.
+    val root = Files.createTempDirectory("als_soak").toString
+    val store = new AppendLogStore(spark, root)
+    store.create(Seq((0L, "base")).toDF("ts", "payload"))
+    val writers = 10
+    val perWriter = 100
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t0 = System.nanoTime()
+    val threads = (0 until writers).map { w =>
+      new Thread(() =>
+        try (0 until perWriter).foreach { a =>
+          val ts = 1000L + w.toLong * perWriter + a
+          store.append(Seq((ts, s"w$w-a$a")).toDF("ts", "payload"))
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val appendSec = (System.nanoTime() - t0) / 1e9
+    assert(failures.isEmpty, failures.toArray.mkString(", "))
+    val tRead = System.nanoTime()
+    val got = store.read(Seq("payload")).select("payload").as[String].collect().toSeq
+    val readSec = (System.nanoTime() - tRead) / 1e9
+    assert(got.size == writers * perWriter + 1, s"expected ${writers * perWriter + 1} rows, got ${got.size}")
+    assert(got.distinct.size == got.size, "merge produced duplicate rows")
+    val expected = (for (w <- 0 until writers; a <- 0 until perWriter) yield s"w$w-a$a").toSet + "base"
+    assert(got.toSet == expected)
+    // replica convergence: a second merge-on-read is byte-identical
+    assert(store.read(Seq("payload")).select("payload").as[String].collect().toSeq == got)
+    // compaction folds 1000 log segments into base without losing a row
+    val tCompact = System.nanoTime()
+    store.compact(Seq("payload"))
+    val compactSec = (System.nanoTime() - tCompact) / 1e9
+    assert(store.read(Seq("payload")).select("payload").as[String].collect().toSeq == got)
+    info(f"soak: ${writers * perWriter} appends / $writers writers in $appendSec%.1f s " +
+      f"(${writers * perWriter / appendSec}%.0f appends/s); merge-on-read $readSec%.1f s; " +
+      f"compact $compactSec%.1f s")
+  }
+
   test("compact crash invariant: a recoverable base copy exists at every instant") {
     val root = Files.createTempDirectory("als_crash").toString
     val store = new AppendLogStore(spark, root)
