@@ -115,6 +115,16 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
   }
 
+  test("m3: frame sampling runs the codegen kernel, not interpreted higher-order builtins") {
+    val p = plan("m3_frame_sample")
+    // the fused byte-walk expression is in the projection...
+    assert(p.toLowerCase.contains("stridesample"), p.take(2000))
+    // ...and the CodegenFallback lambda machinery it replaced is gone
+    // (ArrayTransform/ArrayFilter are the physical spellings of
+    // transform()/filter() and run one interpreted closure per element)
+    assert(!p.contains("transform(") && !p.contains("filter(transform"), p.take(2000))
+  }
+
   test("x35: full outer join shuffles both sides — broadcast is impossible") {
     val p = plan("x35_full_outer_join")
     assert(p.contains("FullOuter"), p.take(3000))
