@@ -134,6 +134,66 @@ object LlmQueries {
            DIV 2048 AS BIGINT) AS pack_id""")
       .orderBy("shard", "doc_id")
 
+  /** l8 — CORPUS MIXING: downsample each source to a target token mix —
+    * the step that turns "everything we crawled" into "the blend the
+    * training run wants". Here the target is an equal token share per
+    * source under a 40 % total-token budget: sources below their share
+    * are kept whole, larger ones are hash-downsampled to it. Two-phase
+    * shape a 100 TB pipeline runs: (1) one aggregate over (source,
+    * token-count) — bytes shuffled follow the SOURCE COUNT, not the
+    * corpus; (2) a scan-side filter with the tiny per-source threshold
+    * table broadcast onto it; the text column never moves. Membership is
+    * the l5 determinism story: a pure function of (doc_id, threshold),
+    * reproducible across runs/cluster sizes/partitionings. Thresholds
+    * are computed in pure INTEGER arithmetic (`LEAST(share, src_tokens)
+    * * P DIV src_tokens`) so the oracle reproduces them bit-exactly;
+    * the intermediate product needs src_tokens · P < 2⁶³ — fine up to
+    * ~9 G tokens per source, beyond which a real deployment widens to
+    * DECIMAL(38) (DuckDB's HUGEINT side already is). */
+  def l8CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH toks AS (SELECT doc_id, source,
+                      CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+      tot AS (SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source),
+      budget AS (SELECT (SUM(src_tokens) * 40) DIV 100 DIV COUNT(*) AS share FROM tot),
+      rates AS (SELECT source,
+                  (LEAST(share, src_tokens) * CAST(1000000007 AS BIGINT)) DIV src_tokens AS thresh
+                FROM tot CROSS JOIN budget)
+      SELECT /*+ BROADCAST(r) */ t.doc_id, t.source
+      FROM toks t JOIN rates r ON t.source = r.source
+      WHERE ${FunctionQueries.kmvHashSpark("t.doc_id")} < r.thresh
+      ORDER BY t.doc_id""")
+  }
+
+  /** l9 — DECONTAMINATION: flag corpus documents that share any word
+    * 3-gram with a benchmark/eval set (stand-in eval split here:
+    * doc_id % 97 = 0) — the overlap check every serious training run
+    * does before the corpus ships, so the model isn't graded on its own
+    * training data. Shape built for 100 TB: the eval set is tiny by
+    * construction, so its DISTINCT shingle-hash set is BROADCAST
+    * (hinted) against the corpus's exploded (doc_id, 8-byte hash)
+    * stream — the wide text never shuffles, and corpus cost is one
+    * shingle-kernel scan (the same fused codegen `shingle_hashes` d1
+    * uses). Output is per-doc shared-shingle counts — the evidence a
+    * curation pipeline logs next to the drop decision, not just a
+    * boolean. Docs under 3 tokens have no 3-grams and are clean by
+    * definition on both engines. */
+  def l9Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      ids AS (SELECT doc_id, shingle_hashes(w) AS ids FROM toks WHERE size(w) >= 3),
+      eval_g AS (SELECT DISTINCT explode(ids) AS g FROM ids WHERE doc_id % 97 = 0),
+      corpus_g AS (SELECT doc_id, explode(ids) AS g FROM ids WHERE doc_id % 97 <> 0)
+      SELECT /*+ BROADCAST(e) */ c.doc_id, COUNT(*) AS n_shared
+      FROM corpus_g c JOIN eval_g e ON c.g = e.g
+      GROUP BY c.doc_id
+      ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
@@ -142,6 +202,8 @@ object LlmQueries {
     "l5_hash_sample"   -> (l5HashSample _),
     "l6_stratified_sample" -> (l6StratifiedSample _),
     "l7_sequence_pack" -> (l7SequencePack _),
+    "l8_corpus_mix"    -> (l8CorpusMix _),
+    "l9_decontaminate" -> (l9Decontaminate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -191,6 +253,36 @@ object LlmQueries {
         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
       FROM t ORDER BY shard, doc_id"""),
+    // the same integer-exact threshold arithmetic (DuckDB's SUM is
+    // HUGEINT; // is floor division, identical to Spark's DIV on the
+    // non-negative values here); output columns are raw table columns,
+    // so no cross-engine type collapse is needed
+    "l8_corpus_mix" ->
+      ("""WITH toks AS (SELECT doc_id, source,
+            CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+      tot AS (SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source),
+      budget AS (SELECT (SUM(src_tokens) * 40) // 100 // COUNT(*) AS share FROM tot),
+      rates AS (SELECT source,
+                  (LEAST(share, src_tokens) * 1000000007) // src_tokens AS thresh
+                FROM tot CROSS JOIN budget)
+      SELECT t.doc_id, t.source
+      FROM toks t JOIN rates r ON t.source = r.source
+      WHERE """ + FunctionQueries.kmvHashDuck("t.doc_id") + """ < r.thresh
+      ORDER BY t.doc_id"""),
+    // eval split = doc_id % 97 = 0; same shingle + rolling-hash
+    // arithmetic as the dedup suite, restated over DuckDB lists
+    "l9_decontaminate" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, ${graft.functions.TextPrimitives.shinglesDuck("w")} AS s
+             FROM toks WHERE length(w) >= 3),
+      ids AS (SELECT doc_id, list_distinct(list_transform(s, g -> ${graft.functions.TextPrimitives.rollingHashDuck("g")})) AS ids FROM sh),
+      eval_g AS (SELECT DISTINCT unnest(ids) AS g FROM ids WHERE doc_id % 97 = 0),
+      corpus_g AS (SELECT doc_id, unnest(ids) AS g FROM ids WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM corpus_g c JOIN eval_g e ON c.g = e.g
+      GROUP BY c.doc_id
+      ORDER BY doc_id"""),
   )
 
   /** DuckDB double-precision cosine between `$l.embedding` and

@@ -125,6 +125,18 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("transform(") && !p.contains("filter(transform"), p.take(2000))
   }
 
+  test("l8: per-source thresholds broadcast onto the scan — no corpus-wide shuffle join") {
+    val p = plan("l8_corpus_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("l9: eval shingle set broadcast against the corpus hash stream") {
+    val p = plan("l9_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p.take(3000))
+  }
+
   test("x35: full outer join shuffles both sides — broadcast is impossible") {
     val p = plan("x35_full_outer_join")
     assert(p.contains("FullOuter"), p.take(3000))
