@@ -53,19 +53,34 @@ object ChaosD4Runner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val driverPid = ProcessHandle.current().pid
-    val execPids = spark.sparkContext.parallelize(1 to 16, 16)
+    // the probe job can run entirely on whichever executor registers
+    // first (standalone's minRegisteredResourcesRatio defaults low and
+    // 16 trivial tasks drain in ms) — retry until BOTH executor JVMs
+    // have been observed, don't abort the scenario on a launch race
+    def probePids(): Array[Long] = spark.sparkContext.parallelize(1 to 16, 16)
       .map(_ => ProcessHandle.current().pid)
       .collect().distinct.filter(_ != driverPid)
+    var execPids = probePids()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (execPids.length < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      execPids = (execPids ++ probePids()).distinct
+    }
     require(execPids.length >= 2, s"expected 2 executor JVMs, saw ${execPids.toSeq}")
     spark.sparkContext.setCheckpointDir(ckpt)
     spark.conf.set("spark.graft.checkpoint.reliable", "true")
     val killer = new Thread(() => {
-      def roundSnapshotExists: Boolean = {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        try s.anyMatch(p => p.getFileName != null &&
-          p.getFileName.toString.startsWith("rdd-"))
-        finally s.close()
-      }
+      // the checkpoint dir is being actively written (temp part files
+      // renamed into place) — a file vanishing between list and stat
+      // throws from Files.walk; treat any IO race as "not yet" instead
+      // of letting the daemon thread die silently with no kill fired
+      def roundSnapshotExists: Boolean =
+        try {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          try s.anyMatch(p => p.getFileName != null &&
+            p.getFileName.toString.startsWith("rdd-"))
+          finally s.close()
+        } catch { case _: Exception => false }
       while (!roundSnapshotExists) Thread.sleep(20)
       if (new java.io.File(marker).mkdir()) {
         ProcessHandle.of(execPids.head).ifPresent(_.destroyForcibly())

@@ -300,11 +300,19 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     def refExpr(col: String, stride: Int): String =
       s"""concat_ws(' ', filter(transform(split($col, ' '),
          (t, i) -> named_struct('t', t, 'i', i)), s -> s.i % $stride = 0).t)"""
+    // null-safe comparison: a plain != evaluates to NULL (not true)
+    // when one side is NULL, silently excluding such rows from the count
     val diff = spark.sql(s"""
       SELECT count(*) FROM (
         SELECT stride_sample(text, 8) AS fast, ${refExpr("text", 8)} AS ref
-        FROM documents) WHERE fast != ref""").head().getLong(0)
+        FROM documents) WHERE NOT (fast <=> ref)""").head().getLong(0)
     assert(diff == 0)
+    // NULL input -> NULL output (standard scalar-function propagation,
+    // and what the DuckDB oracle's array_to_string(NULL, ...) returns) —
+    // a DELIBERATE divergence from the replaced builtin spelling, whose
+    // concat_ws could never return NULL
+    assert(spark.sql(
+      "SELECT stride_sample(CAST(NULL AS STRING), 8) IS NULL").head().getBoolean(0))
     // edges: empty string, consecutive/leading/trailing spaces (empty
     // tokens count toward the stride index), multi-byte UTF-8, stride 1
     val edges = Seq("", " ", "a", "a b c d e f g h i j",

@@ -122,7 +122,7 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     // ...and the CodegenFallback lambda machinery it replaced is gone
     // (ArrayTransform/ArrayFilter are the physical spellings of
     // transform()/filter() and run one interpreted closure per element)
-    assert(!p.contains("transform(") && !p.contains("filter(transform"), p.take(2000))
+    assert(!p.contains("transform("), p.take(2000))
   }
 
   test("l8: per-source thresholds broadcast onto the scan — no corpus-wide shuffle join") {
