@@ -905,6 +905,65 @@ object StrideSampleTokens {
     GraftShims.column(StrideSampleTokens(GraftShims.expression(c), stride))
 }
 
+/** Per-document repetition statistics in one fused pass over the token
+  * array: `[max word multiplicity, distinct adjacent-bigram count]` —
+  * the two counts behind the classic repetition quality gates (a doc
+  * dominated by one word, or stitched from repeated phrases, is
+  * boilerplate/spam, not prose). Counts are INTEGERS so the DuckDB
+  * oracle (histogram + list_distinct over the same split) reproduces
+  * them exactly; the fractions are derived downstream from these
+  * counts on both engines with identical IEEE division. The builtin
+  * spelling needs an explode + two shuffled aggregates per doc for the
+  * mode count; this is a per-row hash loop at scan speed. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repeat_stats needs an array<string> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      val c = counts.merge(w, 1, (a, b) => a + b)
+      if (c > top) top = c.toLong
+      i += 1
+    }
+    // adjacent bigrams, joined with the same single space the split
+    // removed — words cannot contain spaces, so the join is injective
+    val bigrams = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i + 1 < n) {
+      bigrams.add(arr.getUTF8String(i).toString + " " + arr.getUTF8String(i + 1).toString)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Long](top, bigrams.size.toLong))
+  }
+
+  // One interpreted call per ROW; the per-token work is the fused Java
+  // loop above either way (the ShingleHashes pattern).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("repeatStats", this, classOf[RepetitionStats].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(c: Column): Column = GraftShims.column(RepetitionStats(GraftShims.expression(c)))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -939,6 +998,8 @@ object GraftFunctions {
       exprs => BpeTokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_trigrams",
       exprs => CharTrigrams(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("repeat_stats",
+      exprs => RepetitionStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("stop_hits",
       exprs => StopHits(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>

@@ -40,8 +40,56 @@ object PipelineQueries {
       ORDER BY doc_id""")
   }
 
+  /** p3 — the CURATION pipeline, composed as ONE query over the round-5
+    * primitives: exact-dedup survivors → repetition quality gate (t7's
+    * rounded thresholds) → benchmark decontamination (drop any doc
+    * sharing a word-3-gram with the l9 eval split, plus the eval split
+    * itself) → sequence packing (l7's shard + greedy pack bookkeeping)
+    * — emitting the (shard, pack, doc) manifest a trainer consumes.
+    * Every stage is a scan or a hash shuffle on an 8-byte key; the
+    * text column is read once and never shuffles: dedup moves (hash,
+    * id), the repetition gate is the fused `repeat_stats` scan,
+    * contamination moves (id, 8-byte shingle hash) against a BROADCAST
+    * eval-hash set, and the ANTI joins that apply the drop decisions
+    * carry ids only. The packing window is partition-local per shard —
+    * no global sort. At 100 TB this composition pipelines with no
+    * materialization barrier wider than its ids. */
+  def p3CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      d AS (SELECT documents.* FROM documents JOIN survivors USING (doc_id)),
+      toks AS (SELECT doc_id, split(text, ' ') AS w FROM d),
+      rep AS (SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, CAST(size(w) AS BIGINT) AS n_tokens, repeat_stats(w) AS rs
+                FROM toks)
+              WHERE n_tokens >= 2
+                AND round(rs[0] / CAST(n_tokens AS DOUBLE), 6) <= 0.2
+                AND round(1.0 - rs[1] / CAST(n_tokens - 1 AS DOUBLE), 6) <= 0.2),
+      ids AS (SELECT doc_id, shingle_hashes(w) AS ids FROM toks WHERE size(w) >= 3),
+      eval_g AS (SELECT DISTINCT explode(ids) AS g FROM ids WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT /*+ BROADCAST(e) */ DISTINCT c.doc_id
+                       FROM (SELECT doc_id, explode(ids) AS g FROM ids
+                             WHERE doc_id % 97 <> 0) c
+                       JOIN eval_g e ON c.g = e.g),
+      clean AS (SELECT r.doc_id, r.n_tokens FROM rep r
+                ANTI JOIN contaminated c ON r.doc_id = c.doc_id
+                WHERE r.doc_id % 97 <> 0)
+      SELECT shard, doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             DIV 2048 AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, n_tokens,
+              CAST(${FunctionQueries.kmvHashSpark("doc_id")} % 8 AS BIGINT) AS shard
+            FROM clean)
+      ORDER BY shard, doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_pipeline" -> (p1TrainingPipeline _),
+    "p3_curation_pipeline" -> (p3CurationPipeline _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -64,6 +112,45 @@ object PipelineQueries {
         FROM scored
         WHERE score >= $qualityThreshold
         ORDER BY doc_id""",
+      // stage-by-stage mirror: t7's counts over DuckDB lists, l9's
+      // shingle+rolling-hash spelling, l7's window-sum packing; // is
+      // DuckDB integer division and the CASTs collapse its HUGEINT
+      // aggregates to Spark's BIGINT
+      "p3_curation_pipeline" ->
+        s"""WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        d AS (SELECT documents.* FROM documents JOIN survivors USING (doc_id)),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        bg AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens,
+                 CAST(length(list_distinct(list_transform(range(1, length(w)),
+                   i -> w[i] || ' ' || w[i + 1]))) AS BIGINT) AS n_distinct_bg
+               FROM toks WHERE length(w) >= 2),
+        topw AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+                   SELECT doc_id, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(w) AS wd FROM toks)
+                   GROUP BY doc_id, wd)
+                 GROUP BY doc_id),
+        rep AS (SELECT b.doc_id, b.n_tokens FROM bg b JOIN topw t USING (doc_id)
+                WHERE round(t.top_cnt / CAST(b.n_tokens AS DOUBLE), 6) <= 0.2
+                  AND round(1.0 - b.n_distinct_bg / CAST(b.n_tokens - 1 AS DOUBLE), 6) <= 0.2),
+        sh AS (SELECT doc_id, ${graft.functions.TextPrimitives.shinglesDuck("w")} AS s
+               FROM toks WHERE length(w) >= 3),
+        ids AS (SELECT doc_id, list_distinct(list_transform(s,
+                  g -> ${graft.functions.TextPrimitives.rollingHashDuck("g")})) AS ids FROM sh),
+        eval_g AS (SELECT DISTINCT unnest(ids) AS g FROM ids WHERE doc_id % 97 = 0),
+        contaminated AS (SELECT DISTINCT c.doc_id
+                         FROM (SELECT doc_id, unnest(ids) AS g FROM ids
+                               WHERE doc_id % 97 <> 0) c
+                         JOIN eval_g e ON c.g = e.g),
+        clean AS (SELECT r.doc_id, r.n_tokens FROM rep r
+                  ANTI JOIN contaminated c ON r.doc_id = c.doc_id
+                  WHERE r.doc_id % 97 <> 0)
+        SELECT shard, doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+        FROM (SELECT doc_id, n_tokens,
+                CAST((${FunctionQueries.kmvHashDuck("doc_id")}) % 8 AS BIGINT) AS shard
+              FROM clean)
+        ORDER BY shard, doc_id""",
     )
   }
 }

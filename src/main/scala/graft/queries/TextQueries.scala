@@ -126,6 +126,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t7 — repetition quality gate (the Gopher-style repetition rules):
+    * per doc, the fraction of tokens taken by the single most frequent
+    * word and the fraction of DUPLICATE adjacent bigrams — the two
+    * cheapest detectors of boilerplate, keyword-stuffed spam and
+    * template pages, run before any model-based scoring. One fused
+    * codegen kernel (`repeat_stats`) computes both integer counts per
+    * row at scan speed; the builtin spelling would explode every token
+    * and run two shuffled aggregates per document — at 100 TB that's a
+    * full-corpus token shuffle vs a scan. Fractions derive from the
+    * integer counts with identical IEEE division on both engines and
+    * round to 6dp; the keep decision compares the ROUNDED values so the
+    * boolean is cross-engine stable by construction. */
+  def t7Repetition(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql("""
+      SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac,
+        (top_word_frac <= 0.2 AND dup_bigram_frac <= 0.2) AS keep_doc
+      FROM (
+        SELECT doc_id, n_tokens,
+          round(rs[0] / CAST(n_tokens AS DOUBLE), 6) AS top_word_frac,
+          round(1.0 - rs[1] / CAST(n_tokens - 1 AS DOUBLE), 6) AS dup_bigram_frac
+        FROM (SELECT doc_id, CAST(size(w) AS BIGINT) AS n_tokens,
+                     repeat_stats(w) AS rs
+              FROM (SELECT doc_id, split(text, ' ') AS w FROM documents))
+        WHERE n_tokens >= 2)
+      ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"       -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -133,6 +161,7 @@ object TextQueries {
     "t4_fingerprint"   -> (t4Fingerprint _),
     "t5_ngram_profile" -> (t5NgramProfile _),
     "t6_pii_scrub"     -> (t6PiiScrub _),
+    "t7_repetition"    -> (t7Repetition _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -188,6 +217,29 @@ object TextQueries {
                    i -> substr(lower(text), CAST(i AS INT), 3))) AS tg
           FROM documents WHERE length(text) >= 3) t
         GROUP BY tg ORDER BY cnt DESC, tg LIMIT 30""",
+      // same integer counts restated over DuckDB lists (1-based):
+      // mode count via unnest + two grouped aggregates, distinct
+      // adjacent bigrams via list_distinct; range(1, len) is [1, len)
+      // so i -> (w[i], w[i+1]) enumerates exactly the len-1 bigrams
+      "t7_repetition" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens,
+                 CAST(length(list_distinct(list_transform(range(1, length(w)),
+                   i -> w[i] || ' ' || w[i + 1]))) AS BIGINT) AS n_distinct_bg
+               FROM toks WHERE length(w) >= 2),
+        topw AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+                   SELECT doc_id, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(w) AS wd FROM toks)
+                   GROUP BY doc_id, wd)
+                 GROUP BY doc_id)
+        SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac,
+          (top_word_frac <= 0.2 AND dup_bigram_frac <= 0.2) AS keep_doc
+        FROM (
+          SELECT b.doc_id, b.n_tokens,
+            round(t.top_cnt / CAST(b.n_tokens AS DOUBLE), 6) AS top_word_frac,
+            round(1.0 - b.n_distinct_bg / CAST(b.n_tokens - 1 AS DOUBLE), 6) AS dup_bigram_frac
+          FROM bg b JOIN topw t USING (doc_id))
+        ORDER BY doc_id""",
     )
   }
 }

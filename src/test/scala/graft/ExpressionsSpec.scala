@@ -69,6 +69,29 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("RepetitionStats == builtin mode/distinct-bigram spellings on real docs + edges") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    // the builtin ref spelling is O(n²) per doc (count each distinct
+    // word by rescanning) — fine at sf0.001, and exactly why the fused
+    // kernel exists for the real path
+    val diff = spark.sql("""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      both AS (SELECT doc_id, repeat_stats(w) AS fast,
+        array(
+          CAST(array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)))) AS BIGINT),
+          CAST(size(array_distinct(transform(sequence(0, size(w) - 2),
+            i -> concat(w[i], ' ', w[i + 1])))) AS BIGINT)) AS ref
+        FROM toks WHERE size(w) >= 2)
+      SELECT count(*) FROM both WHERE fast != ref""").head().getLong(0)
+    assert(diff == 0)
+    // edges: empty token array and a single token have no bigrams
+    val edges = Seq(Seq.empty[String], Seq("a"), Seq("a", "a", "b"))
+      .toDF("w").selectExpr("repeat_stats(w) AS rs").as[Seq[Long]].collect().toSeq
+    assert(edges == Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 2L)))
+  }
+
   test("MinHash16 == per-permutation array_min spelling") {
     GraftFunctions.register(spark)
     val perms = TextPrimitives.minhashAB.zipWithIndex.map { case ((a, b), k) =>

@@ -142,4 +142,20 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("FullOuter"), p.take(3000))
     assert(!p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("t7: repetition gate is the fused kernel scan — one Exchange (the result sort) only") {
+    val p = plan("t7_repetition")
+    assert(p.toLowerCase.contains("repetitionstats") || p.contains("repeat_stats"), p.take(2000))
+    // no explode + shuffled per-doc aggregates: the only Exchange is
+    // the presentation ORDER BY's range partitioning
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
+
+  test("p3: curation pipeline — broadcast contamination probe, id-only anti join, no nested loop") {
+    val p = plan("p3_curation_pipeline")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
 }
