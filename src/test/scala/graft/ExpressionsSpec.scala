@@ -92,6 +92,28 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(edges == Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 2L)))
   }
 
+  test("RepetitionStats == independent Scala counts on random small-alphabet docs (ScalaCheck)") {
+    GraftFunctions.register(spark)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small alphabet + repetition-heavy lengths so collisions and runs
+    // actually occur; the reference is a from-scratch Scala count, not
+    // the kernel's own logic
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "", "x"))
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L))
+    val res = SCTest.check(params, Prop.forAll(gen) { words =>
+      val expTop = if (words.isEmpty) 0L
+        else words.groupBy(identity).values.map(_.size).max.toLong
+      val expBg = words.sliding(2).filter(_.size == 2)
+        .map(p => p.head + " " + p(1)).toSet.size.toLong
+      val got = Seq(words).toDF("w")
+        .selectExpr("repeat_stats(w) AS rs").as[Seq[Long]].head()
+      got == Seq(expTop, expBg)
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("MinHash16 == per-permutation array_min spelling") {
     GraftFunctions.register(spark)
     val perms = TextPrimitives.minhashAB.zipWithIndex.map { case ((a, b), k) =>

@@ -35,6 +35,10 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       "d2_simhash" -> (graft.queries.DedupQueries.d2Simhash _),
       "d6_incremental_dedup" -> (graft.queries.DedupQueries.d6IncrementalDedup _),
       "s5_lsh_near_dup_prod" -> (graft.queries.AnnQueries.s5LshNearDupProd _),
+      // the composed curation pipeline: every stage's posture claim
+      // (ids-only edges, broadcast probe, per-shard window) must
+      // compound to a linear curve, not just hold stage-by-stage
+      "p3_curation_pipeline" -> (graft.queries.PipelineQueries.p3CurationPipeline _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
