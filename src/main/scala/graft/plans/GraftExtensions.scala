@@ -30,6 +30,7 @@ import graft.functions.{CosineSimilarity, Fnv1a32, PolyHash, SimHash30}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+    ext.injectOptimizerRule(_ => RewriteRankLimitToTopK)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
@@ -92,5 +93,71 @@ object FuseCosineSimilarity extends Rule[LogicalPlan] {
       if a.semanticEquals(a2) && a.semanticEquals(a3) &&
         b.semanticEquals(b2) && b.semanticEquals(b3) =>
       CosineSimilarity(a, b)
+  }
+}
+
+/** Rewrite the declarative top-k-per-key spelling —
+  * `SELECT <cols w/o rn> FROM (… row_number() OVER (PARTITION BY p
+  * ORDER BY o) AS rn …) WHERE rn <= k` — into the [[TopKPerKey]]
+  * operator, so a query written the portable way still gets the
+  * sort-free partial+final heap path (Spark's own InferWindowGroupLimit
+  * prunes rows per group but keeps the per-partition sort; the heap
+  * operator removes the sort entirely).
+  *
+  * Conservative by construction — fires only when:
+  *  - the Window computes EXACTLY ONE expression, a plain
+  *    `row_number()` (any other window column must survive, so the
+  *    Window node must stay);
+  *  - the filter is a sole `rn <= k` / `rn < k` / `rn = 1` conjunct
+  *    with literal k in (0, spark.graft.topk.autoRewriteMaxK];
+  *  - the projection above drops `rn` (the operator does not emit
+  *    ranks);
+  *  - the rank's window spec matches the Window node's own
+  *    partition/order spec (always true post-analysis; checked anyway).
+  *
+  * Regime guard: the rewrite is free to UNDO at runtime on the map
+  * side — the partial exec degrades to pass-through past the group
+  * cap — and the final exec's cap failure names the
+  * `spark.graft.topk.autoRewrite=false` escape hatch alongside the
+  * windowed spelling. Disable wholesale with that flag.
+  */
+object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
+  val enabledKey = TopK.autoRewriteKey
+  val maxKKey = "spark.graft.topk.autoRewriteMaxK"
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+  /** `rn <= k` in its equivalent literal spellings → k. */
+  private object RankLimit {
+    def unapply(e: Expression): Option[(ExprId, Int)] = e match {
+      case LessThanOrEqual(a: AttributeReference, Literal(kk: Int, _)) => Some((a.exprId, kk))
+      case LessThan(a: AttributeReference, Literal(kk: Int, _)) => Some((a.exprId, kk - 1))
+      case EqualTo(a: AttributeReference, Literal(kk: Int, _)) if kk == 1 => Some((a.exprId, 1))
+      case GreaterThanOrEqual(Literal(kk: Int, _), a: AttributeReference) => Some((a.exprId, kk))
+      case GreaterThan(Literal(kk: Int, _), a: AttributeReference) => Some((a.exprId, kk - 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(enabledKey, "true").toBoolean) return plan
+    val maxK = conf.getConfString(maxKKey, "1000").toInt
+    plan.transformUp {
+      case Project(plist,
+          Filter(RankLimit(rnId, k),
+            Window(Seq(alias @ Alias(
+                WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)), _)),
+              partSpec, ordSpec, child, _)))
+        if k > 0 && k <= maxK && alias.exprId == rnId &&
+          // TopK.windowed names its rank __graft_rn as a deliberate
+          // opt-out marker: that spelling IS the high-group-cardinality
+          // escape hatch, so rewriting it back would defeat the routing
+          alias.name != "__graft_rn" &&
+          plist.forall(ne => !ne.references.exists(_.exprId == rnId)) &&
+          ps.length == partSpec.length && os.length == ordSpec.length &&
+          ps.zip(partSpec).forall { case (x, y) => x.semanticEquals(y) } &&
+          os.zip(ordSpec).forall { case (x, y) => x.semanticEquals(y) } =>
+        Project(plist, TopKPerKey(partSpec, ordSpec, k, child))
+    }
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator plan (SURVEY §7 preference step (c), the one
@@ -24,10 +24,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Wiring: [[TopKPerKey]] is the logical node, [[TopKPerKeyStrategy]]
   * plans it (registered via `spark.experimental.extraStrategies` on
-  * first use, or through GraftExtensions), and the exec node declares
-  * `ClusteredDistribution(keys)` so Catalyst inserts the hash shuffle —
-  * partitioning stays the planner's job, only the per-partition
-  * algorithm is custom.
+  * first use, or through GraftExtensions), and the final exec node
+  * declares `ClusteredDistribution(keys)` so Catalyst inserts the hash
+  * shuffle — partitioning stays the planner's job, only the
+  * per-partition algorithm is custom.
+  *
+  * Top-k sets merge (top-k of a union = top-k of the per-part top-ks),
+  * so the strategy plans TWO passes like a hash aggregate: a `partial`
+  * exec on the map side (no distribution requirement) whose output is
+  * at most groups·k rows per input partition, then the shuffle, then
+  * the final exec. The exchange therefore carries ≤ partitions·groups·k
+  * rows instead of the whole input — for the kNN-join shape (probes ×
+  * corpus scored pairs into top-k per probe) that is the difference
+  * between shuffling n·p scored pairs and shuffling p·k·partitions
+  * survivors.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {
@@ -40,59 +50,88 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  // the partial pass runs wherever the data already is (map side); only
+  // the final pass demands co-located keys, which is what makes Catalyst
+  // put the exchange BETWEEN the two passes
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     // The heap map is O(groups·k) heap memory OUTSIDE Spark's memory
     // manager (no spill). That is by design — the operator's regime is
     // high fan-in per key (groups·k ≪ input), where it replaces a full
-    // sort with a streaming pass. The guard makes the regime explicit:
-    // above maxGroups tracked groups per partition this partition would
-    // be better served by the sort-based window spelling (which spills),
-    // so fail fast with that advice instead of letting the JVM OOM.
+    // sort with a streaming pass. The guard makes the regime explicit —
+    // but the two passes react differently past maxGroups tracked
+    // groups: the PARTIAL pass degrades to pass-through (top-k merge
+    // tolerates unreduced rows, so correctness is untouched and memory
+    // stays bounded — the reduction just stops helping), while the
+    // FINAL pass must hold every group of its hash partition, so it
+    // fails fast with advice instead of letting the JVM OOM.
     val maxGroups = conf.getConfString(
       TopK.maxGroupsKey, TopK.maxGroupsDefault.toString).toLong
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ordering = RowOrdering.create(order, childOutput)
       // max-heap on the sort order: the head is the WORST of the kept
       // rows, evicted when a better row arrives
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var overflowRow: InternalRow = null
+      // overflow check BEFORE hasNext: codegen iterators precompute the
+      // next row into the SAME buffer on hasNext, which would overwrite
+      // a just-saved overflow row (the copy below guards the same hazard
+      // across the lazy emission boundary)
+      while (overflowRow == null && iter.hasNext) {
+        val row = iter.next()
         // probe with the reused projection row; copy the key only when
         // it is actually inserted (the common hit path allocates nothing)
         val probeKey = keyProj(row)
-        val heap = heaps.get(probeKey) match {
-          case Some(h) => h
+        heaps.get(probeKey) match {
+          case Some(heap) =>
+            if (heap.size < k) {
+              heap.enqueue(row.copy())
+            } else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
           case None =>
-            if (heaps.size >= maxGroups) throw new IllegalStateException(
-              s"TopKPerKeyExec exceeded ${TopK.maxGroupsKey}=$maxGroups distinct " +
-                "groups in one partition; this input's group cardinality is out of " +
-                "the heap operator's regime — use TopK.windowed (sort-based, " +
-                "spillable) or raise the limit")
-            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-            heaps.put(probeKey.copy(), h)
-            h
-        }
-        if (heap.size < k) {
-          heap.enqueue(row.copy())
-        } else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+            if (heaps.size >= maxGroups) {
+              if (isPartial) {
+                overflowRow = row.copy()
+              } else throw new IllegalStateException(
+                s"TopKPerKeyExec exceeded ${TopK.maxGroupsKey}=$maxGroups distinct " +
+                  "groups in one partition; this input's group cardinality is out of " +
+                  "the heap operator's regime — use TopK.windowed (sort-based, " +
+                  "spillable), raise the limit, or (if this plan came from the " +
+                  s"automatic rank-limit rewrite) set ${TopK.autoRewriteKey}=false")
+            } else {
+              val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+              h.enqueue(row.copy())
+              heaps.put(probeKey.copy(), h)
+            }
         }
       }
-      heaps.valuesIterator.flatMap(_.toSeq.sorted(ordering))
+      val reduced = heaps.valuesIterator.flatMap(_.toSeq.sorted(ordering))
+      if (overflowRow == null) reduced
+      // degrade: emit what was reduced, then the breaking row and the
+      // untouched tail (volcano consumers finish each row before
+      // advancing, so the reused row buffers stay safe to forward)
+      else reduced ++ Iterator.single(overflowRow) ++ iter
     }
   }
 
@@ -121,6 +160,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopK {
   val maxGroupsKey = "spark.graft.topk.maxGroupsPerPartition"
   val maxGroupsDefault = 4000000L
+  /** Alias of [[RewriteRankLimitToTopK.enabledKey]] (referenced from the
+    * exec's error message without a forward dependency). */
+  val autoRewriteKey = "spark.graft.topk.autoRewrite"
 
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
              groupsHint: Option[Long] = None): DataFrame = {

@@ -239,11 +239,42 @@ object AnnQueries {
       .limit(5)
   }
 
+  /** s6 — batch kNN JOIN: exact top-3 cosine neighbors for EVERY probe
+    * in a deterministic probe subset (vec_id ≡ 3 mod 20), in ONE corpus
+    * scan. This is retrieval's batch shape — nightly neighbor
+    * manifests, semantic-dedup candidate lists, hard-negative mining —
+    * as opposed to the point-query shapes (l3 exact, s2/s4 approximate).
+    *
+    * Plan: the probe set is broadcast against a spread corpus scan
+    * (fused codegen cosine per pair), and the custom TopKPerKey
+    * operator keeps bounded per-probe heaps. Its map-side partial pass
+    * reduces every scan partition to ≤ probes·k survivor rows of three
+    * narrow columns BEFORE the exchange, so the probes×corpus scored
+    * stream is never materialized or shuffled anywhere — at 100 TB the
+    * shuffle carries partitions·probes·k rows (megabytes) while the
+    * pair scoring stays a perfectly parallel scan. Larger probe sets
+    * shard the probe side and union — cost is probes·corpus fused
+    * multiplies regardless of spelling; the LSH/IVF indexes (s2–s5)
+    * are the sub-linear alternatives when approximation is allowed. */
+  def s6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 20 === 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    val scored = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+    graft.plans.TopK.perKey(scored, Seq(col("probe_id")),
+      Seq(col("sim").desc, col("vec_id")), k = 3)
+      .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
     "s4_ann_ivf" -> (s4AnnIvf _),
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
+    "s6_knn_join" -> (s6KnnJoin _),
   )
 
   /** DuckDB sig-list for the banded SRP signatures at (bands, bits) —
@@ -301,6 +332,17 @@ object AnnQueries {
             ON a.vec_id < b.vec_id
             AND len(list_filter(range(1, ${s5Bands + 1}), g -> a.sigs[g] = b.sigs[g])) > 0) t
         WHERE sim >= 0.85 ORDER BY vec_id_a, vec_id_b""",
+      // kNN join restated as the window spelling; both engines rank by
+      // the 9dp-ROUNDED cosine with vec_id tie-break, so the kept set is
+      // deterministic even when true sims differ below the round
+      "s6_knn_join" ->
+        s"""SELECT probe_id, vec_id, sim FROM (
+          SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, ROUND($cos, 9) AS sim,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY ROUND($cos, 9) DESC, b.vec_id) AS rn
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id % 20 = 3 AND b.vec_id <> a.vec_id) t
+        WHERE rn <= 3 ORDER BY probe_id, sim DESC, vec_id""",
       "s4_ann_ivf" -> {
         def l2sq(c: String, e: String) =
           s"list_sum(list_transform(range(1, $dims + 1), k -> " +

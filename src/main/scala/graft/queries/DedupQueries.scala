@@ -211,6 +211,30 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // --- d7: quality-aware canonical representative per cluster ---------------
+
+  /** d7 — QUALITY-AWARE survivor selection: per near-dup cluster, keep
+    * the BEST document (longest text, doc_id tie-break), not the
+    * smallest id. This is what production dedup actually ships — among
+    * near-duplicates you keep the most complete variant (the un-truncated
+    * mirror, the full article), while d5's min-id rule is the
+    * order-stable baseline. Composition shape for 100 TB: the cluster
+    * labels (d4) join `documents` on the 8-byte doc_id for the
+    * n_chars quality signal only — the wide text column never moves —
+    * and the per-cluster argmax runs through the custom TopKPerKey
+    * operator (k=1), whose map-side partial pass cuts each partition
+    * to one candidate row per cluster before the only exchange. */
+  def d7CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cands = clusterLabels(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+    graft.plans.TopK.perKey(cands, Seq(col("cluster")),
+      Seq(col("n_chars").desc, col("doc_id")), k = 1)
+      .select(col("cluster"), col("doc_id"), col("n_chars"))
+      .orderBy("cluster")
+  }
+
   // --- d6: incremental (new-batch-vs-base) dedup ----------------------------
 
   /** d6 — INCREMENTAL dedup, the shape a production ingest actually
@@ -270,6 +294,7 @@ object DedupQueries {
     "d4_dedup_clusters" -> (d4DedupClusters _),
     "d5_dedup_survivors" -> (d5DedupSurvivors _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
+    "d7_canonical_docs" -> (d7CanonicalDocs _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -356,6 +381,33 @@ object DedupQueries {
         SELECT d.doc_id, d.n_chars FROM documents d
         JOIN labels l ON l.doc_id = d.doc_id
         WHERE l.cluster = l.doc_id ORDER BY d.doc_id""",
+      // d4's transitive clusters, reduced to the QUALITY-chosen
+      // representative: per cluster the longest doc wins, doc_id breaks
+      // ties (the window spelling of the Spark side's TopKPerKey k=1)
+      "d7_canonical_docs" ->
+        s"""WITH RECURSIVE $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.i AS pa, c.j AS pb
+                  FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j
+                  WHERE ${jacDuck("ia.ids", "ib.ids")} >= $jacThreshold),
+        edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+                  UNION
+                  SELECT e.dst AS id, reach.lab
+                  FROM edges e JOIN reach ON reach.id = e.src),
+        labels AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id)
+        SELECT cluster, doc_id, n_chars FROM (
+          SELECT l.cluster, d.doc_id, d.n_chars,
+            ROW_NUMBER() OVER (PARTITION BY l.cluster
+              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+          FROM labels l JOIN documents d ON d.doc_id = l.doc_id) t
+        WHERE rn = 1 ORDER BY cluster""",
       // the incremental gate restated: incoming (doc_id % 4 = 0) minus
       // exact text matches against the base and minus band-join
       // candidates that verify at jaccard >= threshold (plain text

@@ -194,6 +194,28 @@ object LlmQueries {
       ORDER BY doc_id""")
   }
 
+  /** l10 — TRAINING-ORDER GLOBAL SHUFFLE: give every document a
+    * reproducible pseudo-random position — the epoch shuffle that
+    * decorrelates training batches from crawl/ingest order. Order is a
+    * pure function of (doc_id, epoch constant) through the same integer
+    * hash as l5, so the permutation is reproducible across runs,
+    * cluster sizes and partitionings, and a new epoch is just a new
+    * constant — no state, no rand(), no reshuffling files. Position is
+    * (shard, pos): hash-sharded, then ONE partition-local window per
+    * shard ranks by (hash, doc_id) — l7's no-global-sort shape. At
+    * 100 TB a total ORDER BY hash would range-repartition the corpus
+    * through one sampled sort; this spelling's only wide op is the
+    * 8-byte (doc_id, hash) shard exchange, shards are independent, and
+    * the trainer reads shards round-robin for the interleave. */
+  def l10GlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        s"CAST(${FunctionQueries.kmvHashSpark("(doc_id * 131 + 17)")} AS BIGINT) AS h")
+      .selectExpr("doc_id", "h % 8 AS shard",
+        "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos")
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
@@ -204,6 +226,7 @@ object LlmQueries {
     "l7_sequence_pack" -> (l7SequencePack _),
     "l8_corpus_mix"    -> (l8CorpusMix _),
     "l9_decontaminate" -> (l9Decontaminate _),
+    "l10_global_shuffle" -> (l10GlobalShuffle _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -283,6 +306,15 @@ object LlmQueries {
       FROM corpus_g c JOIN eval_g e ON c.g = e.g
       GROUP BY c.doc_id
       ORDER BY doc_id"""),
+    // epoch-17 permutation restated: same integer hash, same
+    // (hash, doc_id) rank within the hash-mod-8 shard
+    "l10_global_shuffle" ->
+      (s"""SELECT doc_id, shard, pos FROM (
+        SELECT doc_id, h % 8 AS shard,
+          ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        FROM (SELECT doc_id, ${FunctionQueries.kmvHashDuck("(doc_id * 131 + 17)")} AS h
+              FROM documents) t) s
+      ORDER BY shard, pos"""),
   )
 
   /** DuckDB double-precision cosine between `$l.embedding` and

@@ -158,4 +158,33 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(3000))
   }
+
+  test("s6: kNN join — broadcast probes into the scan, partial top-k below the exchange") {
+    val p = plan("s6_knn_join")
+    // probe side broadcast (the =!= predicate makes it a broadcast
+    // nested-loop, which is RIGHT here: tiny build side, scan probe side)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the scored pair stream must hit the map-side partial heap pass
+    // before any exchange — the n·p stream never shuffles
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    assert(p.indexOf("TopKPerKeyPartial") > p.indexOf("Exchange hashpartitioning"),
+      p.take(3000))
+  }
+
+  test("d7: canonical pick is the partial+final top-k heap, never a cluster-wide sort") {
+    val p = plan("d7_canonical_docs")
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    // the quality signal joins on the 8-byte doc_id; no nested loop
+    // anywhere in the composed pipeline
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
+
+  test("l10: epoch shuffle is one shard-partitioned rank window, no global sort under it") {
+    val p = plan("l10_global_shuffle")
+    // presentation sort on top; beneath it exactly one hash exchange
+    // (the shard partitioning) feeding the per-shard window
+    assert(p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1, p.take(3000))
+    assert("Exchange rangepartitioning".r.findAllMatchIn(p).size == 1, p.take(3000))
+  }
 }

@@ -42,6 +42,33 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("TopKPerKey"), plan)
     assert(plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+    // two-pass shape: the map-side partial pass sits BELOW the exchange
+    // (hash-aggregate style), so the shuffle carries at most groups·k
+    // rows per input partition, never the raw input
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.indexOf("TopKPerKeyPartial") > plan.indexOf("Exchange hashpartitioning"),
+      s"partial pass must be below the exchange:\n$plan")
+  }
+
+  test("partial pass bounds what the shuffle carries to groups*k per partition") {
+    // 10 input partitions × 100k rows each is 1M rows into the operator
+    // with 4 groups and k=2: without the partial pass the exchange
+    // would carry all 1M rows; with it, at most 10·4·2 = 80 survivors.
+    // AQE off so the exchange node (and its write metric) is directly
+    // visible on the executed plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(0, 1000000L, 1, 10)
+        .selectExpr("id % 4 AS key", "id AS v")
+      val topk = TopK.perKey(df, Seq(col("key")), Seq(col("v").desc), k = 2)
+      assert(topk.count() == 8L)
+      val carried = topk.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics("shuffleRecordsWritten").value
+      }
+      assert(carried.nonEmpty, topk.queryExecution.executedPlan.toString)
+      assert(carried.forall(_ <= 80L), s"shuffle carried $carried rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("property: TopK.perKey == window spelling on random data (ScalaCheck)") {
@@ -96,6 +123,30 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
       // and it still computes: one row per group
       assert(planned.count() == 200000L)
     } finally spark.conf.unset(TopK.maxGroupsKey)
+  }
+
+  test("partial pass past the group cap degrades to pass-through, never wrong or OOM") {
+    // 500 distinct keys per input partition with cap 300: every map
+    // task hits the cap and forwards its tail unreduced; the final pass
+    // (~31 groups per hash partition) stays under it — result must be
+    // exactly the per-key minimum either way. (Not ONE input partition:
+    // SinglePartition satisfies ClusteredDistribution, so no exchange
+    // would separate the passes and the final cap would fire instead.)
+    spark.conf.set(TopK.maxGroupsKey, "300")
+    // AQE off so the final pass keeps all 32 hash partitions (~31
+    // groups each); with coalescing it would collapse to one partition
+    // and the FINAL cap would fire — which is that pass's correct,
+    // separately-tested behavior, not what this test measures
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(0, 2000L, 1, 4).selectExpr("id % 1000 AS key", "id AS v")
+      val got = TopK.perKey(df, Seq(col("key")), Seq(col("v")), k = 1)
+        .orderBy("key").as[(Long, Long)].collect().toSeq
+      assert(got == (0L until 1000L).map(i => (i, i)))
+    } finally {
+      spark.conf.unset(TopK.maxGroupsKey)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("runtime guard: exceeding maxGroupsPerPartition fails fast with advice") {
