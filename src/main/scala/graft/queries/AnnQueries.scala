@@ -200,14 +200,21 @@ object AnnQueries {
     * only their members by exact cosine. At 100 TB: centroids are a tiny
     * broadcast table, assignment is a scan, and the query touches
     * ~nprobe/nlists of the corpus. */
-  def s4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-    // centroids: (label, array<double>[64]) — posexplode → per-dim avg
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+  /** Deterministic coarse quantizer, shared by s4 and d8: per-label mean
+    * centroids (label, array<double>[64]) — posexplode → per-dim avg,
+    * each coordinate round(avg, 6) so summation order can't produce
+    * engine-visible noise and the DuckDB oracle regenerates identical
+    * centroids. */
+  private[graft] def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(round(avg(col("x")), 6).as("cx"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
         .as("centroid"))
+
+  def s4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = centroids(e)
     // codegen kernel; the interpreted aggregate(zip_with(...)) spelling
     // it replaces is pinned as the spec in ExpressionsSpec
     def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
@@ -269,12 +276,63 @@ object AnnQueries {
       .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
   }
 
+  /** d8 — SEMANTIC dedup (embedding-cosine near-dup at corpus scale,
+    * SemDeDup-shaped): cluster the corpus with the deterministic coarse
+    * quantizer, mine near-dup pairs ONLY within a cluster, and keep the
+    * smallest-id member of every near-dup set. This is the third dedup
+    * modality next to lexical MinHash (d1) and SimHash (d2): it catches
+    * paraphrases and re-encodings that share no n-grams, and the
+    * cluster gate is what makes it affordable — the pair space is
+    * sum(cluster²), never corpus², and recall is cluster-bound BY
+    * DESIGN (a twin assigned to a different cluster is not a
+    * candidate; the banded-LSH path s5 is the alternative when global
+    * recall matters more than the quadratic-free guarantee).
+    *
+    * Plan at 100 TB: the quantizer is trained on the labeled base
+    * corpus only and BROADCAST (tiny); assignment is one scan
+    * (argmin over centroids via min_by — no window, no sort); the
+    * within-cluster pair join is an equi-join on the cluster id whose
+    * skew ceiling is the largest cluster (k-means granularity is the
+    * knob); victims are mined as ids only, and the survivor set is a
+    * LEFT ANTI join on the 8-byte vec_id — embeddings shuffle only
+    * into the pair verify, ids everywhere else. Corpus: the planted
+    * near-twin corpus (same construction as s5, cosine(base, twin)
+    * ≈ 0.999) because the raw test corpus has no pairs above 0.51. */
+  def d8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = centroids(e)
+    val corpus = Tables.spread(spark,
+      plantTwins(e.select(col("vec_id"), col("embedding"))))
+    def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("label").as("clabel"),
+        l2sq(col("centroid"), col("embedding")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("cluster"),
+        first(col("embedding")).as("embedding"))
+      // referenced three times below (both pair sides + the survivor
+      // anti-join); the eager cut materializes the assignment scan once
+      .localCheckpoint(true)
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"))
+    val victims = a.join(b, Seq("cluster"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .filter(round(Vectors.cosine(col("ea"), col("eb")), 9) >= 0.85)
+      .select(col("vec_id_b").as("vec_id")).distinct()
+    assigned.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
     "s4_ann_ivf" -> (s4AnnIvf _),
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
     "s6_knn_join" -> (s6KnnJoin _),
+    "d8_semantic_dedup" -> (d8SemanticDedup _),
   )
 
   /** DuckDB sig-list for the banded SRP signatures at (bands, bits) —
@@ -343,6 +401,39 @@ object AnnQueries {
           FROM embeddings a, embeddings b
           WHERE a.vec_id % 20 = 3 AND b.vec_id <> a.vec_id) t
         WHERE rn <= 3 ORDER BY probe_id, sim DESC, vec_id""",
+      // the full semantic-dedup pipeline restated: same twin corpus as
+      // s5, same centroid construction as s4, argmin assignment as the
+      // row_number spelling, within-cluster pairs at 9dp-rounded cosine
+      // >= 0.85, survivors = corpus minus larger-id pair members
+      "d8_semantic_dedup" -> {
+        def l2sq(c: String, e: String) =
+          s"list_sum(list_transform(range(1, $dims + 1), k -> " +
+            s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
+        s"""WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+            list_transform(embedding, (x, i) ->
+              CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 * ((i - 1) % 3 - 1)) AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id % 10 = 0),
+        dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
+              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
+        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
+        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        assigned AS (SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.label AS cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM corpus e, cent c) WHERE rn = 1),
+        victims AS (SELECT DISTINCT b.vec_id FROM corpus a
+          JOIN assigned sa ON sa.vec_id = a.vec_id
+          JOIN corpus b ON b.vec_id > a.vec_id
+          JOIN assigned sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+          WHERE ROUND($cos, 9) >= 0.85)
+        SELECT s.vec_id, s.cluster FROM assigned s
+        LEFT JOIN victims v ON v.vec_id = s.vec_id
+        WHERE v.vec_id IS NULL ORDER BY s.vec_id"""
+      },
       "s4_ann_ivf" -> {
         def l2sq(c: String, e: String) =
           s"list_sum(list_transform(range(1, $dims + 1), k -> " +

@@ -105,7 +105,7 @@ object StreamingQueries {
     * scratch dir (marker included), then one atomic directory rename —
     * a concurrent loser just deletes its scratch and reads the
     * winner's feed; a crashed build leaves no half-visible feed. */
-  private def feedFor(spark: SparkSession, dir: String): String = {
+  private[graft] def feedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_r9_feed_${feedKey(dir, "events", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
@@ -651,8 +651,59 @@ object StreamingQueries {
     spark.table(qname).orderBy("doc_id")
   }
 
+  /** x36's TRANSFORM over any events stream: the two-hop dimension
+    * enrichment (customer, then nation) as plain broadcast hash joins
+    * inside the streaming plan. Factored so the spec can drive this
+    * exact definition and assert statelessness on the live query. */
+  def x36Transform(stream: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    stream
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("n_name"))
+
+  /** x36 — STREAM-STATIC enrichment join, the most common production
+    * streaming shape of all: every arriving fact is decorated from
+    * dimension tables (customer → nation, a two-hop star lookup)
+    * before it lands. The dimensions are BATCH DataFrames joined into
+    * the streaming plan — Spark plans a broadcast hash join per
+    * micro-batch, so the operator is completely STATELESS: no state
+    * store, no watermark, no commit cost, and throughput scales with
+    * executors exactly like a batch scan (the spec asserts
+    * `lastProgress.stateOperators` is empty on the live query). That
+    * statelessness is the 100 TB contrast with x31/x32: enrichment
+    * against a slowly-changing dimension needs NO stream-stream
+    * machinery, and re-planning per batch means a refreshed dimension
+    * snapshot is picked up at the next trigger without restarting the
+    * query. Every event's user_id resolves (user ids ⊂ customer keys),
+    * so the batch inner join over the same tables is an exact oracle. */
+  def x36StreamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    val feed = feedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x36").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(feed)
+    val qname = "x36_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = x36Transform(stream,
+        Tables.load(spark, dir, "customer"), Tables.load(spark, dir, "nation"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r9_streaming_agg" -> (r9StreamingAgg _),
+    "x36_stream_static_join" -> (x36StreamStaticJoin _),
     "x27_stream_watermark" -> (x27StreamWatermark _),
     "x29_stream_dedup" -> (x29StreamDedup _),
     "x31_stream_stream_join" -> (x31StreamStreamJoin _),
@@ -664,6 +715,14 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "r9_streaming_agg" ->
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // the enrichment is stateless, so the streaming output is exactly
+    // the batch star join over the same tables
+    "x36_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, n.n_name
+      FROM events e
+      JOIN customer c ON c.c_custkey = e.user_id
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      ORDER BY e.event_id""",
     // the watermark drop rule restated in SQL: batch-1 watermark
     // w1 = ms-floor(max on-time ts) − 30 s (Spark tracks event-time
     // stats in milliseconds); a straggler survives iff its window had

@@ -179,6 +179,20 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(3000))
   }
 
+  test("d8: semantic dedup — equi-join pair gate, anti-join survivors, no quadratic scan") {
+    val p = plan("d8_semantic_dedup")
+    // survivors leave as an id-only LEFT ANTI join
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // the within-cluster pair mine is an equi-join on the cluster id;
+    // nothing in the post-assignment pipeline may plan cartesian
+    // (the quantizer broadcast sits behind the assignment checkpoint
+    // and its argmin shape is pinned by the s4 test on the same helper)
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("l10: epoch shuffle is one shard-partitioned rank window, no global sort under it") {
     val p = plan("l10_global_shuffle")
     // presentation sort on top; beneath it exactly one hash exchange

@@ -115,6 +115,35 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkSuite {
     assert(want.nonEmpty && got.sameElements(want))
   }
 
+  test("stream-static enrichment join is stateless and equals the batch star join (x36)") {
+    val dir = "/root/testdata/sf0.001"
+    val feed = graft.streaming.StreamingQueries.feedFor(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+    val customer = graft.core.Tables.load(spark, dir, "customer")
+    val nation = graft.core.Tables.load(spark, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x36_spec").toString
+    val q = graft.streaming.StreamingQueries.x36Transform(stream, customer, nation)
+      .writeStream.outputMode("append").format("memory").queryName("x36_spec")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the semantics under test: the enrichment runs with NO stateful
+    // operator — no state store, no watermark, no commit cost
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(", "))
+    // the transform is stream-agnostic, so applied to the batch events
+    // table it IS the oracle; the dims must broadcast in that plan
+    val batch = graft.streaming.StreamingQueries.x36Transform(
+      graft.core.Tables.load(spark, dir, "events"), customer, nation)
+    val bp = batch.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(bp).size >= 2, bp.take(3000))
+    val got = spark.table("x36_spec").orderBy("event_id").collect().map(_.toString)
+    val want = batch.orderBy("event_id").collect().map(_.toString)
+    assert(want.nonEmpty && got.sameElements(want))
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows null-padded (x32)") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.streaming.StreamingQueries.x32StreamOuterJoin(spark, dir)
