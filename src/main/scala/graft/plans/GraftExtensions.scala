@@ -148,7 +148,11 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
             Window(Seq(alias @ Alias(
                 WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)), _)),
               partSpec, ordSpec, child, _)))
-        if k > 0 && k <= maxK && alias.exprId == rnId &&
+        // ps.nonEmpty: a global top-k (empty PARTITION BY) has no
+        // clustering keys — TopKPerKey's final exec would build the
+        // forbidden ClusteredDistribution(Nil); that shape belongs to
+        // TakeOrderedAndProject / the window plan, not this operator
+        if ps.nonEmpty && k > 0 && k <= maxK && alias.exprId == rnId &&
           // TopK.windowed names its rank __graft_rn as a deliberate
           // opt-out marker: that spelling IS the high-group-cardinality
           // escape hatch, so rewriting it back would defeat the routing

@@ -311,8 +311,10 @@ object AnnQueries {
       .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("cluster"),
         first(col("embedding")).as("embedding"))
       // referenced three times below (both pair sides + the survivor
-      // anti-join); the eager cut materializes the assignment scan once
-      .localCheckpoint(true)
+      // anti-join); the LAZY cut materializes the assignment scan once
+      // at first action — eager would run the quantizer job at
+      // DataFrame-construction time, taxing plan-only callers
+      .localCheckpoint(false)
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_id_a"),
       col("embedding").as("ea"))
     val b = assigned.select(col("cluster"), col("vec_id").as("vec_id_b"),
@@ -353,6 +355,11 @@ object AnnQueries {
       s"list_sum(list_transform(range(1, length($x.embedding) + 1), " +
         s"k -> CAST($x.embedding[k] AS DOUBLE) * CAST($y.embedding[k] AS DOUBLE)))"
     val cos = s"${cosDot("a", "b")} / sqrt(${cosDot("a", "a")}) / sqrt(${cosDot("b", "b")})"
+    // shared by the s4 and d8 twins — ONE spelling of the centroid
+    // distance so the two oracles can't silently diverge
+    def l2sq(c: String, e: String) =
+      s"list_sum(list_transform(range(1, $dims + 1), k -> " +
+        s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
     Map(
       "s2_ann_lsh" ->
         s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
@@ -405,10 +412,7 @@ object AnnQueries {
       // s5, same centroid construction as s4, argmin assignment as the
       // row_number spelling, within-cluster pairs at 9dp-rounded cosine
       // >= 0.85, survivors = corpus minus larger-id pair members
-      "d8_semantic_dedup" -> {
-        def l2sq(c: String, e: String) =
-          s"list_sum(list_transform(range(1, $dims + 1), k -> " +
-            s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
+      "d8_semantic_dedup" ->
         s"""WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
@@ -432,12 +436,8 @@ object AnnQueries {
           WHERE ROUND($cos, 9) >= 0.85)
         SELECT s.vec_id, s.cluster FROM assigned s
         LEFT JOIN victims v ON v.vec_id = s.vec_id
-        WHERE v.vec_id IS NULL ORDER BY s.vec_id"""
-      },
-      "s4_ann_ivf" -> {
-        def l2sq(c: String, e: String) =
-          s"list_sum(list_transform(range(1, $dims + 1), k -> " +
-            s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
+        WHERE v.vec_id IS NULL ORDER BY s.vec_id""",
+      "s4_ann_ivf" ->
         s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
               UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
         cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
@@ -455,8 +455,7 @@ object AnnQueries {
         JOIN assigned s ON s.vec_id = b.vec_id
         JOIN probes p ON p.plabel = s.clabel
         WHERE a.vec_id = 0 AND b.vec_id <> 0
-        ORDER BY sim DESC, b.vec_id LIMIT 5"""
-      },
+        ORDER BY sim DESC, b.vec_id LIMIT 5""",
     )
   }
 }

@@ -94,6 +94,20 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(plan.contains("Window"), plan.take(3000))
   }
 
+  test("global top-k (empty PARTITION BY) is never rewritten — the operator has no keys for it") {
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("ext_orders")
+    val q = spark.sql("""
+      SELECT o_orderkey FROM (
+        SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC) AS rn
+        FROM ext_orders) t
+      WHERE rn <= 5""")
+    // must not crash at planning (ClusteredDistribution(Nil) is
+    // forbidden) and must not plan the heap operator
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q.count() == 5)
+  }
+
   test("RewriteRankLimitToTopK stays conservative when the rank column survives") {
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .createOrReplaceTempView("ext_orders")

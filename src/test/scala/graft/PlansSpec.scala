@@ -167,6 +167,7 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     // the scored pair stream must hit the map-side partial heap pass
     // before any exchange — the n·p stream never shuffles
     assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(3000))
     assert(p.indexOf("TopKPerKeyPartial") > p.indexOf("Exchange hashpartitioning"),
       p.take(3000))
   }

@@ -56,8 +56,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
     // would carry all 1M rows; with it, at most 10·4·2 = 80 survivors.
     // AQE off so the exchange node (and its write metric) is directly
     // visible on the executed plan.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
       val df = spark.range(0, 1000000L, 1, 10)
         .selectExpr("id % 4 AS key", "id AS v")
       val topk = TopK.perKey(df, Seq(col("key")), Seq(col("v").desc), k = 2)
@@ -68,7 +67,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
       }
       assert(carried.nonEmpty, topk.queryExecution.executedPlan.toString)
       assert(carried.forall(_ <= 80L), s"shuffle carried $carried rows")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("property: TopK.perKey == window spelling on random data (ScalaCheck)") {
@@ -132,20 +131,16 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
     // exactly the per-key minimum either way. (Not ONE input partition:
     // SinglePartition satisfies ClusteredDistribution, so no exchange
     // would separate the passes and the final cap would fire instead.)
-    spark.conf.set(TopK.maxGroupsKey, "300")
     // AQE off so the final pass keeps all 32 hash partitions (~31
     // groups each); with coalescing it would collapse to one partition
     // and the FINAL cap would fire — which is that pass's correct,
     // separately-tested behavior, not what this test measures
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withConfs(TopK.maxGroupsKey -> "300",
+        "spark.sql.adaptive.enabled" -> "false") {
       val df = spark.range(0, 2000L, 1, 4).selectExpr("id % 1000 AS key", "id AS v")
       val got = TopK.perKey(df, Seq(col("key")), Seq(col("v")), k = 1)
         .orderBy("key").as[(Long, Long)].collect().toSeq
       assert(got == (0L until 1000L).map(i => (i, i)))
-    } finally {
-      spark.conf.unset(TopK.maxGroupsKey)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
 
