@@ -212,8 +212,54 @@ object ExtendedRelationalQueries {
         col("sw.end").as("session_end"), col("cnt"))
       .orderBy("user_id", "session_start")
 
+  /** x37 — the REST of the rank family (x3 covers row_number/rank):
+    * dense_rank, ntile quartiles, percent_rank and cume_dist in one
+    * window pass. All four share x3's scale shape — one hash shuffle
+    * on the partition key, per-partition sort, no global sort — and
+    * the tie-break on o_orderkey makes every rank deterministic, so
+    * the relative ranks are oracle-exact; percent_rank/cume_dist are
+    * the same (k−1)/(n−1) and k/n IEEE divisions in both engines,
+    * rounded to 9dp as belt and braces. */
+  def x37RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT o_custkey, o_orderkey,
+        dense_rank()            OVER w AS drank,
+        ntile(4)                OVER w AS quartile,
+        round(percent_rank()    OVER w, 9) AS prank,
+        round(cume_dist()       OVER w, 9) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
+  /** x38 — CORRELATED EXISTS / NOT EXISTS subqueries, the declarative
+    * spelling of x8's semi/anti joins: customers with at least one
+    * urgent-priority order and no order above 400k. The point is the
+    * DECORRELATION: Catalyst's RewritePredicateSubquery turns each
+    * correlated predicate into a semi/anti hash join on the outer
+    * reference (PlansSpec asserts LeftSemi + LeftAnti and no nested
+    * loop) — per-outer-row re-execution, the naive reading, never
+    * happens at any scale. */
+  def x38ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority LIKE '%URGENT%')
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_totalprice > 400000)
+      ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_topk_per_key" -> (x17TopkPerKey _),
+    "x37_rank_family" -> (x37RankFamily _),
+    "x38_exists_subquery" -> (x38ExistsSubquery _),
     "x28_session_window" -> (x28SessionWindow _),
     "x19_range_join" -> (x19RangeJoin _),
     "x22_pivot" -> (x22Pivot _),
@@ -228,6 +274,24 @@ object ExtendedRelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same total order (price desc, key), so every rank and both
+    // rational divisions agree exactly; 9dp round is belt and braces
+    "x37_rank_family" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "dense_rank() OVER w AS drank, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "round(percent_rank() OVER w, 9) AS prank, " +
+        "round(cume_dist() OVER w, 9) AS cdist " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "x38_exists_subquery" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority LIKE '%URGENT%') " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey " +
+        "AND o2.o_totalprice > 400000) " +
+        "ORDER BY c_custkey"),
     // gaps-and-islands: a session breaks where the inactivity gap
     // reaches 30 minutes (Spark merges strictly-smaller gaps);
     // session_end = last event + gap

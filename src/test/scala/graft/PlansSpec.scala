@@ -194,6 +194,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("x38: correlated EXISTS decorrelates to semi/anti hash joins, never per-row re-execution") {
+    val p = plan("x38_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
+
   test("l10: epoch shuffle is one shard-partitioned rank window, no global sort under it") {
     val p = plan("l10_global_shuffle")
     // presentation sort on top; beneath it exactly one hash exchange
