@@ -964,6 +964,43 @@ object RepetitionStats {
   def apply(c: Column): Column = GraftShims.column(RepetitionStats(GraftShims.expression(c)))
 }
 
+/** Unicode NFC normalization — the canonicalization a multilingual
+  * curation pipeline runs BEFORE tokenizing, shingling or hashing: the
+  * same text crawled from two sources can differ only in
+  * composed-vs-decomposed accents ("é" as U+00E9 vs U+0065+U+0301 —
+  * byte-different, render-identical), and every downstream exact-dedup
+  * / fingerprint / shingle operator would otherwise treat them as
+  * different documents. Delegates to the JDK's `java.text.Normalizer`;
+  * Unicode normalization is STABLE (normalized output of assigned code
+  * points never changes across Unicode versions), which is also why
+  * DuckDB's utf8proc-based `nfc_normalize` agrees byte-for-byte and
+  * the oracle can gate the full pipeline. Codegen is one static call —
+  * stays inside whole-stage codegen. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(c: Column): Column = GraftShims.column(NfcNormalize(GraftShims.expression(c)))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -1000,6 +1037,8 @@ object GraftFunctions {
       exprs => CharTrigrams(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("repeat_stats",
       exprs => RepetitionStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("stop_hits",
       exprs => StopHits(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>

@@ -173,6 +173,26 @@ object ExtendedRelationalQueries {
       ORDER BY o_custkey, o_orderkey""")
   }
 
+  /** x39 — RANGE frame over EVENT TIME (x24 covers ROWS frames): per
+    * user, the count and value-sum of their events in the trailing
+    * 1-hour window of each event — the moving time-window aggregate
+    * (rate limiting, rolling spend, anomaly baselines). A RANGE frame
+    * is value-defined, not row-defined: ts-peers always share a frame,
+    * so the result is deterministic under ties. Same scale shape as
+    * every window here: one hash shuffle on the partition key,
+    * per-partition sort, frames never cross partitions. */
+  def x39RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql("""
+      SELECT user_id, event_id,
+        CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+        round(sum(value) OVER w, 2) AS v_prev_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""")
+  }
+
   /** x25 — CUBE: order counts over every subset of (status, year) —
     * 4 grouping sets from one Expand + one aggregate, one shuffle. */
   def x25Cube(spark: SparkSession, dir: String): DataFrame =
@@ -260,6 +280,7 @@ object ExtendedRelationalQueries {
     "x17_topk_per_key" -> (x17TopkPerKey _),
     "x37_rank_family" -> (x37RankFamily _),
     "x38_exists_subquery" -> (x38ExistsSubquery _),
+    "x39_range_frame" -> (x39RangeFrame _),
     "x28_session_window" -> (x28SessionWindow _),
     "x19_range_join" -> (x19RangeJoin _),
     "x22_pivot" -> (x22Pivot _),
@@ -285,6 +306,16 @@ object ExtendedRelationalQueries {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    // RANGE frames are value-defined, so ts-peers share frames and the
+    // counts are exact; the double sum is rounded like x24's
+    "x39_range_frame" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_prev_hour, " +
+        "round(sum(value) OVER w, 2) AS v_prev_hour " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "x38_exists_subquery" ->
       ("SELECT c_custkey, c_name FROM customer c " +
         "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +

@@ -154,8 +154,44 @@ object TextQueries {
       ORDER BY doc_id""")
   }
 
+  /** The deterministic DENORMALIZED suffix injected by t8 (the t6 PII
+    * pattern: the clean synthetic corpus carries no decomposed
+    * sequences, so a doc_id-derived layer is added and then
+    * normalized — the oracle gates the normalization semantics, not
+    * corpus luck). Four classic decomposed pairs, chosen by
+    * doc_id % 4, repeated 1 + doc_id % 3 times: e+COMBINING ACUTE → é,
+    * A+COMBINING RING → Å, n+COMBINING TILDE → ñ, o+COMBINING
+    * DIAERESIS → ö. Each composition shrinks the text by exactly one
+    * code point per repeat, so `n_composed` is an integer the oracle
+    * reproduces exactly. */
+  private val denormCase =
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'é' WHEN 1 THEN 'Å' " +
+      "WHEN 2 THEN 'ñ' ELSE 'ö' END"
+
+  /** t8 — Unicode NFC normalization (the [[graft.functions.NfcNormalize]]
+    * codegen expression): canonicalize before any exact-dedup /
+    * fingerprint / shingle stage, because byte-different
+    * render-identical spellings of the same accents would otherwise
+    * defeat them all. Per-row scan-speed work; the fingerprint of the
+    * NORMALIZED text is the cross-engine proof that both engines
+    * produced byte-identical output. */
+  def t8Normalize(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql(s"""
+      SELECT doc_id,
+        CAST(char_length(t) AS BIGINT) AS n_raw,
+        CAST(char_length(nfc_normalize(t)) AS BIGINT) AS n_norm,
+        CAST(char_length(t) - char_length(nfc_normalize(t)) AS BIGINT) AS n_composed,
+        ${rollingHashSpark("nfc_normalize(t)")} AS fp
+      FROM (SELECT doc_id,
+              text || ' caf' || repeat($denormCase, CAST(1 + doc_id % 3 AS INT)) AS t
+            FROM documents)
+      ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"       -> (t1LangId _),
+    "t8_normalize"     -> (t8Normalize _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count"   -> (t3TokenCount _),
     "t4_fingerprint"   -> (t4Fingerprint _),
@@ -217,6 +253,19 @@ object TextQueries {
                    i -> substr(lower(text), CAST(i AS INT), 3))) AS tg
           FROM documents WHERE length(text) >= 3) t
         GROUP BY tg ORDER BY cnt DESC, tg LIMIT 30""",
+      // same injected decomposed layer, normalized by DuckDB's
+      // utf8proc NFC — Unicode normalization stability is what makes
+      // the two engines byte-identical (fp gates that, not just length)
+      "t8_normalize" ->
+        s"""SELECT doc_id,
+          CAST(length(t) AS BIGINT) AS n_raw,
+          CAST(length(nfc_normalize(t)) AS BIGINT) AS n_norm,
+          CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS n_composed,
+          ${rollingHashDuck("nfc_normalize(t)")} AS fp
+        FROM (SELECT doc_id,
+                text || ' caf' || repeat($denormCase, CAST(1 + doc_id % 3 AS INT)) AS t
+              FROM documents)
+        ORDER BY doc_id""",
       // same integer counts restated over DuckDB lists (1-based):
       // mode count via unnest + two grouped aggregates, distinct
       // adjacent bigrams via list_distinct; range(1, len) is [1, len)

@@ -37,6 +37,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter($"fast" =!= $"ref").count() == 0)
   }
 
+  test("NfcNormalize composes decomposed sequences; codegen == JDK Normalizer reference") {
+    // decomposed (base + combining mark) pairs and their precomposed
+    // NFC forms; normalization stability makes these pins permanent
+    val cases = Seq(
+      "é" -> "é", "Å" -> "Å",
+      "ñ" -> "ñ", "ö" -> "ö",
+      "Å" -> "Å",             // ANGSTROM SIGN -> Å
+      "plain ascii" -> "plain ascii",   // NFC is identity on ASCII
+      "" -> "")
+    val df = cases.toDF("raw", "want")
+      .select($"raw", $"want", graft.functions.NfcNormalize($"raw").as("got"))
+    assert(df.filter($"got" =!= $"want").count() == 0)
+    // length drop visible to downstream operators (the t8 signal)
+    GraftFunctions.register(spark)
+    val d = Seq("éé").toDF("s")
+      .selectExpr("char_length(s) AS a", "char_length(" +
+        "nfc_normalize(s)) AS b")
+    assert(d.as[(Int, Int)].collect().head == ((4, 2)))
+  }
+
   test("Fnv1a32 matches published FNV-1a 32-bit test vectors") {
     val got = Seq("", "a", "foobar").toDF("s")
       .select(Fnv1a32($"s").as("h")).as[Long].collect().toSeq
