@@ -183,10 +183,15 @@ object ExtendedRelationalQueries {
     * per-partition sort, frames never cross partitions. */
   def x39RangeFrame(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    // the frame SUM runs over integer micro-units, not doubles: a
+    // range-frame double sum is only rounding-stable cross-engine
+    // (Spark sums sequentially, DuckDB combines via segment tree —
+    // different FP association), while integer addition is associative
+    // so the oracle equality is exact by construction, not by luck
     spark.sql("""
       SELECT user_id, event_id,
         CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
-        round(sum(value) OVER w, 2) AS v_prev_hour
+        round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / CAST(1000000 AS DOUBLE), 2) AS v_prev_hour
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -300,18 +305,19 @@ object ExtendedRelationalQueries {
     "x37_rank_family" ->
       ("SELECT o_custkey, o_orderkey, " +
         "dense_rank() OVER w AS drank, " +
-        "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "ntile(4) OVER w AS quartile, " +
         "round(percent_rank() OVER w, 9) AS prank, " +
         "round(cume_dist() OVER w, 9) AS cdist " +
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
     // RANGE frames are value-defined, so ts-peers share frames and the
-    // counts are exact; the double sum is rounded like x24's
+    // counts are exact; the sum is integer micro-units (associative)
+    // so segment-tree vs sequential summation cannot diverge
     "x39_range_frame" ->
       ("SELECT user_id, event_id, " +
         "CAST(count(*) OVER w AS BIGINT) AS n_prev_hour, " +
-        "round(sum(value) OVER w, 2) AS v_prev_hour " +
+        "round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / CAST(1000000 AS DOUBLE), 2) AS v_prev_hour " +
         "FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
         "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +

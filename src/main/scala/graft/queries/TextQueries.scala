@@ -164,9 +164,13 @@ object TextQueries {
     * DIAERESIS → ö. Each composition shrinks the text by exactly one
     * code point per repeat, so `n_composed` is an integer the oracle
     * reproduces exactly. */
+  private val denormMarks: Seq[String] =
+    Seq("e" -> 0x0301, "A" -> 0x030A, "n" -> 0x0303, "o" -> 0x0308)
+      .map { case (base, mark) => base + mark.toChar }
   private val denormCase =
-    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'é' WHEN 1 THEN 'Å' " +
-      "WHEN 2 THEN 'ñ' ELSE 'ö' END"
+    s"CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '${denormMarks(0)}' " +
+      s"WHEN 1 THEN '${denormMarks(1)}' WHEN 2 THEN '${denormMarks(2)}' " +
+      s"ELSE '${denormMarks(3)}' END"
 
   /** t8 — Unicode NFC normalization (the [[graft.functions.NfcNormalize]]
     * codegen expression): canonicalize before any exact-dedup /

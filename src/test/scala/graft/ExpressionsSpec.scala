@@ -57,6 +57,16 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(d.as[(Int, Int)].collect().head == ((4, 2)))
   }
 
+  test("t8's injected layer is genuinely decomposed (normalization changes every row)") {
+    // guards the injection itself: if any tool ever NFC-normalizes the
+    // source (or an encoding slip mangles the marks), t8 would inject
+    // already-composed text and the oracle would pass VACUOUSLY — this
+    // pins n_composed = 1 + doc_id % 3 > 0 for every row
+    val bad = graft.queries.TextQueries.t8Normalize(spark, "/root/testdata/sf0.001")
+      .filter(expr("n_composed <> 1 + doc_id % 3")).count()
+    assert(bad == 0)
+  }
+
   test("Fnv1a32 matches published FNV-1a 32-bit test vectors") {
     val got = Seq("", "a", "foobar").toDF("s")
       .select(Fnv1a32($"s").as("h")).as[Long].collect().toSeq
