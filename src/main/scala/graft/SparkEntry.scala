@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnnQueries, DedupQueries, ExtendedRelationalQueries, ExtensionQueries, FunctionQueries, LlmQueries, PipelineQueries, MultimodalQueries, ReferenceQueries, TextQueries}
+import graft.queries.{AnnQueries, DedupQueries, ExtendedRelationalQueries, ExtensionQueries, FunctionQueries, LlmQueries, PipelineQueries, MultimodalQueries, ReferenceQueries, SqlSurfaceQueries, TextQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,7 +29,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       AnnQueries.queries ++ MultimodalQueries.queries ++
       ExtendedRelationalQueries.queries ++ FunctionQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ SqlSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +39,5 @@ object SparkEntry {
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       AnnQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       ExtendedRelationalQueries.oracleSql ++ FunctionQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ SqlSurfaceQueries.oracleSql
 }

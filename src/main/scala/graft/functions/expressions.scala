@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions with whole-stage codegen — the
@@ -1001,6 +1001,76 @@ object NfcNormalize {
   def apply(c: Column): Column = GraftShims.column(NfcNormalize(GraftShims.expression(c)))
 }
 
+/** Symmetric int8 quantization statistics for an embedding vector, in
+  * one fused pass: `struct(scale, q_sum, q_min, q_max, n_sat)` where
+  * `scale = max |x_i|` and `q_i = sign(x_i) · floor(|x_i|/scale·127 +
+  * 0.5)` (round-half-away, spelled via floor so the arithmetic is
+  * IEEE-identical on any engine — no dependence on a round() tie mode).
+  * This is the compression step an ANN/retrieval store runs before
+  * indexing 100 TB of embeddings (4× smaller than float32, dot products
+  * in int8 SIMD); the stats are the validation artifact: saturation
+  * count, range, and the checksum-ish q_sum. Quantized values are kept
+  * as LONGs end-to-end so no negative-zero double can leak into the
+  * oracle hash. The builtin spelling is four interpreted higher-order
+  * traversals per row; this is one fused loop at scan speed. */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_min", LongType, nullable = false),
+    StructField("q_max", LongType, nullable = false),
+    StructField("n_sat", LongType, nullable = false)))
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_stats needs an array<float> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(arr.getFloat(i).toDouble)
+      if (v > scale) scale = v
+      i += 1
+    }
+    var qsum = 0L; var qmin = 0L; var qmax = 0L; var nsat = 0L
+    if (n > 0 && scale > 0.0) {
+      qmin = Long.MaxValue; qmax = Long.MinValue
+      i = 0
+      while (i < n) {
+        val x = arr.getFloat(i).toDouble
+        val m = math.floor(math.abs(x) / scale * 127.0 + 0.5).toLong
+        val q = if (x < 0) -m else m
+        qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        if (m >= 127L) nsat += 1
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, qsum, qmin, qmax, nsat)
+  }
+
+  // One interpreted call per ROW; the per-element work is the fused
+  // Java loop above either way (the RepetitionStats pattern).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("quantStats", this, classOf[Int8QuantStats].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}
+
+object Int8QuantStats {
+  def apply(c: Column): Column = GraftShims.column(Int8QuantStats(GraftShims.expression(c)))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -1039,6 +1109,8 @@ object GraftFunctions {
       exprs => RepetitionStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_quant_stats",
+      exprs => Int8QuantStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("stop_hits",
       exprs => StopHits(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>

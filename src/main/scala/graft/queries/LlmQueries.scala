@@ -216,6 +216,80 @@ object LlmQueries {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** l11 — TF-IDF keyword extraction: top-3 terms per document by an
+    * integer tf-idf score — the signature/topic summary a curation
+    * pipeline logs per doc (and the lexical half of hybrid retrieval).
+    * Scores stay in INTEGER arithmetic (`tf · ((N·10⁶) div df)`) so the
+    * oracle reproduces them bit-for-bit — no log(), no float idf.
+    * Shuffle story at 100 TB: the wide text never moves — (doc_id,
+    * term) counts shuffle once for tf, term-level df is a second small
+    * aggregate, and the per-doc top-3 runs through the custom
+    * TopKPerKey operator (map-side partial heaps, never a per-doc
+    * sort). The df side is genuinely vocabulary-sized, so it
+    * broadcasts; past the threshold AQE falls back to a shuffle join on
+    * the term key. */
+  def l11Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        expr("tf * ((n_docs * 1000000) DIV df)").as("score"))
+    graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+      Seq(col("score").desc, col("term")), k = 3)
+      .select("doc_id", "term", "tf", "score")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** l12 — PASSAGE CHUNKING: split every document into overlapping
+    * 64-token windows on a 48-token stride — the retrieval-side
+    * counterpart of l7's training-side packing (RAG indexes passages,
+    * not documents; the overlap keeps answers that straddle a boundary
+    * findable). Pure scan shape: one Generate (sequence + explode) per
+    * row, chunk bookkeeping is row-local integer arithmetic, and the
+    * only exchange is the presentation sort — at 100 TB chunking is
+    * embarrassingly parallel and the text column never shuffles (the
+    * manifest carries offsets, not copies). */
+  def l12Chunk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH s AS (SELECT doc_id, split(text, ' ') AS w,
+                        CAST(size(split(text, ' ')) AS BIGINT) AS n
+                 FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        i * 48 + 1                         AS start_tok,
+        least(CAST(64 AS BIGINT), n - i * 48) AS chunk_len,
+        element_at(w, CAST(i * 48 + 1 AS INT)) AS head_tok
+      FROM s LATERAL VIEW explode(sequence(CAST(0 AS BIGINT), (n - 1) DIV 48)) AS i
+      ORDER BY doc_id, chunk_id""")
+  }
+
+  /** l13 — INT8 EMBEDDING QUANTIZATION: symmetric per-vector int8
+    * quantization stats through the fused codegen
+    * [[graft.functions.Int8QuantStats]] kernel — the compression step a
+    * retrieval store runs before indexing 100 TB of embeddings (4×
+    * smaller, int8 SIMD dot products), with the stats a quantization
+    * job validates: scale, saturation count, q range and the
+    * checksum-ish q_sum. Round-half-away is spelled via floor() so both
+    * engines run identical IEEE ops (no round() tie-mode dependence),
+    * and quantized values stay LONGs so no negative-zero double can
+    * leak into the hash. Scan-shaped: one fused per-row loop, no
+    * shuffle but the presentation sort. */
+  def l13Quantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql("""
+      SELECT vec_id, q.scale AS scale, q.q_sum AS q_sum,
+             q.q_min AS q_min, q.q_max AS q_max, q.n_sat AS n_sat
+      FROM (SELECT vec_id, int8_quant_stats(embedding) AS q FROM embeddings)
+      ORDER BY vec_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
@@ -227,6 +301,9 @@ object LlmQueries {
     "l8_corpus_mix"    -> (l8CorpusMix _),
     "l9_decontaminate" -> (l9Decontaminate _),
     "l10_global_shuffle" -> (l10GlobalShuffle _),
+    "l11_tfidf"          -> (l11Tfidf _),
+    "l12_chunk"          -> (l12Chunk _),
+    "l13_quantize"       -> (l13Quantize _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,6 +383,52 @@ object LlmQueries {
       FROM corpus_g c JOIN eval_g e ON c.g = e.g
       GROUP BY c.doc_id
       ORDER BY doc_id"""),
+    // same integer tf-idf arithmetic (// is DuckDB floor division,
+    // identical to Spark's DIV on these non-negative values); same
+    // (score DESC, term) tie-break, row_number spelling of the top-3
+    "l11_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (SELECT t.doc_id, t.term, t.tf,
+          CAST(t.tf * ((n_docs * 1000000) // df) AS BIGINT) AS score
+        FROM tf t JOIN dfq USING (term) CROSS JOIN nd),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rn FROM scored)
+      SELECT doc_id, term, tf, score FROM r WHERE rn <= 3
+      ORDER BY doc_id, score DESC, term""",
+    // same chunk grid: starts 1 + 48·i while start ≤ n, row-local
+    // integer arithmetic on both engines
+    "l12_chunk" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+                    CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents),
+      e AS (SELECT doc_id, w, n, unnest(range(0, (n - 1) // 48 + 1)) AS i FROM s)
+      SELECT doc_id, i AS chunk_id, i * 48 + 1 AS start_tok,
+        least(64, n - i * 48) AS chunk_len,
+        w[CAST(i * 48 + 1 AS INT)] AS head_tok
+      FROM e ORDER BY doc_id, chunk_id""",
+    // same quantization arithmetic, spelled per element: scale is an
+    // exact max of |float→double| (no rounding needed), q via the same
+    // floor(|x|/s·127 + 0.5) ops in the same order, kept integer
+    "l13_quantize" ->
+      """WITH q AS (SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+            embedding FROM embeddings),
+      qq AS (SELECT vec_id, scale,
+          list_transform(embedding, x -> CAST(
+            CASE WHEN scale = 0 THEN 0
+                 WHEN x < 0 THEN -floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5)
+                 ELSE floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5) END
+            AS BIGINT)) AS ql
+        FROM q)
+      SELECT vec_id, scale,
+        CAST(COALESCE(list_sum(ql), 0) AS BIGINT)                       AS q_sum,
+        CAST(COALESCE(list_min(ql), 0) AS BIGINT)                       AS q_min,
+        CAST(COALESCE(list_max(ql), 0) AS BIGINT)                       AS q_max,
+        CAST(COALESCE(length(list_filter(ql, v -> abs(v) >= 127)), 0) AS BIGINT) AS n_sat
+      FROM qq ORDER BY vec_id""",
     // epoch-17 permutation restated: same integer hash, same
     // (hash, doc_id) rank within the hash-mod-8 shard
     "l10_global_shuffle" ->

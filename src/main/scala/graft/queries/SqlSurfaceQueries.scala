@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Declarative SQL-surface batch 6 (x40–x43): UNPIVOT, LATERAL
+  * subqueries, recursive CTEs and the MAP type surface — the remaining
+  * relational spellings a user migrating a SQL workload onto the engine
+  * would reach for. The reference has no SQL at all (SURVEY §2.3); these
+  * continue the x36–x39 arc of closing the declarative surface, each
+  * with a DuckDB twin and a total deterministic ordering.
+  */
+object SqlSurfaceQueries {
+
+  private def view(spark: SparkSession, dir: String, name: String): Unit =
+    Tables.load(spark, dir, name).createOrReplaceTempView(name)
+
+  /** x40 — UNPIVOT: lineitem's four measure columns melted to long form
+    * (the inverse of x22's pivot). Plans as one Expand (4 rows per
+    * input, same node CUBE/rollup use) — scan-shaped, no join, no
+    * aggregate; the only exchange is the presentation sort. At 100 TB
+    * melting wide telemetry into (entity, measure, value) triples is a
+    * scan, never a shuffle. */
+  def x40Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql("""
+      SELECT l_orderkey, l_linenumber, measure, v
+      FROM (SELECT l_orderkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem)
+      UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      ORDER BY l_orderkey, l_linenumber, measure, v""")
+  }
+
+  /** x41 — LATERAL correlated subquery: per-customer order stats through
+    * the SQL-standard lateral spelling. The point is DECORRELATION plus
+    * the COUNT bug: Catalyst must rewrite the per-row subquery into ONE
+    * aggregate + left outer join on c_custkey — never a re-execution per
+    * outer row — while still producing n_orders = 0 (not NULL) for
+    * customers with no orders (the classic decorrelation trap; the
+    * oracle has rows for exactly those customers). PlansSpec pins the
+    * no-nested-loop shape. */
+  def x41Lateral(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "customer")
+    view(spark, dir, "orders")
+    spark.sql("""
+      SELECT c.c_custkey, l.n_orders, l.max_price
+      FROM customer c,
+      LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+               FROM orders o WHERE o.o_custkey = c.c_custkey) l
+      ORDER BY c.c_custkey""")
+  }
+
+  /** x42 — RECURSIVE CTE: iterate-to-fixpoint declaratively (digit-ladder
+    * walk `k → k div 10` per order key, depth = walk length). Each
+    * recursion step is a distributed job over the PREVIOUS step's frame
+    * only, and rows leave the frame as they hit the guard — the frame
+    * shrinks monotonically, so total work is rows × depth, not
+    * rows × depth². This is the declarative twin of d4's imperative
+    * connected-components loop: fine at bounded depth (here ≤ 8); for
+    * O(log n)-round graph convergence the engine's ConnectedComponents
+    * operator (large-star/small-star with checkpointed rounds) remains
+    * the 100 TB path — a recursive CTE has no lineage truncation. */
+  def x42RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql("""
+      WITH RECURSIVE walk(o_orderkey, cur, depth) AS (
+        SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT) FROM orders
+        UNION ALL
+        SELECT o_orderkey, cur DIV 10, depth + 1 FROM walk WHERE cur > 0
+      )
+      SELECT o_orderkey, MAX(depth) AS depth
+      FROM walk GROUP BY o_orderkey ORDER BY o_orderkey""")
+  }
+
+  /** x43 — MAP type surface: per-user event_type → count as a real
+    * MapType column (SURVEY §1.2's declared replacement for the
+    * reference's `map[string]int` aggregate envelope,
+    * rainstorm.go:34,551-559), then scalar lookups out of it. Built
+    * with map_from_entries over the grouped counts; lookups via
+    * try_element_at (ANSI-safe on missing keys). The map is an
+    * intermediate — outputs are scalars, so the oracle states the same
+    * semantics as conditional aggregation without needing DuckDB's map
+    * dialect. One shuffle on (user, type), one on user. */
+  def x43MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql("""
+      WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                 FROM events GROUP BY user_id, event_type),
+      m AS (SELECT user_id,
+              map_from_entries(collect_list(struct(event_type, cnt))) AS m
+            FROM c GROUP BY user_id)
+      SELECT user_id,
+        CAST(size(m) AS BIGINT)                            AS n_types,
+        CAST(coalesce(try_element_at(m, 'click'), 0) AS BIGINT)    AS clicks,
+        CAST(coalesce(try_element_at(m, 'purchase'), 0) AS BIGINT) AS purchases,
+        CAST(coalesce(try_element_at(m, 'error'), 0) AS BIGINT)    AS errors
+      FROM m ORDER BY user_id""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x40_unpivot"       -> (x40Unpivot _),
+    "x41_lateral"       -> (x41Lateral _),
+    "x42_recursive_cte" -> (x42RecursiveCte _),
+    "x43_map_funcs"     -> (x43MapFuncs _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the same SQL-standard UNPIVOT clause; measure names are the
+    // source column names on both engines
+    "x40_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, v
+      FROM (SELECT l_orderkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem)
+      UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      ORDER BY l_orderkey, l_linenumber, measure, v""",
+    // DuckDB decorrelates the same lateral aggregate; COUNT over the
+    // empty group is 0 on both engines (the count-bug check)
+    "x41_lateral" ->
+      """SELECT c.c_custkey, l.n_orders, l.max_price
+      FROM customer c,
+      LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+               FROM orders o WHERE o.o_custkey = c.c_custkey) l
+      ORDER BY c.c_custkey""",
+    // same ladder, DuckDB's // integer division
+    "x42_recursive_cte" ->
+      """WITH RECURSIVE walk(o_orderkey, cur, depth) AS (
+        SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT) FROM orders
+        UNION ALL
+        SELECT o_orderkey, cur // 10, depth + 1 FROM walk WHERE cur > 0
+      )
+      SELECT o_orderkey, MAX(depth) AS depth
+      FROM walk GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // the map is a Spark-side intermediate; the semantics — distinct
+    // type count + per-type counts with 0 default — restated as
+    // conditional aggregation
+    "x43_map_funcs" ->
+      """SELECT user_id,
+        COUNT(DISTINCT event_type)                                   AS n_types,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT)    AS clicks,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT)    AS errors
+      FROM events GROUP BY user_id ORDER BY user_id""",
+  )
+}

@@ -319,6 +319,47 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(gotNull)
   }
 
+  test("Int8QuantStats == builtin higher-order spelling on real embeddings + edges") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("embeddings")
+    // the portable spelling: four interpreted traversals with the SAME
+    // floor-based round-half-away arithmetic in the same op order
+    val diff = spark.sql("""
+      WITH p AS (SELECT vec_id, int8_quant_stats(embedding) AS q,
+          array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+          embedding FROM embeddings),
+      r AS (SELECT vec_id, q, scale,
+          transform(embedding, x -> CAST(
+            CASE WHEN scale = 0D THEN 0
+                 WHEN x < 0 THEN -floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5)
+                 ELSE floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5) END
+            AS BIGINT)) AS ql
+        FROM p)
+      SELECT count(*) FROM r
+      WHERE q.scale != scale
+         OR q.q_sum != aggregate(ql, CAST(0 AS BIGINT), (a, v) -> a + v)
+         OR q.q_min != array_min(ql)
+         OR q.q_max != array_max(ql)
+         OR q.n_sat != CAST(size(filter(ql, v -> abs(v) >= 127)) AS BIGINT)""")
+      .head().getLong(0)
+    assert(diff == 0)
+    // edges: empty vector, all-zero vector, single element, saturation
+    // at the max element on both signs
+    import org.apache.spark.sql.Row
+    val edges = Seq(
+      Seq.empty[Float], Seq(0f, 0f), Seq(-2.5f), Seq(1f, -1f, 0.5f))
+      .toDF("embedding")
+      .select(graft.functions.Int8QuantStats($"embedding").as("q"))
+      .select("q.scale", "q.q_sum", "q.q_min", "q.q_max", "q.n_sat")
+      .collect().toSeq
+    assert(edges(0) == Row(0.0, 0L, 0L, 0L, 0L))
+    assert(edges(1) == Row(0.0, 0L, 0L, 0L, 0L))
+    assert(edges(2) == Row(2.5, -127L, -127L, -127L, 1L))
+    // scale 1.0: q = [127, -127, 64 (floor(63.5+0.5))]
+    assert(edges(3) == Row(1.0, 64L, -127L, 127L, 2L))
+  }
+
   test("BpeTokenCount == size(regexp_extract_all(...)) on real documents + edges") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -209,4 +209,49 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1, p.take(3000))
     assert("Exchange rangepartitioning".r.findAllMatchIn(p).size == 1, p.take(3000))
   }
+
+  test("x40: unpivot is one Expand over the scan — no join, no aggregate") {
+    val p = plan("x40_unpivot")
+    assert(p.contains("Expand"), p.take(3000))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(3000))
+    // the only exchange is the presentation sort's range partitioning
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p.take(3000))
+  }
+
+  test("x41: lateral aggregate decorrelates to one agg + outer join, never per-row re-execution") {
+    val p = plan("x41_lateral")
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(3000))
+    assert(p.contains("LeftOuter"), p.take(3000))
+    // the count-bug guard: empty groups surface 0 through the
+    // alwaysTrue null-probe, not NULL
+    assert(p.contains("alwaysTrue"), p.take(3000))
+  }
+
+  test("x42: recursive CTE plans the iterative UnionLoop, guard inside the step") {
+    val p = plan("x42_recursive_cte")
+    assert(p.contains("UnionLoop"), p.take(3000))
+    // rows leave the frame at the guard — the filter must sit inside
+    // the recursion step, bounding each iteration's frame
+    assert(p.contains("UnionLoopRef"), p.take(3000))
+  }
+
+  test("l11: per-doc tf-idf top-3 is the partial+final heap pass; df side broadcast") {
+    val p = plan("l11_tfidf")
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("l12: chunking is one Generate over the scan — the manifest never shuffles text") {
+    val p = plan("l12_chunk")
+    assert(p.contains("Generate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p.take(3000))
+  }
+
+  test("l13: quantization stats run the fused kernel in one scan — no shuffle but the sort") {
+    val p = plan("l13_quantize")
+    assert(p.toLowerCase.contains("int8quantstats") || p.contains("int8_quant_stats"),
+      p.take(3000))
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p.take(3000))
+  }
 }
