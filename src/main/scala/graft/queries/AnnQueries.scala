@@ -276,6 +276,66 @@ object AnnQueries {
       .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
   }
 
+  /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
+    * computation (ADC), the memory-compression half of a FAISS-class
+    * 100 TB vector index. The 64-dim corpus is ENCODED once into 4
+    * codebook ids (one per 16-dim subspace, codebooks = the
+    * deterministic coarse-quantizer centroids sliced per subspace);
+    * a query then scores every vector WITHOUT touching raw embeddings —
+    * it builds a tiny ADC lookup table (its distance to each of the
+    * 4×10 codewords) and each vector's approximate distance is four
+    * table lookups summed. The table is quantized to integer
+    * micro-units (floor(d·10⁶ + 0.5), the uint16-LUT trick real PQ
+    * kernels use for SIMD), which also makes the sum order-independent
+    * and the oracle bit-exact with no float-summation caveat. Top-10 ADC
+    * candidates are then RE-RANKED by exact cosine (the standard
+    * two-stage shape) and the top-5 emitted.
+    *
+    * Why this is the 100 TB economics: the stored index is the codes
+    * table — 4 small ints (≤4 B) per vector vs 256 B of floats, a 64×
+    * compression — and candidate scoring is a scan of that table with a
+    * broadcast 40-row LUT; only the ≤10 re-rank candidates ever read
+    * their full embedding. Encode is one scan (the per-(vector,subspace)
+    * argmin collapses map-side — only 16-byte (vec_id, m, code) rows
+    * cross the exchange); at real scale the codes table is a maintained
+    * index, written once per corpus version. */
+  def s7IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = centroids(e)
+    def l2sq(c: Column, v: Column): Column = L2SquaredDistance(c, v)
+    // sub-codebooks: (m, label, c[16]) — centroid slices per subspace
+    val sub = cent.select(col("label"), explode(expr(
+        "transform(sequence(0, 3), m -> struct(m AS m, slice(centroid, m * 16 + 1, 16) AS c))")).as("s"))
+      .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
+    // corpus subvectors: one spread scan, 4 narrow rows per vector
+    val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), m -> struct(m AS m, slice(embedding, m * 16 + 1, 16) AS v))")).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.v").as("v"))
+    // PQ encode: nearest codeword per (vector, subspace), argmin via
+    // min_by (label tie-break) — an aggregate, never a per-vector sort
+    val codes = parts.join(broadcast(sub), "m")
+      .select(col("vec_id"), col("m"), col("label"), l2sq(col("c"), col("v")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("label"), struct(col("d"), col("label"))).as("code"))
+    // ADC lookup table: query distance to each codeword, integer micro-units
+    val qtab = parts.filter(col("vec_id") === 0).join(broadcast(sub), "m")
+      .select(col("m").as("qm"), col("label"),
+        floor(l2sq(col("c"), col("v")) * lit(1000000L) + lit(0.5)).as("qd"))
+    val cand = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(qtab), col("m") === col("qm") && col("code") === col("label"))
+      .groupBy("vec_id").agg(sum(col("qd")).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(10)
+    // exact re-rank of the candidate set
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.select(col("vec_id"), col("embedding")).join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adist"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** d8 — SEMANTIC dedup (embedding-cosine near-dup at corpus scale,
     * SemDeDup-shaped): cluster the corpus with the deterministic coarse
     * quantizer, mine near-dup pairs ONLY within a cluster, and keep the
@@ -334,6 +394,7 @@ object AnnQueries {
     "s4_ann_ivf" -> (s4AnnIvf _),
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
     "s6_knn_join" -> (s6KnnJoin _),
+    "s7_ivf_pq" -> (s7IvfPq _),
     "d8_semantic_dedup" -> (d8SemanticDedup _),
   )
 
@@ -437,6 +498,39 @@ object AnnQueries {
         SELECT s.vec_id, s.cluster FROM assigned s
         LEFT JOIN victims v ON v.vec_id = s.vec_id
         WHERE v.vec_id IS NULL ORDER BY s.vec_id""",
+      // PQ restated: same sliced-centroid codebooks (index-mapped
+      // ranges instead of slices — identical ascending fold), argmin as
+      // the row_number spelling, the same integer micro-unit LUT
+      // (floor(d·1e6 + 0.5)), order-independent BIGINT ADC sums
+      // (HUGEINT collapsed by the CAST), exact-cosine re-rank
+      "s7_ivf_pq" -> {
+        def l2sub(c: String, e: String) =
+          s"list_sum(list_transform(range(1, 17), j -> " +
+            s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE)) * " +
+            s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE))))"
+        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
+              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
+        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
+        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        mm AS (SELECT unnest(range(0, 4)) AS m),
+        codes AS (SELECT vec_id, m, label AS code FROM (
+            SELECT e.vec_id, mm.m, c.label,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id, mm.m
+                ORDER BY ${l2sub("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM embeddings e CROSS JOIN mm CROSS JOIN cent c) WHERE rn = 1),
+        qtab AS (SELECT mm.m, c.label,
+              CAST(floor(${l2sub("c.centroid", "q.embedding")} * 1000000 + 0.5) AS BIGINT) AS qd
+            FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            CROSS JOIN mm CROSS JOIN cent c),
+        cand AS (SELECT k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adist
+            FROM codes k JOIN qtab t ON t.m = k.m AND t.label = k.code
+            WHERE k.vec_id <> 0 GROUP BY k.vec_id
+            ORDER BY adist, vec_id LIMIT 10)
+        SELECT b.vec_id, cand.adist, ROUND($cos, 9) AS sim
+        FROM embeddings a, embeddings b JOIN cand ON cand.vec_id = b.vec_id
+        WHERE a.vec_id = 0
+        ORDER BY sim DESC, b.vec_id LIMIT 5"""
+      },
       "s4_ann_ivf" ->
         s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
               UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),

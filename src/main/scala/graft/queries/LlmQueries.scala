@@ -290,6 +290,43 @@ object LlmQueries {
       ORDER BY vec_id""")
   }
 
+  /** l14 — N-GRAM LM QUALITY SCORE (CCNet-shaped): score every corpus
+    * document by how much of it a reference language model has seen —
+    * here the model is the DISTINCT word-3-gram vocabulary of a
+    * deterministic high-quality slice (`lang = 'en' AND doc_id % 7 = 0`,
+    * the stand-in for the curated Wikipedia-style corpus CCNet trains
+    * its KenLM on), and the score is integer type-coverage
+    * (`n_known·1000 DIV n_types`, the OOV-rate complement) rather than a
+    * float perplexity, so the oracle reproduces it bit-for-bit.
+    *
+    * Shape built for 100 TB: the reference slice is small by
+    * construction, so its vocabulary of 8-byte shingle hashes is
+    * BROADCAST (hinted) against the corpus's exploded (doc_id, hash)
+    * stream — a LEFT join so zero-coverage documents keep their row
+    * (they are exactly the ones the gate exists to drop). The wide text
+    * column never shuffles: corpus cost is one fused shingle-kernel
+    * scan (the same codegen `shingle_hashes` d1/l9 use) plus one
+    * count aggregate on 16-byte (doc_id, n_types) keys. Documents
+    * under 3 tokens have no 3-grams and are excluded identically on
+    * both engines. */
+  def l14LmScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH toks AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+      ids AS (SELECT doc_id, lang, shingle_hashes(w) AS g FROM toks WHERE size(w) >= 3),
+      vocab AS (SELECT DISTINCT explode(g) AS v FROM ids
+                WHERE lang = 'en' AND doc_id % 7 = 0),
+      corpus AS (SELECT doc_id, CAST(size(g) AS BIGINT) AS n_types, explode(g) AS h
+                 FROM ids WHERE NOT (lang = 'en' AND doc_id % 7 = 0))
+      SELECT /*+ BROADCAST(v) */ c.doc_id, c.n_types,
+             COUNT(v.v) AS n_known,
+             (COUNT(v.v) * 1000) DIV c.n_types AS permille
+      FROM corpus c LEFT JOIN vocab v ON c.h = v.v
+      GROUP BY c.doc_id, c.n_types
+      ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
@@ -304,6 +341,7 @@ object LlmQueries {
     "l11_tfidf"          -> (l11Tfidf _),
     "l12_chunk"          -> (l12Chunk _),
     "l13_quantize"       -> (l13Quantize _),
+    "l14_lm_score"       -> (l14LmScore _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -429,6 +467,26 @@ object LlmQueries {
         CAST(COALESCE(list_max(ql), 0) AS BIGINT)                       AS q_max,
         CAST(COALESCE(length(list_filter(ql, v -> abs(v) >= 127)), 0) AS BIGINT) AS n_sat
       FROM qq ORDER BY vec_id""",
+    // same reference slice, same distinct-hash vocabulary (the double
+    // list_distinct mirrors ShingleHashes' distinct-on-hashes), same
+    // integer coverage arithmetic; // is DuckDB floor division and the
+    // CAST collapses its HUGEINT product to Spark's BIGINT
+    "l14_lm_score" ->
+      (s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, lang, ${graft.functions.TextPrimitives.shinglesDuck("w")} AS s
+             FROM toks WHERE length(w) >= 3),
+      ids AS (SELECT doc_id, lang,
+                list_distinct(list_transform(s, g -> ${graft.functions.TextPrimitives.rollingHashDuck("g")})) AS g
+              FROM sh),
+      vocab AS (SELECT DISTINCT unnest(g) AS v FROM ids
+                WHERE lang = 'en' AND doc_id % 7 = 0),
+      corpus AS (SELECT doc_id, CAST(length(g) AS BIGINT) AS n_types, unnest(g) AS h
+                 FROM ids WHERE NOT (lang = 'en' AND doc_id % 7 = 0))
+      SELECT c.doc_id, c.n_types, COUNT(v.v) AS n_known,
+             CAST((COUNT(v.v) * 1000) // c.n_types AS BIGINT) AS permille
+      FROM corpus c LEFT JOIN vocab v ON c.h = v.v
+      GROUP BY c.doc_id, c.n_types
+      ORDER BY doc_id"""),
     // epoch-17 permutation restated: same integer hash, same
     // (hash, doc_id) rank within the hash-mod-8 shard
     "l10_global_shuffle" ->

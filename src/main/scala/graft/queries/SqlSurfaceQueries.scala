@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
 
-/** Declarative SQL-surface batch 6 (x40–x43): UNPIVOT, LATERAL
-  * subqueries, recursive CTEs and the MAP type surface — the remaining
+/** Declarative SQL-surface batch 6 (x40–x44): UNPIVOT, LATERAL
+  * subqueries, recursive CTEs, the MAP type surface and ordered string
+  * aggregation (LISTAGG) — the remaining
   * relational spellings a user migrating a SQL workload onto the engine
   * would reach for. The reference has no SQL at all (SURVEY §2.3); these
   * continue the x36–x39 arc of closing the declarative surface, each
@@ -99,11 +100,33 @@ object SqlSurfaceQueries {
       FROM m ORDER BY user_id""")
   }
 
+  /** x44 — LISTAGG / ordered string aggregation: the SQL-standard
+    * `LISTAGG(...) WITHIN GROUP (ORDER BY ...)` spelling (native in
+    * Spark 4.x), deduplicated and fully ordered so the concatenated
+    * string is deterministic — the report/export shape (one
+    * delimiter-joined cell per group) every BI migration asks for.
+    * Per nation: the sorted distinct market segments of its customers
+    * plus the customer count. The dimension join broadcasts; the
+    * aggregate is one shuffle on the group key, and because the
+    * aggregated value set per group is bounded (5 segments), state per
+    * group stays O(distinct values) at any corpus size. */
+  def x44Listagg(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "customer")
+    view(spark, dir, "nation")
+    spark.sql("""
+      SELECT n_name,
+             listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+             COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x40_unpivot"       -> (x40Unpivot _),
     "x41_lateral"       -> (x41Lateral _),
     "x42_recursive_cte" -> (x42RecursiveCte _),
     "x43_map_funcs"     -> (x43MapFuncs _),
+    "x44_listagg"       -> (x44Listagg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -143,5 +166,13 @@ object SqlSurfaceQueries {
         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases,
         CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT)    AS errors
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // DuckDB's ordered-aggregate spelling of the same LISTAGG: distinct
+    // segments joined in ascending order, same delimiter
+    "x44_listagg" ->
+      """SELECT n_name,
+        string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
   )
 }

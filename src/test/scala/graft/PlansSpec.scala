@@ -254,4 +254,29 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
       p.take(3000))
     assert("Exchange".r.findAllMatchIn(p).size == 1, p.take(3000))
   }
+
+  test("l14: LM vocabulary broadcast against the corpus hash stream, left join keeps zero-coverage docs") {
+    val p = plan("l14_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("LeftOuter"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // coverage counting is a partial+final aggregate on narrow keys
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+  }
+
+  test("x44: listagg joins the dimension by broadcast — no fact-side shuffle for the dim") {
+    val p = plan("x44_listagg")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("s7: PQ encode is an argmin aggregate over broadcast codebooks — no window, no nested loop beyond the 1-row probe") {
+    val p = plan("s7_ivf_pq")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("min_by"), p.take(3000))
+    // candidate top-10 and re-rank top-5 are bounded-heap TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // codebook + LUT + candidate sides all broadcast
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p.take(4000))
+  }
 }
