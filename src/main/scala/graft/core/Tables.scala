@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Table registry for the driver test data (TESTDATA.md / FIXTURES.md §1).
   *
@@ -21,19 +21,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is physically TIMESTAMP(NANOS) in the parquet footer,
-    * which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless the
-    * legacy nanosAsLong conf is on; with it on, the column surfaces as
-    * LongType nanos. We normalize to TimestampType at µs precision —
-    * the same truncation DuckDB applies reading the file — using integer
-    * `div` (long→double division would lose precision above 2^53 ns).
+  /** `events.ts` normalization — the driver's generator has shipped the
+    * column two ways across rounds, and both must land on TimestampType
+    * (µs, UTC session zone) because that is what event-time watermarks
+    * require and what the DuckDB oracle reads:
+    *
+    *  - physically TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong conf is on;
+    *    with it on the column surfaces as LongType nanos, truncated here
+    *    to µs with integer `div` (long→double division would lose
+    *    precision above 2^53 ns) — the same truncation DuckDB applies;
+    *  - physically TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4
+    *    infers TIMESTAMP_NTZ (inferTimestampNTZ defaults on), which
+    *    `withWatermark` REFUSES (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    *    Cast to TimestampType — value-preserving under the UTC session
+    *    zone every graft session pins, and identical to DuckDB's naive
+    *    read of the same file.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) => df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => df
     }
   }
 

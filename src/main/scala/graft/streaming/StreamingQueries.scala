@@ -107,7 +107,7 @@ object StreamingQueries {
     * winner's feed; a crashed build leaves no half-visible feed. */
   private[graft] def feedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_r9_feed_${feedKey(dir, "events", "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_r9_feed_${feedKey(dir, "events", "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_r9_build").toFile
       Tables.load(spark, dir, "events")
@@ -179,7 +179,7 @@ object StreamingQueries {
     * ORDER matters. */
   private def watermarkFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x27_feed_${feedKey(dir, "events", "_v2")}")
+      sys.props("java.io.tmpdir"), s"graft_x27_feed_${feedKey(dir, "events", "_v3")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x27_build").toFile
       val events = Tables.load(spark, dir, "events").select(col("event_id"), col("ts"))
@@ -203,7 +203,7 @@ object StreamingQueries {
     * immediately, nothing waits on a window close. */
   private def dedupFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x29_feed_${feedKey(dir, "events", "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_x29_feed_${feedKey(dir, "events", "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x29_build").toFile
       val events = Tables.load(spark, dir, "events")
@@ -306,7 +306,7 @@ object StreamingQueries {
     * emitted, and the batch inner join is an exact oracle. */
   private[graft] def joinFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x31_feed_${feedKey(dir, "events", "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_x31_feed_${feedKey(dir, "events", "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x31_build").toFile
       val vDir = new java.io.File(scratch, "views")
@@ -397,7 +397,7 @@ object StreamingQueries {
     * evicts (and null-emits) the final purchase from join state. */
   private def outerJoinFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x32_feed_${feedKey(dir, "events", "_v2")}")
+      sys.props("java.io.tmpdir"), s"graft_x32_feed_${feedKey(dir, "events", "_v3")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x32_build").toFile
       val vDir = new java.io.File(scratch, "views")
@@ -497,7 +497,7 @@ object StreamingQueries {
     * timeout safely above the mid − 1 h watermark.) */
   private[graft] def sessionFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_x33_feed_${feedKey(dir, "events", "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_x33_feed_${feedKey(dir, "events", "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_x33_build").toFile
       val events = Tables.load(spark, dir, "events")
@@ -572,7 +572,7 @@ object StreamingQueries {
     * at-least-once document source a streaming curation job ingests. */
   private[graft] def docFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_p2_feed_${feedKey(dir, "documents", "_v1")}")
+      sys.props("java.io.tmpdir"), s"graft_p2_feed_${feedKey(dir, "documents", "_v2")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
       val scratch = Files.createTempDirectory("graft_p2_build").toFile
       val docs = Tables.load(spark, dir, "documents")
