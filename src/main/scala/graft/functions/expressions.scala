@@ -310,6 +310,63 @@ object ShingleHashes {
   def apply(c: Column): Column = GraftShims.column(ShingleHashes(GraftShims.expression(c)))
 }
 
+/** POSITIONAL word-`width`-gram rolling hashes of a token array: one
+  * hash per starting position `i` in 0..n-width, order-preserving and
+  * NOT deduplicated — `gs[i]` is the hash of `w[i] + ' ' + ... +
+  * w[i+width-1]`, so array index IS span position. [[ShingleHashes]]'s
+  * distinct-set output serves set-similarity (jaccard/minhash); span
+  * dedup (d9) needs the position structure — which span of WHICH doc is
+  * duplicated — so this keeps every occurrence. Arrays shorter than
+  * `width` yield an empty array. Same fused per-row loop as the other
+  * text kernels; equivalent builtin spelling
+  * `transform(sequence(1, size(w)-width+1), i -> poly_hash(concat_ws(' ',
+  * slice(w, i, width))))` is pinned in ExpressionsSpec. */
+case class GramHashes(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, s"gram_hashes needs width >= 1, got $width")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes needs an array<string> argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - width + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = PolyHash.hash(sb.toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  def apply(c: Column, width: Int): Column =
+    GraftShims.column(GramHashes(GraftShims.expression(c), width))
+}
+
 /** All 16 MinHash signatures `min over ids of (a_k*x + b_k) mod P` in a
   * single generated pass over the id array — vs 16 interpreted
   * transform+array_min traversals. Constants are
@@ -1099,6 +1156,10 @@ object GraftFunctions {
     // AggregateExpression (Complete) when it resolves the call site
     reg.createOrReplaceTempFunction("kmv_distinct",
       exprs => KmvDistinct(exprs(0), litInt(exprs(1), "kmv_distinct")), "scala_udf")
+    reg.createOrReplaceTempFunction("misra_gries",
+      exprs => MisraGries(exprs(0), litInt(exprs(1), "misra_gries")), "scala_udf")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      exprs => GramHashes(exprs(0), litInt(exprs(1), "gram_hashes")), "scala_udf")
     reg.createOrReplaceTempFunction("stride_sample",
       exprs => StrideSampleTokens(exprs(0), litInt(exprs(1), "stride_sample")), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_token_count",

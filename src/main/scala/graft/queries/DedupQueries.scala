@@ -287,7 +287,46 @@ object DedupQueries {
       ORDER BY d.doc_id""")
   }
 
+  /** d9 — duplicated-SPAN detection: the substring-granularity dedup
+    * mode (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — their suffix-array ExactSubstr pass),
+    * approximated at token-5-gram granularity. d1–d8 decide per
+    * DOCUMENT; this finds the spans INSIDE documents that also occur in
+    * other documents (boilerplate headers, license blocks, quoted
+    * chunks) — what a training pipeline masks or cuts even when the
+    * document as a whole survives.
+    *
+    * Shape: positional 5-gram hashes per doc (the codegen
+    * [[graft.functions.GramHashes]] kernel — one fused loop, array
+    * index = span position), explode to (doc_id, h), group on h keeping
+    * hashes seen in >1 DISTINCT doc, join back, count duplicated spans
+    * per doc. 100 TB posture: identical to d1's hash-first rule — only
+    * 8-byte span hashes ever shuffle (explode, group, join are all on
+    * `h`), the duplicated-hash side of the join is corpus-overlap-sized
+    * (small), and the text column never leaves the scan. Emitting the
+    * positions to mask is the same plan with posexplode — the counts
+    * here keep the output hash-stable for the oracle.
+    *
+    * A span duplicated TWICE WITHIN one doc does not count (that is
+    * intra-doc repetition, t7's job); cross-doc presence is what makes
+    * a span boilerplate. Docs under 5 tokens have no spans and are
+    * excluded by both dialects. */
+  def d9SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
+      p AS (SELECT doc_id, h FROM g LATERAL VIEW explode(gs) AS h),
+      d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT p.doc_id, COUNT(*) AS n_spans, COUNT(d.h) AS n_dup
+      FROM p LEFT JOIN d ON p.h = d.h
+      GROUP BY p.doc_id
+      ORDER BY p.doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_span_dedup"    -> (d9SpanDedup _),
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
@@ -304,7 +343,26 @@ object DedupQueries {
     val bandList = (0 until 8).map(k =>
       s"{'bi': $k, 'bk': CAST(mh${2 * k} AS VARCHAR) || '_' || CAST(mh${2 * k + 1} AS VARCHAR)}")
       .mkString(", ")
+    val gram5 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
     Map(
+      // same positional 5-gram rolling hashes (range end exclusive:
+      // starts 1..len-4), same cross-doc duplication rule. The gram
+      // strings are materialized in their own CTE before hashing:
+      // rollingHashDuck introduces a lambda variable `i`, and nesting
+      // the gram expression (which uses the OUTER position lambda's
+      // `i`) inside it would capture the inner char index instead —
+      // DuckDB resolves shadowed lambda names innermost-first.
+      "d9_span_dedup" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        gr AS (SELECT doc_id, list_transform(range(1, length(w) - 3), i -> ($gram5)) AS grams
+               FROM toks WHERE length(w) >= 5),
+        g AS (SELECT doc_id, list_transform(grams, t -> ${rollingHashDuck("t")}) AS gs FROM gr),
+        p AS (SELECT doc_id, unnest(gs) AS h FROM g),
+        d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT p.doc_id, COUNT(*) AS n_spans, COUNT(d.h) AS n_dup
+        FROM p LEFT JOIN d ON p.h = d.h
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id""",
       "d3_ngram_jaccard" ->
         s"""WITH $shingleCteDuck,
         $idsCteDuck

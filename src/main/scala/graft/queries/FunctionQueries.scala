@@ -163,7 +163,41 @@ object FunctionQueries {
       .orderBy("event_type")
   }
 
+  /** x45 — EXACT heavy hitters in two bounded-memory scans through the
+    * CUSTOM [[graft.functions.MisraGries]] sketch aggregate. The key
+    * space plants a zipf head (70 % of events collapse onto keys 0–4 via
+    * `event_id` arithmetic; the rest spread over ~150 user keys), and
+    * the question is "which keys own more than 5 % of the table".
+    *
+    * Pass 1: one ungrouped Misra–Gries(64) aggregate — each partition
+    * ships ≤64 (key, count) pairs, merged associatively; the result is a
+    * ≤64-element candidate array GUARANTEED to contain every key with
+    * frequency > n/65 (so a fortiori every key above n/20). Pass 2:
+    * broadcast the 1-row candidate array back over the scan,
+    * `array_contains` filter, exact COUNT per surviving key, threshold
+    * `cnt * 20 > n`. Neither pass groups by the full key domain — at
+    * 100 TB the aggregate state is 64 keys, not |keys|, and the only
+    * full-width shuffle is the candidate-filtered recount (≤64 groups).
+    * The sketch's merge-order nondeterminism never reaches the output:
+    * candidates are recounted exactly, so the oracle is the plain
+    * GROUP BY ... HAVING the user would write at test scale. */
+  def x45HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = Tables.load(spark, dir, "events").select(
+      when(col("event_id") % 10 < 7, col("event_id") % 5)
+        .otherwise(col("user_id") + 1000L).cast("long").as("k"))
+    val cand = keyed.agg(
+      graft.functions.MisraGries(col("k"), 64).as("ks"),
+      count(lit(1)).as("n"))
+    keyed.join(broadcast(cand), array_contains(col("ks"), col("k")))
+      .groupBy("k", "n").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 20 > col("n"))
+      .select(col("k"), col("cnt"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_heavy_hitters" -> (x45HeavyHitters _),
     "x20_kmv_distinct" -> (x20KmvDistinct _),
     "x21_salted_agg"   -> (x21SaltedAgg _),
     "x30_skew_join"    -> (x30SkewJoin _),
@@ -175,6 +209,15 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the plain GROUP BY ... HAVING the two-pass sketch must equal
+    "x45_heavy_hitters" ->
+      """SELECT k, COUNT(*) AS cnt
+      FROM (SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 5
+                        ELSE user_id + 1000 END AS k
+            FROM events)
+      GROUP BY k
+      HAVING COUNT(*) * 20 > (SELECT COUNT(*) FROM events)
+      ORDER BY k""",
     // same mixed hash, same k-th smallest distinct hash, same integer
     // estimate arithmetic -> bit-identical to the Spark sketch
     "x20_kmv_distinct" ->

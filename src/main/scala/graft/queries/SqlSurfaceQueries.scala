@@ -121,7 +121,38 @@ object SqlSurfaceQueries {
       GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** x46 — CDC upsert / MERGE keep-latest semantics: events replayed as
+    * a change stream for a keyed table (key = user_id; change order =
+    * (ts, event_id), unique because event_id is; event_type 'error'
+    * acts as the DELETE op). The final state is: per key, the
+    * highest-versioned change wins, and a winning DELETE erases the
+    * key — the nightly snapshot-from-changelog job every warehouse
+    * ingest runs.
+    *
+    * Spelled as ONE aggregation with `max_by(payload, version)` rather
+    * than the textbook row_number window: partial max_by composes
+    * map-side, so each partition ships one (key, payload) pair per key
+    * it saw — a single shuffle of keys, no sort, no full-row window
+    * buffering. At 100 TB the window spelling sorts every partition's
+    * full changelog; this shuffles O(distinct keys) structs. The DuckDB
+    * oracle IS the row_number spelling, gating the equivalence. */
+  def x46CdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql("""
+      SELECT user_id,
+             last.event_type                 AS last_type,
+             round(last.value, 4)            AS last_value,
+             last.ts                         AS last_ts
+      FROM (SELECT user_id,
+                   max_by(struct(event_type, value, ts),
+                          struct(ts, event_id)) AS last
+            FROM events GROUP BY user_id)
+      WHERE last.event_type <> 'error'
+      ORDER BY user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x46_cdc_upsert"    -> (x46CdcUpsert _),
     "x40_unpivot"       -> (x40Unpivot _),
     "x41_lateral"       -> (x41Lateral _),
     "x42_recursive_cte" -> (x42RecursiveCte _),
@@ -130,6 +161,15 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the textbook row_number spelling the max_by aggregation must equal
+    "x46_cdc_upsert" ->
+      """SELECT user_id, event_type AS last_type,
+             round(value, 4) AS last_value, ts AS last_ts
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
     // the same SQL-standard UNPIVOT clause; measure names are the
     // source column names on both engines
     "x40_unpivot" ->

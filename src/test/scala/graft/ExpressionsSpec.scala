@@ -303,6 +303,92 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("GramHashes == builtin transform(slice) spelling, positional, short-array empty") {
+    GraftFunctions.register(spark)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("split(text, ' ') AS w").where("size(w) >= 5")
+    val df = docs.selectExpr(
+      "gram_hashes(w, 5) AS fast",
+      "transform(sequence(1, size(w) - 4), i -> poly_hash(concat_ws(' ', slice(w, i, 5)))) AS ref")
+    assert(df.count() > 0)
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+    // positional: array index is span start (unlike shingle_hashes'
+    // distinct set); short arrays yield empty, width 1 = per-token hash
+    val edge = Seq(Seq("a", "b"), Seq[String](), Seq("x", "y", "z")).toDF("w")
+      .selectExpr("size(gram_hashes(w, 5)) AS n5",
+        "gram_hashes(w, 1) AS g1", "transform(w, t -> poly_hash(t)) AS ref1")
+    assert(edge.filter($"n5" =!= 0).count() == 0)
+    assert(edge.filter($"g1" =!= $"ref1").count() == 0)
+  }
+
+  test("MisraGries: candidate set is a superset of true heavy keys, partitioning-invariant") {
+    import graft.functions.MisraGries
+    // planted zipf head: 70% of the stream on 5 hot keys, the tail
+    // spread over 997 cold keys — the x45 shape at unit-test scale
+    val keyed = spark.range(100000L).selectExpr(
+      "CASE WHEN id % 10 < 7 THEN id % 5 ELSE 5 + id % 997 END AS k")
+    def candidates(parts: Int): Set[Long] =
+      keyed.repartition(parts).agg(MisraGries($"k", 64).as("ks"))
+        .as[Seq[Long]].head().toSet
+    val c1 = candidates(1)
+    val c32 = candidates(32)
+    // MG guarantee: every key with freq > n/(k+1) survives any
+    // merge order — so both partitionings must contain the hot head
+    val truth = keyed.groupBy("k").count()
+      .where($"count" > 100000L / 65).as[(Long, Long)].collect().map(_._1).toSet
+    assert(truth.nonEmpty && truth.subsetOf(c1), s"missing heavy keys: ${truth -- c1}")
+    assert(truth.subsetOf(c32), s"missing heavy keys at 32 parts: ${truth -- c32}")
+    // capacity bound holds
+    assert(c1.size <= 64 && c32.size <= 64)
+  }
+
+  test("MisraGries: superset guarantee across random streams (ScalaCheck)") {
+    import graft.functions.MisraGries
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Random stream sizes, hot-key fractions and sketch capacities:
+    // the 1982 bound (every key with freq > n/(k+1) is retained) plus
+    // the 2012 merge rule must hold for ANY partitioning, not just the
+    // two spot-checked above. Fixed seed: a pass is a proof.
+    val gen = for {
+      n     <- Gen.choose(5000, 40000)
+      k     <- Gen.oneOf(16, 32, 64)
+      hotPc <- Gen.choose(3, 8) // hot keys get hotPc/10 of the stream
+      parts <- Gen.oneOf(1, 7, 32)
+    } yield (n, k, hotPc, parts)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(10)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L))
+    val res = SCTest.check(params, Prop.forAll(gen) { case (n, k, hotPc, parts) =>
+      val keyed = spark.range(n.toLong).selectExpr(
+        s"CASE WHEN id % 10 < $hotPc THEN id % 3 ELSE 3 + id % 499 END AS k")
+      val cand = keyed.repartition(parts)
+        .agg(MisraGries($"k", k).as("ks")).as[Seq[Long]].head().toSet
+      val truth = keyed.groupBy("k").count()
+        .where($"count" > n.toLong / (k + 1)).as[(Long, Long)].collect().map(_._1).toSet
+      val ok = truth.subsetOf(cand) && cand.size <= k
+      if (!ok) info(s"MG violation: n=$n k=$k hotPc=$hotPc parts=$parts missing=${truth -- cand}")
+      ok
+    })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("x45 heavy hitters == exact GROUP BY HAVING at sf0.001") {
+    val got = graft.queries.FunctionQueries
+      .x45HeavyHitters(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toSeq
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("hh_events")
+    val want = spark.sql("""
+      SELECT k, COUNT(*) AS cnt
+      FROM (SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 5
+                        ELSE user_id + 1000 END AS k FROM hh_events)
+      GROUP BY k
+      HAVING COUNT(*) * 20 > (SELECT COUNT(*) FROM hh_events)
+      ORDER BY k""").as[(Long, Long)].collect().toSeq
+    assert(want.nonEmpty, "oracle found no heavy hitters — planted head broken")
+    assert(got == want)
+  }
+
   test("L2SquaredDistance == builtin aggregate(zip_with(...)) spelling") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(100)(
