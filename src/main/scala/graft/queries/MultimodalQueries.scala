@@ -267,7 +267,33 @@ object MultimodalQueries {
       FROM documents ORDER BY doc_id""")
   }
 
+  /** m9 — the animated-image access pattern with a LOSSLESS container
+    * codec: payload → one multi-frame GIF ([[MultimodalKernels
+    * .encodeGif]]), demuxed and decoded through the JDK reader's
+    * multi-image API, sampling every 2nd frame (m8's decode-only-
+    * sampled-frames economics). Because the 256-gray palette loses
+    * nothing, the decoded PIXEL SUM of the sampled frames is
+    * reproduced exactly by the oracle from the source bytes — the
+    * media suite's only end-to-end pixel-value gate through a real
+    * container (m5's PNG gate is single-image; m7/m8's DCT codec only
+    * supports geometry + tolerance). */
+  def m9GifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val (nf, ns, hs, ps) = MultimodalKernels.decodeGifFrames(
+            MultimodalKernels.encodeGif(bytes))
+          (id, nf, ns, hs, ps)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled", "h_sum", "px_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_gif_frames"        -> (m9GifFrames _),
     "m1_multimodal_decode" -> (m1MultimodalDecode _),
     "m2_feature_extract"   -> (m2FeatureExtract _),
     "m3_frame_sample"      -> (m3FrameSample _),
@@ -279,6 +305,28 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // m8's demux geometry plus the LOSSLESS pixel gate: frame f covers
+    // source chars [f*128+1, (f+1)*128]; chars of even frames (the
+    // sampled ones) contribute their code point to px_sum, zero
+    // padding contributes nothing, and totals stay far below the 1e9+7
+    // modulus the kernel reduces by — so a plain SUM matches. ASCII
+    // corpus: ord == byte (the m2 contract).
+    "m9_gif_frames" ->
+      """SELECT doc_id, nf AS n_frames,
+           CAST(ceil(nf / 2.0) AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN (nf - 1) % 2 = 0
+                THEN (CAST(ceil(nf / 2.0) AS BIGINT) - 1) * 4 + hl
+                ELSE CAST(ceil(nf / 2.0) AS BIGINT) * 4 END AS BIGINT) AS h_sum,
+           CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), i ->
+                CASE WHEN ((i - 1) // 128) % 2 = 0 THEN ord(text[i]) ELSE 0 END)), 0)
+             AS BIGINT) AS px_sum
+      FROM (SELECT doc_id, text,
+              CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nf,
+              CAST(greatest(1, ceil((CASE WHEN length(text) = 0 THEN 0
+                     WHEN length(text) % 128 = 0 THEN 128
+                     ELSE length(text) % 128 END) / 32.0)) AS BIGINT) AS hl
+            FROM documents) t
+      ORDER BY doc_id""",
     // The stub's arithmetic, restated over DuckDB's UTF-8 byte length.
     "m1_multimodal_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
@@ -500,6 +548,105 @@ object MultimodalKernels {
       s"MJPEG stream has ${stream.length - start} bytes after the last EOI " +
         "(truncated frame or trailing garbage)")
     out.toSeq
+  }
+
+  /** bytes → a real ANIMATED GIF: the payload chunked into 128-byte
+    * frames, each a 32-wide 8-bit-grayscale image (full frames 4 rows,
+    * the final frame's height following its residual, zero-padded),
+    * written as ONE multi-frame GIF89a through the JDK writer's
+    * sequence API. Unlike m7/m8's DCT codec, GIF's 256-entry palette
+    * covers 8-bit grayscale EXACTLY — the container roundtrip is
+    * lossless, so decoded pixel sums are oracle-computable from the
+    * source bytes (the strongest decode gate of the media suite: a
+    * palette-index mixup or frame-order bug breaks the sum, not just a
+    * tolerance). A writer instance per call: ImageWriter is stateful
+    * and NOT thread-safe across the 32 decode tasks. */
+  def encodeGif(bytes: Array[Byte]): Array[Byte] = {
+    val w = 32
+    val frameBytes = 128
+    val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // Interlace OFF: the writer interlaces by default, and the JDK
+    // reader mis-reassembles interlaced frames only a few rows tall
+    // (measured: a written 1 at row 1 of a 32×2 frame reads back 0) —
+    // progressive mode is GIF interlacing in ImageIO terms.
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // An EXPLICIT identity 256-gray palette: handed a TYPE_BYTE_GRAY
+      // image the GIF writer runs its own quantization, which is NOT
+      // the identity (measured: gray 1 → 0) — an indexed image makes
+      // the writer embed this palette verbatim, and the roundtrip is
+      // lossless by construction.
+      val grays = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      var f = 0
+      while (f < n) {
+        val start = f * frameBytes
+        val len = math.max(0, math.min(frameBytes, bytes.length - start))
+        val h = math.max(1, (len + w - 1) / w)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var i = 0
+        while (i < len) {
+          raster.setSample(i % w, i / w, 0, bytes(start + i) & 0xff)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** GIF → (frame count, sampled count, height sum, pixel sum mod P
+    * over every 2nd frame) via the JDK reader's multi-image API ONLY.
+    * Pixels are read through `getRGB & 0xff`, NOT `raster.getSample`:
+    * the decoded frames are palette-INDEXED images, and the writer owes
+    * no particular palette order — the resolved color is the contract,
+    * the index is not. */
+  def decodeGifFrames(gif: Array[Byte]): (Long, Long, Long, Long) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var hSum = 0L
+      var pxSum = 0L
+      var sampled = 0L
+      var k = 0
+      while (k < n) {
+        if (k % 2 == 0) {
+          val img = reader.read(k)
+          hSum += img.getHeight
+          sampled += 1
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              pxSum = (pxSum + (img.getRGB(x, y) & 0xff)) % P
+              x += 1
+            }
+            y += 1
+          }
+        }
+        k += 1
+      }
+      (n.toLong, sampled, hSum, pxSum)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.

@@ -93,6 +93,32 @@ class MultimodalKernelSpec extends AnyFunSuite {
     try is.readAllBytes() finally is.close()
   }
 
+  test("m9 animated GIFs demux to the right frames and pixels roundtrip exactly") {
+    payloads.foreach { bytes =>
+      val gif = MultimodalKernels.encodeGif(bytes)
+      // GIF89a magic — a real container, not a concatenation
+      assert(new String(gif.take(6), "US-ASCII") == "GIF89a", "not a GIF89a container")
+      val (nf, ns, hSum, pxSum) = MultimodalKernels.decodeGifFrames(gif)
+      val wantNf = math.max(1, (bytes.length + 127) / 128)
+      assert(nf == wantNf, s"frame count $nf != $wantNf (len ${bytes.length})")
+      assert(ns == (wantNf + 1) / 2)
+      // sampled-frame geometry: full frames are 4 rows; the last
+      // frame's height follows its residual — only counted if sampled
+      val resid =
+        if (bytes.isEmpty) 0
+        else if (bytes.length % 128 == 0) 128 else bytes.length % 128
+      val hl = math.max(1, (resid + 31) / 32)
+      val wantH = if ((wantNf - 1) % 2 == 0) (ns - 1) * 4 + hl else ns * 4
+      assert(hSum == wantH, s"height sum $hSum != $wantH (len ${bytes.length})")
+      // LOSSLESS palette roundtrip: sampled frames' pixel sum == the
+      // byte sum of the even 128-byte chunks (zero padding adds 0)
+      val wantPx = bytes.zipWithIndex.collect {
+        case (b, i) if (i / 128) % 2 == 0 => (b & 0xff).toLong
+      }.sum % 1000000007L
+      assert(pxSum == wantPx, s"pixel sum $pxSum != $wantPx (len ${bytes.length})")
+    }
+  }
+
   test("FOREIGN payloads decode to pinned values (encoder-independent)") {
     // Roundtrip tests can't catch a SYMMETRIC encode/decode bug (both
     // sides agreeing on a wrong stride, color model, or byte order).
