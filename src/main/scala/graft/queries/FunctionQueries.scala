@@ -196,7 +196,36 @@ object FunctionQueries {
       .orderBy("k")
   }
 
+  /** x48 — approximate median through a FIXED-WIDTH HISTOGRAM: the
+    * mergeable, bounded-state quantile path. x18's exact `percentile`
+    * buffers every value per group (sort-based, state ∝ rows); this
+    * buckets o_totalprice into 600-unit bins (one partial+final
+    * aggregate on (group, bucket) — state ∝ occupied buckets, ~1000
+    * at most, at ANY row count), takes a cumulative count over the
+    * tiny per-group histogram, and reads the bucket whose cumulative
+    * share crosses 1/2; the estimate is the bucket midpoint, within
+    * half a bin width of the true median by construction. Bin counts
+    * merge associatively across partitions — the same
+    * sketch-capability argument as x20/x45, here with plain integer
+    * arithmetic both engines reproduce bit-for-bit. */
+  def x48HistogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      WITH h AS (SELECT o_orderstatus, CAST(floor(o_totalprice / 600) AS BIGINT) AS b,
+                        COUNT(*) AS c
+                 FROM orders GROUP BY o_orderstatus, b),
+      cum AS (SELECT o_orderstatus, b, c,
+                     SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY b) AS cum,
+                     SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+              FROM h)
+      SELECT o_orderstatus, MIN(b) AS p50_bucket,
+             round((MIN(b) + 0.5) * 600, 1) AS p50_est
+      FROM cum WHERE cum * 2 >= n
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_histogram_quantile" -> (x48HistogramQuantile _),
     "x45_heavy_hitters" -> (x45HeavyHitters _),
     "x20_kmv_distinct" -> (x20KmvDistinct _),
     "x21_salted_agg"   -> (x21SaltedAgg _),
@@ -209,6 +238,19 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical integer bucket/cumulative arithmetic in both engines
+    "x48_histogram_quantile" ->
+      """WITH h AS (SELECT o_orderstatus, CAST(floor(o_totalprice / 600) AS BIGINT) AS b,
+                        COUNT(*) AS c
+                 FROM orders GROUP BY o_orderstatus, b),
+      cum AS (SELECT o_orderstatus, b, c,
+                     SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY b) AS cum,
+                     SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+              FROM h)
+      SELECT o_orderstatus, MIN(b) AS p50_bucket,
+             round((MIN(b) + 0.5) * 600, 1) AS p50_est
+      FROM cum WHERE cum * 2 >= n
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the plain GROUP BY ... HAVING the two-pass sketch must equal
     "x45_heavy_hitters" ->
       """SELECT k, COUNT(*) AS cnt

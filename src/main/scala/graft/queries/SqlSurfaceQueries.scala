@@ -151,7 +151,43 @@ object SqlSurfaceQueries {
       ORDER BY user_id""")
   }
 
+  /** x47 — time-series gap fill + LOCF imputation: per-user hourly
+    * event counts over day one, with MISSING hours materialized
+    * (count 0) and a last-observation-carried-forward column — the
+    * telemetry-regularization shape (sensors report sparsely, models
+    * consume dense grids) that SQL alone can't express without a
+    * calendar spine.
+    *
+    * Shape: the spine is `DISTINCT user_id × sequence(0, 23)` — an
+    * explode of a 24-element literal per entity, so the grid costs
+    * O(entities × cells), never a shuffle of the fact table; facts
+    * arrive as one (user, hour) partial+final COUNT; the spine LEFT
+    * JOINs the cells on the narrow composite key; LOCF is one window
+    * per entity ordered by hour (`last_value(..., true)` = IGNORE
+    * NULLS). At 100 TB each op shuffles keys or the entity-bounded
+    * grid — the dense output is the biggest thing produced, and that
+    * is the user's ask. */
+  def x47GapFill(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql("""
+      WITH ev AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h
+                  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+      cell AS (SELECT user_id, h, COUNT(*) AS cnt FROM ev GROUP BY user_id, h),
+      grid AS (SELECT user_id, CAST(hh AS BIGINT) AS h
+               FROM (SELECT DISTINCT user_id FROM ev)
+               LATERAL VIEW explode(sequence(0, 23)) AS hh),
+      j AS (SELECT g.user_id, g.h, cell.cnt
+            FROM grid g LEFT JOIN cell ON cell.user_id = g.user_id AND cell.h = g.h)
+      SELECT user_id, h,
+             coalesce(cnt, 0) AS cnt,
+             coalesce(last_value(cnt, true) OVER
+               (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS locf_cnt
+      FROM j ORDER BY user_id, h""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x47_gap_fill"      -> (x47GapFill _),
     "x46_cdc_upsert"    -> (x46CdcUpsert _),
     "x40_unpivot"       -> (x40Unpivot _),
     "x41_lateral"       -> (x41Lateral _),
@@ -161,6 +197,21 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same spine/fill/LOCF semantics; DuckDB spells IGNORE NULLS inline
+    "x47_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h
+                  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+      cell AS (SELECT user_id, h, COUNT(*) AS cnt FROM ev GROUP BY user_id, h),
+      grid AS (SELECT user_id, CAST(unnest(range(0, 24)) AS BIGINT) AS h
+               FROM (SELECT DISTINCT user_id FROM ev)),
+      j AS (SELECT g.user_id, g.h, cell.cnt
+            FROM grid g LEFT JOIN cell ON cell.user_id = g.user_id AND cell.h = g.h)
+      SELECT user_id, h,
+             coalesce(cnt, 0) AS cnt,
+             coalesce(last_value(cnt IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS locf_cnt
+      FROM j ORDER BY user_id, h""",
     // the textbook row_number spelling the max_by aggregation must equal
     "x46_cdc_upsert" ->
       """SELECT user_id, event_type AS last_type,

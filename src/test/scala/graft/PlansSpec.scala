@@ -270,6 +270,36 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("d9: span dedup shuffles only 8-byte hashes — fused gram kernel, no nested loop") {
+    val p = plan("d9_span_dedup")
+    // the positional kernel, not interpreted transform(slice(...))
+    assert(p.toLowerCase.contains("gramhashes") || p.contains("gram_hashes"), p.take(3000))
+    // duplicated-hash gate joins back on h: equi-join, never cartesian
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("NestedLoop"), p.take(3000))
+    // distinct-doc count is a partial+final aggregate
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+  }
+
+  test("x45: heavy hitters — bounded sketch pass + broadcast candidate recount, no full-key window") {
+    val p = plan("x45_heavy_hitters")
+    assert(p.toLowerCase.contains("misragries") || p.contains("misra_gries"), p.take(3000))
+    // the candidate array reaches the recount scan as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("x46: CDC upsert is one partial+final max_by aggregate — no window sort of the changelog") {
+    val p = plan("x46_cdc_upsert")
+    assert(!p.contains("Window"), p.take(3000))
+    // partial_max_by below the exchange = map-side combine; struct-typed
+    // aggregates plan as SortAggregate (structs aren't hash-aggregable)
+    assert(p.contains("partial_max_by"), p.take(3000))
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    // exactly one data shuffle (the key hash) + the presentation sort
+    assert("Exchange".r.findAllMatchIn(p).size <= 2, p.take(3000))
+  }
+
   test("s7: PQ encode is an argmin aggregate over broadcast codebooks — no window, no nested loop beyond the 1-row probe") {
     val p = plan("s7_ivf_pq")
     assert(!p.contains("Window"), p.take(3000))
