@@ -39,6 +39,11 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // (ids-only edges, broadcast probe, per-shard window) must
       // compound to a linear curve, not just hold stage-by-stage
       "p3_curation_pipeline" -> (graft.queries.PipelineQueries.p3CurationPipeline _),
+      // span dedup: the positional-gram explode is the largest row
+      // expansion in the suite (~tokens per doc), and its cost claim —
+      // follows corpus size, the duplicated-hash join side follows
+      // overlap — is exactly a linearity claim
+      "d9_span_dedup" -> (graft.queries.DedupQueries.d9SpanDedup _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
