@@ -72,6 +72,39 @@ object AnnQueries {
       .limit(5)
   }
 
+  /** s8 — RADIUS (range) similarity search: every vector within cosine
+    * ≥ 0.3 of the probe, the third shape of the vector-store API after
+    * top-k (s2/l3) and all-pairs (s3/s5) — "find everything this close"
+    * is the retrieval spelling of dedup-by-query and policy filtering.
+    * Same SRP bucket prefilter as s2 widened to Hamming ≤ 2 multi-probe
+    * (37/256 buckets ≈ 14 % of the corpus), then the exact cosine
+    * threshold; result size follows the data (no LIMIT). The oracle
+    * regenerates the identical bucket arithmetic, so the prune is part
+    * of the gated spec. Recall: τ = 0.3 sits INSIDE this corpus's
+    * background noise (99.9th pct ≈ 0.37 — the s3 adversarial regime),
+    * where p(plane agrees) ≈ 0.60 puts the expected probe-corpus
+    * Hamming distance at ~3.2 of 8 bits — measured recall vs the exact
+    * radius set is asserted (floor) and printed in ExpressionsSpec, and
+    * returned rows are always a SUBSET of the exact answer (the cosine
+    * verify admits no false positives). At a production near-dup
+    * radius (cosine ≥ 0.85, p ≈ 0.82) the same ≤ 2 probe covers the
+    * expected distance (~1.4) and recall is high — the knob discussion
+    * at [[s3Bands]] applies. At scale: broadcast 1-row probe against a
+    * bucket-partitioned corpus = a 37-bucket lookup, never a scan. */
+  def s8RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", LshBucket8(col("embedding")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 2)
+      .select(col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+      .where(col("sim") >= 0.3)
+      .orderBy(col("vec_id"))
+  }
+
   /** s3 band count / bits-per-band — the LSH S-curve knobs, set for the
     * test corpus's regime and documented so a user can retune:
     *
@@ -390,6 +423,7 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_ann_lsh" -> (s2AnnLsh _),
+    "s8_range_search" -> (s8RangeSearch _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
     "s4_ann_ivf" -> (s4AnnIvf _),
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
@@ -422,6 +456,13 @@ object AnnQueries {
       s"list_sum(list_transform(range(1, $dims + 1), k -> " +
         s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
     Map(
+      "s8_range_search" ->
+        s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
+        SELECT b.vec_id, ROUND($cos, 9) AS sim
+        FROM eb a JOIN eb b
+          ON bit_count(xor(a.bucket, b.bucket)) <= 2 AND a.vec_id = 0 AND b.vec_id <> 0
+        WHERE ROUND($cos, 9) >= 0.3
+        ORDER BY b.vec_id""",
       "s2_ann_lsh" ->
         s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
         SELECT b.vec_id, ROUND($cos, 9) AS sim

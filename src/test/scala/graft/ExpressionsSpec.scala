@@ -303,6 +303,28 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("s8 radius search: subset of the exact answer, measured recall above floor") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.queries.AnnQueries.s8RangeSearch(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    // exact radius set via the same 9dp-rounded cosine, no prefilter
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val exact = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(graft.functions.Vectors.cosine($"embedding", $"q_emb"), 9).as("sim"))
+      .where($"sim" >= 0.3)
+      .as[(Long, Double)].collect().toMap
+    assert(exact.nonEmpty, "exact radius set empty — threshold no longer cuts this corpus")
+    // no false positives, sims bit-identical on the recovered subset
+    got.foreach { case (id, sim) =>
+      assert(exact.get(id).contains(sim), s"s8 returned ($id, $sim) not in exact set") }
+    val recall = got.size.toDouble / exact.size
+    info(f"s8 radius recall at tau=0.3 (adversarial regime): ${got.size}/${exact.size} = $recall%.2f")
+    assert(recall >= 0.25, f"radius recall $recall%.2f fell below the documented floor")
+  }
+
   test("GramHashes == builtin transform(slice) spelling, positional, short-array empty") {
     GraftFunctions.register(spark)
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
