@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+import graft.functions.ZOrder2
+
+/** Data-layout tools: HOW rows are arranged in files decides how much
+  * of a 100 TB table a selective query reads. [[Bucketing]] covers the
+  * join side (co-located hash layout); this covers the FILTER side —
+  * multi-dimensional clustering so that file- and row-group-level
+  * min/max statistics prune scans on EITHER (or both) of two
+  * dimensions.
+  *
+  * The problem with a single-column sort: files are tight on the sort
+  * column and random on every other, so a filter on the second
+  * dimension reads the whole table. A Z-order (Morton) sort interleaves
+  * the bits of both dimensions ([[graft.functions.ZOrder2]]), so each
+  * file covers a small RECTANGLE of the (a, b) space — both columns'
+  * per-file min/max ranges are narrow, and a box predicate touches only
+  * the files whose rectangle intersects it (the Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` capability, Spark-native). LayoutSpec measures
+  * exactly that: the same box filter's matching rows concentrate in a
+  * few z-files but spread over ~all time-sorted files.
+  */
+object Layout {
+
+  /** The z-key column for two non-negative integral dimensions, each
+    * min-max scaled to the full 16-bit range first. WITHOUT scaling,
+    * the wider dimension owns the curve's high bits and the narrower
+    * one degenerates to a minor sort key (measured on events: user_id
+    * spans 8 bits vs 10 for hour-of-month, and the unscaled curve
+    * clustered hours only) — the same reason production ZORDER
+    * implementations bin by rank/percentile before interleaving. */
+  def zkey(a: Column, amax: Long, b: Column, bmax: Long): Column =
+    ZOrder2(
+      (a.cast("long") * 65535L / math.max(1L, amax)).cast("long"),
+      (b.cast("long") * 65535L / math.max(1L, bmax)).cast("long"))
+
+  /** Rewrite `df` into `files` parquet files z-ordered on (a, b):
+    * range-partition by the z-key (a sampled range split, the same
+    * machinery as a global ORDER BY — one shuffle), sort within each
+    * file, drop the key. Files then tile the space-filling curve:
+    * row-group and file statistics on BOTH dimensions are narrow.
+    * `amax`/`bmax` are the dimensions' value ceilings (in production,
+    * from table stats). */
+  def writeZOrdered(df: DataFrame, a: String, amax: Long, b: String, bmax: Long,
+                    path: String, files: Int = 16): Unit =
+    df.withColumn("__z", zkey(col(a), amax, col(b), bmax))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The baseline layout the z-order is measured against: same file
+    * count, rows ordered by a SINGLE column (the "natural" arrival
+    * or time order every unoptimized table has). */
+  def writeLinear(df: DataFrame, orderCol: String,
+                  path: String, files: Int = 16): Unit =
+    df.repartitionByRange(files, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(path)
+}
