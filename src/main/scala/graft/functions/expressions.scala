@@ -1210,6 +1210,10 @@ object GraftFunctions {
       exprs => MisraGries(exprs(0), litInt(exprs(1), "misra_gries")), "scala_udf")
     reg.createOrReplaceTempFunction("gram_hashes",
       exprs => GramHashes(exprs(0), litInt(exprs(1), "gram_hashes")), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => BloomAgg(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_maybe",
+      exprs => BloomMaybe(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("stride_sample",
       exprs => StrideSampleTokens(exprs(0), litInt(exprs(1), "stride_sample")), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_token_count",

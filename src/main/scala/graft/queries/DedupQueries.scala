@@ -325,7 +325,51 @@ object DedupQueries {
       ORDER BY p.doc_id""")
   }
 
+  /** d10 — Bloom-filter MEMBERSHIP pre-filter + exact confirm: the
+    * bounded-memory ingest gate. Base = the (user_id, event_type,
+    * hour-of-day) behavior combos of days 1–15; incoming = days 16–30;
+    * the question per incoming combo is "did the base period already
+    * see this" — answered FIRST by the 128 KB [[graft.functions
+    * .BloomAgg]] sketch (built map-side, partials OR-merged, broadcast
+    * to the probe scan), THEN confirmed exactly — but only for the
+    * maybe-set, which is hits + the sketch's ~sub-percent false
+    * positives. At 100 TB the base key set never shuffles to the
+    * probes; a fixed 128 KB artifact does, and the exact join runs on
+    * the small surviving fraction. Both the sketch answer (`maybe`)
+    * and the truth (`confirmed`) are output columns, so the oracle
+    * gates the false-positive SET itself, not just the final answer:
+    * DuckDB rebuilds the exact bit array from the same hash
+    * arithmetic. Membership is defined over the poly_hash of the
+    * combo (d3's hashed-set convention); false negatives are
+    * impossible by construction, which the confirmed ⇒ maybe
+    * implication in the output demonstrates row by row. */
+  def d10BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    val key = "poly_hash(concat_ws('_', CAST(user_id AS STRING), event_type, CAST(hod AS STRING)))"
+    val e = spark.sql(
+      "SELECT user_id, event_type, CAST(hour(ts) AS BIGINT) AS hod, dayofmonth(ts) AS dy FROM events")
+    e.createOrReplaceTempView("d10_e")
+    val base = spark.sql(
+      s"SELECT DISTINCT user_id, event_type, hod, $key AS h FROM d10_e WHERE dy <= 15")
+    val inc = spark.sql(
+      s"SELECT DISTINCT user_id, event_type, hod, $key AS h FROM d10_e WHERE dy > 15")
+    val bloom = base.agg(graft.functions.BloomAgg(col("h")).as("bf"))
+    val flagged = inc.crossJoin(broadcast(bloom))
+      .select(col("user_id"), col("event_type"), col("hod"), col("h"),
+        graft.functions.BloomMaybe(col("bf"), col("h")).as("maybe"))
+    val confirmed = flagged.where(col("maybe"))
+      .join(base.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("user_id"), col("event_type"), col("hod"), lit(true).as("c"))
+    flagged.join(confirmed, Seq("user_id", "event_type", "hod"), "left")
+      .select(col("user_id"), col("event_type"), col("hod"), col("maybe"),
+        coalesce(col("c"), lit(false)).as("confirmed"))
+      .orderBy("user_id", "event_type", "hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_bloom_dedup"  -> (d10BloomDedup _),
     "d9_span_dedup"    -> (d9SpanDedup _),
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
     "d2_simhash"       -> (d2Simhash _),
@@ -344,7 +388,29 @@ object DedupQueries {
       s"{'bi': $k, 'bk': CAST(mh${2 * k} AS VARCHAR) || '_' || CAST(mh${2 * k + 1} AS VARCHAR)}")
       .mkString(", ")
     val gram5 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+    // d10's combo-key hash and the two bloom probe positions — same
+    // constants as graft.functions.BloomSketch (m = 2^20, LCG mix)
+    val d10key = rollingHashDuck(
+      "(CAST(user_id AS VARCHAR) || '_' || event_type || '_' || CAST(hod AS VARCHAR))")
+    def bloomPos2(h: String) = s"((48271 * $h + 11) % 1000000007) % 1048576"
     Map(
+      // DuckDB rebuilds the exact bit SET (positions from both hash
+      // functions share one array), then answers maybe = both probe
+      // positions present; confirmed = exact hash membership
+      "d10_bloom_dedup" ->
+        s"""WITH e AS (SELECT user_id, event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                          day(ts) AS dy FROM events),
+        base AS (SELECT DISTINCT user_id, event_type, hod FROM e WHERE dy <= 15),
+        inc AS (SELECT DISTINCT user_id, event_type, hod FROM e WHERE dy > 15),
+        bh AS (SELECT $d10key AS h FROM base),
+        bits AS (SELECT h % 1048576 AS p FROM bh UNION SELECT ${bloomPos2("h")} FROM bh),
+        ih AS (SELECT user_id, event_type, hod, $d10key AS h FROM inc)
+        SELECT user_id, event_type, hod,
+               (h % 1048576 IN (SELECT p FROM bits)
+                AND ${bloomPos2("h")} IN (SELECT p FROM bits)) AS maybe,
+               (h IN (SELECT h FROM bh)) AS confirmed
+        FROM ih
+        ORDER BY user_id, event_type, hod""",
       // same positional 5-gram rolling hashes (range end exclusive:
       // starts 1..len-4), same cross-doc duplication rule. The gram
       // strings are materialized in their own CTE before hashing:

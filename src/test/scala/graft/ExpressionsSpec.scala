@@ -303,6 +303,29 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("BloomSketch: no false negatives ever, FP rate near theory, merge-invariant") {
+    import graft.functions.{BloomAgg, BloomMaybe, BloomSketch}
+    val n = 40000
+    val members = spark.range(n.toLong).selectExpr(s"(id * 2654435761) % 1000000007 AS h")
+    def filterAt(parts: Int): Array[Byte] =
+      members.repartition(parts).agg(BloomAgg($"h").as("bf")).as[Array[Byte]].head()
+    val bf1 = filterAt(1)
+    val bf32 = filterAt(32)
+    // OR-merge is partitioning-invariant
+    assert(java.util.Arrays.equals(bf1, bf32))
+    // every member answers maybe=true — false negatives are impossible
+    val fn = members.select(BloomMaybe(lit(bf1), $"h").as("m")).where(!$"m").count()
+    assert(fn == 0, s"$fn false negatives — bloom broken")
+    // non-members: FP rate within 3x of (1-e^(-2n/m))^2
+    val probes = spark.range(20000L).selectExpr(
+      "1000000007 - 1 - ((id * 2654435761) % 1000000007) AS h")
+    val fp = probes.select(BloomMaybe(lit(bf1), $"h").as("m")).where($"m").count()
+    val theory = math.pow(1 - math.exp(-2.0 * n / BloomSketch.MBits), 2)
+    val rate = fp / 20000.0
+    info(f"bloom FP rate $rate%.4f (theory $theory%.4f) at n=$n m=${BloomSketch.MBits}")
+    assert(rate <= theory * 3 + 0.001, f"FP rate $rate%.4f vs theory $theory%.4f")
+  }
+
   test("s8 radius search: subset of the exact answer, measured recall above floor") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
