@@ -91,6 +91,38 @@ object ExtendedRelationalQueries {
       .orderBy("event_id")
   }
 
+  /** x49 — NEAREST as-of join, completing the as-of family: x12 is the
+    * backward (latest-at-or-before) direction; this matches each event
+    * to the temporally CLOSEST order of its user in EITHER direction —
+    * the sensor-fusion / entity-alignment spelling ("which reading
+    * belongs to this event") that backward-only as-of mishandles at
+    * session starts. Ties (equidistant past and future orders) break
+    * deterministically to the earlier date, then lower key.
+    *
+    * Spelled as one `min_by(payload, (|Δt|, date, key))` aggregate
+    * after the user-key equi-join — the x46 pattern: partial min_by
+    * collapses map-side, one shuffle on the join key, NO per-event
+    * window sort of the candidate lists (x12's row_number spelling
+    * sorts every event's candidate set; here the DuckDB oracle IS that
+    * spelling, gating the equivalence). */
+  def x49AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("e_us"))
+    e.join(o, o("o_custkey") === e("user_id"))
+      .groupBy(col("event_id"))
+      .agg(min_by(
+        struct(col("o_orderkey"), col("o_orderdate")),
+        struct(abs(col("e_us") - col("o_us")), col("o_orderdate"), col("o_orderkey"))
+      ).as("nearest"))
+      .select(col("event_id"),
+        col("nearest.o_orderkey").as("o_orderkey"),
+        col("nearest.o_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
   /** x19 — range (interval) join WITHOUT an equi key: for each click
     * event, count the events (any type, any user) in the hour after it.
     * Spark's planner has only BroadcastNestedLoopJoin for a pure
@@ -297,9 +329,21 @@ object ExtendedRelationalQueries {
     "x10_json"      -> (x10Json _),
     "x11_intersect" -> (x11Intersect _),
     "x12_asof_join" -> (x12AsofJoin _),
+    "x49_asof_nearest" -> (x49AsofNearest _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the per-event candidate-sort spelling the min_by aggregate must
+    // equal: same |delta| and the same (date, key) tie-break
+    "x49_asof_nearest" ->
+      """SELECT event_id, o_orderkey, o_orderdate
+      FROM (SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+              row_number() OVER (PARTITION BY e.event_id
+                ORDER BY abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                         o.o_orderdate, o.o_orderkey) AS rn
+            FROM events e JOIN orders o ON o.o_custkey = e.user_id)
+      WHERE rn = 1
+      ORDER BY event_id""",
     // same total order (price desc, key), so every rank and both
     // rational divisions agree exactly; 9dp round is belt and braces
     "x37_rank_family" ->
