@@ -224,7 +224,28 @@ object FunctionQueries {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** x50 — windowed approximate distinct: unique users per event-time
+    * day × event type through the KMV sketch — x20's mergeable-sketch
+    * argument composed with x7's event-time windowing, which is the
+    * shape streaming analytics actually runs ("rolling uniques"). One
+    * partial+final aggregate on (window, type); each partition ships
+    * ≤64 hashes per group instead of its user set, so state per
+    * (window, type) is bounded at ANY traffic volume — the exact
+    * spelling shuffles every distinct (window, type, user) triple.
+    * Deterministic (same hash, same k-th order statistic), so the
+    * DuckDB twin reproduces the estimates bit-for-bit. */
+  def x50WindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        expr(FunctionQueries.kmvHashSpark("user_id")).as("h"))
+    ev.groupBy("day", "event_type")
+      .agg(graft.functions.KmvDistinct(col("h"), 64).as("est_users"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x50_windowed_distinct" -> (x50WindowedDistinct _),
     "x48_histogram_quantile" -> (x48HistogramQuantile _),
     "x45_heavy_hitters" -> (x45HeavyHitters _),
     "x20_kmv_distinct" -> (x20KmvDistinct _),
@@ -238,6 +259,13 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x20's KMV estimate arithmetic, grouped by the event-time window
+    "x50_windowed_distinct" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        CASE WHEN count(DISTINCT h) < 64 THEN count(DISTINCT h)
+             ELSE CAST(63 AS BIGINT) * 1000000007 // list_sort(list(DISTINCT h))[64] END AS est_users
+      FROM (SELECT ts, event_type, ${kmvHashDuck("user_id")} AS h FROM events)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical integer bucket/cumulative arithmetic in both engines
     "x48_histogram_quantile" ->
       """WITH h AS (SELECT o_orderstatus, CAST(floor(o_totalprice / 600) AS BIGINT) AS b,

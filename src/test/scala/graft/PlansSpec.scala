@@ -300,6 +300,23 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange".r.findAllMatchIn(p).size <= 2, p.take(3000))
   }
 
+  test("x48: histogram quantile — partial+final bucket aggregate, windows only over the tiny histogram") {
+    val p = plan("x48_histogram_quantile")
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    // the Window runs over the bucket AGGREGATE's output (~buckets
+    // rows), never the raw table: printed top-down, the bucket
+    // aggregate must appear BELOW (after) the Window node
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.lastIndexOf("HashAggregate") > p.indexOf("Window"), p.take(3000))
+  }
+
+  test("x49: nearest as-of is a partial+final min_by — no per-event candidate window sort") {
+    val p = plan("x49_asof_nearest")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min_by"), p.take(3000))
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+  }
+
   test("s7: PQ encode is an argmin aggregate over broadcast codebooks — no window, no nested loop beyond the 1-row probe") {
     val p = plan("s7_ivf_pq")
     assert(!p.contains("Window"), p.take(3000))
