@@ -368,7 +368,32 @@ object DedupQueries {
       .orderBy("user_id", "event_type", "hod")
   }
 
+  /** d11 — the SPAN MASK MANIFEST: d9's duplicated-span detection
+    * emitted as the artifact a pipeline actually consumes — one
+    * (doc_id, pos) row per 5-gram span whose hash occurs in another
+    * document, i.e. the start offsets (token index, 0-based) of the
+    * regions to mask or cut before training. Same plan as d9 with
+    * `posexplode` carrying the position through the hash join (the
+    * shuffled row grows from 16 to 24 bytes — still id+hash width,
+    * text still never moves); the manifest joins back to the corpus
+    * by doc_id at cut time, so the wide column is read exactly once
+    * by whichever job applies the mask. */
+  def d11SpanMask(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
+      p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, h
+            FROM g LATERAL VIEW posexplode(gs) AS pos, h),
+      d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT p.doc_id, p.pos
+      FROM p JOIN d ON p.h = d.h
+      ORDER BY p.doc_id, p.pos""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_span_mask"    -> (d11SpanMask _),
     "d10_bloom_dedup"  -> (d10BloomDedup _),
     "d9_span_dedup"    -> (d9SpanDedup _),
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
@@ -411,6 +436,19 @@ object DedupQueries {
                (h IN (SELECT h FROM bh)) AS confirmed
         FROM ih
         ORDER BY user_id, event_type, hod""",
+      // d9's pipeline with the 0-based span position carried through
+      // (DuckDB: generate_subscripts is 1-based, hence the -1)
+      "d11_span_mask" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        gr AS (SELECT doc_id, list_transform(range(1, length(w) - 3), i -> ($gram5)) AS grams
+               FROM toks WHERE length(w) >= 5),
+        g AS (SELECT doc_id, list_transform(grams, t -> ${rollingHashDuck("t")}) AS gs FROM gr),
+        p AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos,
+                     unnest(gs) AS h FROM g),
+        d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT p.doc_id, p.pos
+        FROM p JOIN d ON p.h = d.h
+        ORDER BY p.doc_id, p.pos""",
       // same positional 5-gram rolling hashes (range end exclusive:
       // starts 1..len-4), same cross-doc duplication rule. The gram
       // strings are materialized in their own CTE before hashing:
