@@ -110,12 +110,35 @@ object Bench {
     val results = cold.zip(second).map { case ((name, c), (_, w)) =>
       (name, math.min(c, w), c)
     }
-    def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(results.map(r => (r._1, r._2)))
-    val qsCold = jsonMap(results.map(r => (r._1, r._3)))
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    def jsonMap(kvs: Seq[(String, Double)], decimals: Int): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"passes":2,"sf":"$sfDir"}""")
+    // Capture-proofing (round-5 lesson: the driver keeps only a bounded
+    // window of the line, and r5's 9-decimal doubles x 111 queries x 2
+    // maps overran it — 47 per-query values and the total were lost):
+    // the STDOUT line is the compact essentials only — 3-decimal
+    // per-query values (ms resolution; the instrument's noise floor is
+    // far above that), no cold map — and the total appears BOTH first
+    // and last so either a head- or tail-truncated capture still
+    // carries it. The full-precision artifact (both passes, 9 decimals)
+    // goes to target/bench_full.json for offline attribution.
+    val totalR = num(total, 3)
+    val qs = jsonMap(results.map(r => (r._1, r._2)), 3)
+    val qsCold = jsonMap(results.map(r => (r._1, r._3)), 9)
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(r => (r._1, r._2)), 9)},"queries_cold":$qsCold,"passes":2,"sf":"$sfDir"}"""
+    try {
+      val out = new java.io.File("target/bench_full.json")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full-precision artifact: ${out.getAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_full.json: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"passes":2,"sf":"$sfDir","total_sec":$totalR}""")
     spark.stop()
   }
 }

@@ -57,6 +57,15 @@ case class BloomAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
+  // SQL-registered (GraftFunctions), so a wrong argument type must be an
+  // analysis error, not an executor ClassCastException — same contract
+  // as BloomMaybe/GramHashes
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg needs a BIGINT hash column, got ${child.dataType}")
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](MBits / 8)
 
   private def set(bits: Array[Byte], p: Int): Unit =

@@ -48,6 +48,14 @@ case class MisraGries(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  // SQL-registered (GraftFunctions): wrong argument type must fail at
+  // analysis, not as an executor ClassCastException (BloomMaybe's contract)
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"misra_gries needs a BIGINT key column, got ${child.dataType}")
+
   override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
     new java.util.HashMap[Long, Long]()
 

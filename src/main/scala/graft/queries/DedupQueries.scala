@@ -347,7 +347,11 @@ object DedupQueries {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "events").createOrReplaceTempView("events")
-    val key = "poly_hash(concat_ws('_', CAST(user_id AS STRING), event_type, CAST(hod AS STRING)))"
+    // coalesce BEFORE concatenation: concat_ws would silently drop a
+    // NULL event_type (hashing a shorter string) where the oracle's ||
+    // null-propagates — coalescing in BOTH dialects keeps the key
+    // arithmetic identical if the generator ever ships NULLs
+    val key = "poly_hash(concat_ws('_', CAST(user_id AS STRING), coalesce(event_type, ''), CAST(hod AS STRING)))"
     val e = spark.sql(
       "SELECT user_id, event_type, CAST(hour(ts) AS BIGINT) AS hod, dayofmonth(ts) AS dy FROM events")
     e.createOrReplaceTempView("d10_e")
@@ -416,7 +420,7 @@ object DedupQueries {
     // d10's combo-key hash and the two bloom probe positions — same
     // constants as graft.functions.BloomSketch (m = 2^20, LCG mix)
     val d10key = rollingHashDuck(
-      "(CAST(user_id AS VARCHAR) || '_' || event_type || '_' || CAST(hod AS VARCHAR))")
+      "(CAST(user_id AS VARCHAR) || '_' || coalesce(event_type, '') || '_' || CAST(hod AS VARCHAR))")
     def bloomPos2(h: String) = s"((48271 * $h + 11) % 1000000007) % 1048576"
     Map(
       // DuckDB rebuilds the exact bit SET (positions from both hash

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, greatest, least, lit}
 
 import graft.functions.ZOrder2
 
@@ -31,11 +31,18 @@ object Layout {
     * one degenerates to a minor sort key (measured on events: user_id
     * spans 8 bits vs 10 for hour-of-month, and the unscaled curve
     * clustered hours only) — the same reason production ZORDER
-    * implementations bin by rank/percentile before interleaving. */
-  def zkey(a: Column, amax: Long, b: Column, bmax: Long): Column =
-    ZOrder2(
-      (a.cast("long") * 65535L / math.max(1L, amax)).cast("long"),
-      (b.cast("long") * 65535L / math.max(1L, bmax)).cast("long"))
+    * implementations bin by rank/percentile before interleaving.
+    * Values are clamped into [0, max] BEFORE the scale multiply: for
+    * dims above ~1.4e14 the raw `a * 65535` would overflow Long to
+    * negative and ZOrder2's saturating clamp would then send the row to
+    * the curve ORIGIN instead of the top — the opposite of the
+    * documented saturate-not-wrap intent. */
+  def zkey(a: Column, amax: Long, b: Column, bmax: Long): Column = {
+    def scaled(c: Column, cmax: Long): Column =
+      (greatest(lit(0L), least(c.cast("long"), lit(cmax)))
+        * 65535L / math.max(1L, cmax)).cast("long")
+    ZOrder2(scaled(a, amax), scaled(b, bmax))
+  }
 
   /** Rewrite `df` into `files` parquet files z-ordered on (a, b):
     * range-partition by the z-key (a sampled range split, the same
