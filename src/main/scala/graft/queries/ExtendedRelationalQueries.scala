@@ -70,24 +70,31 @@ object ExtendedRelationalQueries {
 
   /** x12 — as-of join (backward): for each event, the most recent order
     * of that user with o_orderdate <= ts. Spark has no asof builtin;
-    * this composes equi-join on the user key + window arg-max — the
-    * equi-join keeps the shuffle keyed on user_id (co-partitioned both
-    * sides), and the window sorts only within each event's candidate
-    * set. DuckDB validates via its native ASOF JOIN (with orders
-    * pre-deduped per (custkey, orderdate) the same way the window's
-    * o_orderkey tie-break resolves). */
+    * this composes equi-join on the user key + ONE `max_by(payload,
+    * (date, key))` aggregate — x49's bounded-state shape, pointed
+    * backward. The original row_number spelling buffered and SORTED
+    * every event's candidate order list through a window; partial
+    * max_by collapses each partition to one candidate row per event
+    * BEFORE the aggregation shuffle, so per-event state is one row and
+    * the exchange carries events, not candidate pairs (the lexicographic
+    * struct max (o_orderdate, o_orderkey) IS the window's
+    * `.orderBy(date desc, key desc)` rank-1 row). DuckDB validates via
+    * its native ASOF JOIN (with orders pre-deduped per
+    * (custkey, orderdate) the same way the max_by tie-break resolves). */
   def x12AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val e = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"))
-    val joined = e.join(o,
-      o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+      .groupBy(col("event_id"))
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))
+      ).as("latest"))
+      .select(col("event_id"),
+        col("latest.o_orderkey").as("o_orderkey"),
+        col("latest.o_orderdate").as("o_orderdate"))
       .orderBy("event_id")
   }
 

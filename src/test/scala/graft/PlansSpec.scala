@@ -310,6 +310,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.lastIndexOf("HashAggregate") > p.indexOf("Window"), p.take(3000))
   }
 
+  test("x12: backward as-of is a partial+final max_by — no per-event candidate window sort") {
+    val p = plan("x12_asof_join")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_max_by"), p.take(3000))
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+  }
+
   test("x49: nearest as-of is a partial+final min_by — no per-event candidate window sort") {
     val p = plan("x49_asof_nearest")
     assert(!p.contains("Window"), p.take(3000))
