@@ -367,6 +367,73 @@ object GramHashes {
     GraftShims.column(GramHashes(GraftShims.expression(c), width))
 }
 
+/** Apply a span MASK to a token array: given the tokens and the SORTED,
+  * distinct start offsets of duplicated `width`-gram spans (d11's
+  * manifest rows for one doc), drop every token covered by any masked
+  * span — the union of [s, s+width-1] intervals — and rebuild the text
+  * as the kept tokens joined by single spaces. One linear two-pointer
+  * walk per row (tokens and starts advance together, overlapping spans
+  * merge for free in `maskedUntil`); the builtin spelling is a per-token
+  * `exists()` over the starts list — O(tokens × spans) interpreted
+  * lambda calls (equivalence pinned in ExpressionsSpec). This is the CUT
+  * step of Lee et al.'s dedup pipeline (ExactSubstr → cut), the d11
+  * consumer. */
+case class SpanCut(left: Expression, right: Expression, width: Int)
+  extends BinaryExpression {
+  require(width >= 1, s"span_cut needs width >= 1, got $width")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if ((left.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false }) &&
+      (right.dataType match {
+        case ArrayType(LongType, _) => true; case _ => false }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"span_cut needs (array<string>, array<bigint>), got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(tokens: Any, starts: Any): Any = {
+    val w = tokens.asInstanceOf[ArrayData]
+    val s = starts.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    val m = s.numElements()
+    val sb = new java.lang.StringBuilder()
+    var maskedUntil = -1L
+    var first = true
+    var i = 0
+    var j = 0
+    while (i < n) {
+      while (j < m && s.getLong(j) <= i) {
+        val end = s.getLong(j) + width - 1
+        if (end > maskedUntil) maskedUntil = end
+        j += 1
+      }
+      if (i > maskedUntil) {
+        if (!first) sb.append(' ')
+        sb.append(w.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) => {
+      val expr = ctx.addReferenceObj("spanCut", this, classOf[SpanCut].getName)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $expr.nullSafeEval($t, $s);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCut =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpanCut {
+  def apply(tokens: Column, starts: Column, width: Int): Column =
+    GraftShims.column(SpanCut(
+      GraftShims.expression(tokens), GraftShims.expression(starts), width))
+}
+
 /** Morton (Z-order) key of two non-negative long columns: the low 16
   * bits of each input, bit-interleaved (a's bits at even positions) —
   * a space-filling-curve key whose SORT ORDER clusters rows that are
@@ -1210,6 +1277,8 @@ object GraftFunctions {
       exprs => MisraGries(exprs(0), litInt(exprs(1), "misra_gries")), "scala_udf")
     reg.createOrReplaceTempFunction("gram_hashes",
       exprs => GramHashes(exprs(0), litInt(exprs(1), "gram_hashes")), "scala_udf")
+    reg.createOrReplaceTempFunction("span_cut",
+      exprs => SpanCut(exprs(0), exprs(1), litInt(exprs(2), "span_cut")), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_agg",
       exprs => BloomAgg(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_maybe",

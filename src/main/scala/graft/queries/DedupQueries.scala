@@ -396,7 +396,42 @@ object DedupQueries {
       ORDER BY p.doc_id, p.pos""")
   }
 
+  /** d12 — the SPAN CUT: d11's mask manifest APPLIED, producing the
+    * cleaned corpus — Lee et al.'s pipeline endpoint (detect → localize
+    * → cut). Per doc, the masked token set is the UNION of [pos, pos+4]
+    * over its manifest rows; the kept tokens rebuild the text. The
+    * per-doc mask positions aggregate to one sorted array (bounded by
+    * the doc's token count), LEFT-join back to the corpus by doc_id —
+    * the ONE place the wide text column legitimately moves, and it
+    * moves exactly once — and the [[graft.functions.SpanCut]] codegen
+    * kernel does the cut as a linear two-pointer walk (the builtin
+    * spelling is a per-token `exists()` over the span list:
+    * O(tokens × spans) interpreted lambdas). Unmasked docs (no manifest
+    * rows, incl. docs under 5 tokens) pass through as their token join
+    * — the same normalization the cut path applies, so the output
+    * column has one consistent definition. Oracle: the mask rule
+    * restated over DuckDB's unnest + NOT EXISTS interval test. */
+  def d12SpanCut(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
+      p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, h
+            FROM g LATERAL VIEW posexplode(gs) AS pos, h),
+      d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+      m AS (SELECT doc_id, sort_array(collect_list(pos)) AS starts
+            FROM (SELECT p.doc_id, p.pos FROM p JOIN d ON p.h = d.h)
+            GROUP BY doc_id)
+      SELECT t.doc_id,
+             CASE WHEN m.starts IS NULL THEN array_join(t.w, ' ')
+                  ELSE span_cut(t.w, m.starts, 5) END AS cleaned_text
+      FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id
+      ORDER BY t.doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_span_cut"     -> (d12SpanCut _),
     "d11_span_mask"    -> (d11SpanMask _),
     "d10_bloom_dedup"  -> (d10BloomDedup _),
     "d9_span_dedup"    -> (d9SpanDedup _),
@@ -440,6 +475,30 @@ object DedupQueries {
                (h IN (SELECT h FROM bh)) AS confirmed
         FROM ih
         ORDER BY user_id, event_type, hod""",
+      // d11's mask rule applied: a token survives iff NO duplicated
+      // span's interval [pos, pos+4] covers its index; unmasked docs
+      // (no manifest rows) keep every token. string_agg over zero kept
+      // tokens is NULL -> coalesce to '' (a fully-masked doc)
+      "d12_span_cut" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        gr AS (SELECT doc_id, list_transform(range(1, length(w) - 3), i -> ($gram5)) AS grams
+               FROM toks WHERE length(w) >= 5),
+        g AS (SELECT doc_id, list_transform(grams, t -> ${rollingHashDuck("t")}) AS gs FROM gr),
+        p AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos,
+                     unnest(gs) AS h FROM g),
+        d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        starts AS (SELECT p.doc_id, p.pos FROM p JOIN d ON p.h = d.h),
+        tok AS (SELECT doc_id, unnest(w) AS t,
+                       CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS idx FROM toks),
+        kept AS (SELECT tok.doc_id, tok.t, tok.idx FROM tok
+                 WHERE NOT EXISTS (SELECT 1 FROM starts s
+                                   WHERE s.doc_id = tok.doc_id
+                                     AND tok.idx BETWEEN s.pos AND s.pos + 4)),
+        agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS ct
+                FROM kept GROUP BY doc_id)
+        SELECT toks.doc_id, coalesce(agg.ct, '') AS cleaned_text
+        FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+        ORDER BY toks.doc_id""",
       // d9's pipeline with the 0-based span position carried through
       // (DuckDB: generate_subscripts is 1-based, hence the -1)
       "d11_span_mask" ->

@@ -366,6 +366,36 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(edge.filter($"g1" =!= $"ref1").count() == 0)
   }
 
+  test("SpanCut == builtin filter(NOT exists interval) spelling; overlap-merge and edge masks") {
+    GraftFunctions.register(spark)
+    // real corpus: mask every doc's d11 spans (or an arbitrary synthetic
+    // mask where none exist) and compare against the interpreted spelling
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("split(text, ' ') AS w",
+        // synthetic but deterministic starts: every 7th token position
+        "array_sort(array_distinct(filter(sequence(0L, CAST(size(w) AS LONG) - 1), x -> x % 7 = 0))) AS s")
+    val df = docs.selectExpr(
+      "span_cut(w, s, 5) AS fast",
+      """array_join(filter(w, (t, i) ->
+           NOT exists(s, x -> i >= x AND i <= x + 4)), ' ') AS ref""")
+    assert(df.count() > 0)
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+    // edges: empty mask = identity join; single span; overlapping
+    // spans merge; full-cover mask yields the empty string
+    val edge = Seq(
+      (Seq("a", "b", "c", "d", "e", "f", "g"), Seq.empty[Long]),
+      (Seq("a", "b", "c", "d", "e", "f", "g"), Seq(0L)),
+      (Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"), Seq(0L, 2L)),
+      (Seq("a", "b", "c", "d", "e", "f", "g"), Seq(0L, 1L, 2L))
+    ).toDF("w", "s")
+      .selectExpr("span_cut(w, s, 5) AS got")
+      .collect().map(_.getString(0)).toSeq
+    assert(edge(0) == "a b c d e f g")
+    assert(edge(1) == "f g")     // [0,4] masks a-e
+    assert(edge(2) == "h i j")   // [0,4] U [2,6] merge to 0-6
+    assert(edge(3) == "")        // [0,4] U [1,5] U [2,6] covers all 7
+  }
+
   test("MisraGries: candidate set is a superset of true heavy keys, partitioning-invariant") {
     import graft.functions.MisraGries
     // planted zipf head: 70% of the stream on 5 hot keys, the tail
