@@ -44,6 +44,22 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // follows corpus size, the duplicated-hash join side follows
       // overlap — is exactly a linearity claim
       "d9_span_dedup" -> (graft.queries.DedupQueries.d9SpanDedup _),
+      // round-6 extensions: the newest 100 TB claims, measured instead
+      // of argued structurally (VERDICT r5 task 3) —
+      // d10: sketch build is a map-side pass + 128 KB broadcast; cost
+      // must follow the probe scan, never the base key cardinality
+      "d10_bloom_dedup" -> (graft.queries.DedupQueries.d10BloomDedup _),
+      // d11: d9's shuffle grown to (id, pos, hash) — still
+      // O(corpus tokens) rows by design, so the curve must stay linear
+      "d11_span_mask" -> (graft.queries.DedupQueries.d11SpanMask _),
+      // d12: the cut job — the one query where the wide text column
+      // crosses a shuffle (once); linearity says that join follows
+      // corpus bytes, not pair structure
+      "d12_span_cut" -> (graft.queries.DedupQueries.d12SpanCut _),
+      // s7: PQ encode is an argmin aggregate over broadcast
+      // codebooks — per-vector work is constant (M x K x d/M
+      // multiplies), so wall time must track vector count
+      "s7_ivf_pq" -> (graft.queries.AnnQueries.s7IvfPq _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
