@@ -186,7 +186,52 @@ object SqlSurfaceQueries {
       FROM j ORDER BY user_id, h""")
   }
 
+  /** x52 — SCD TYPE-2 history build: the changelog compacted into
+    * validity INTERVALS — one row per (entity, value) RUN with
+    * [valid_from, valid_to) bounds and NULL valid_to marking the
+    * current version. x46 answers "what is the latest value"; this is
+    * the other half every warehouse needs: "what was the value at time
+    * T", buildable by interval containment. Consecutive updates
+    * carrying the SAME value collapse into one interval (the
+    * no-change-update case a naive lead() spelling gets wrong).
+    *
+    * Shape: change points via one lag() comparison per entity, run ids
+    * via a running sum, one partial+final aggregate to interval bounds,
+    * and a final per-entity lead() to close each interval with its
+    * successor's start. Everything after the single user-key shuffle is
+    * key-local (windows and aggregate share the partitioning, AQE
+    * coalesces); the output IS the compacted history, so nothing larger
+    * than the answer materializes. Ties within (user, ts) order by
+    * event_id in BOTH dialects, keeping run boundaries deterministic. */
+  def x52Scd2(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql("""
+      WITH chg AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      runs AS (
+        SELECT user_id, ts, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM chg),
+      hist AS (
+        SELECT user_id, event_type AS attr, MIN(ts) AS valid_from,
+               COUNT(*) AS n_updates
+        FROM runs GROUP BY user_id, run, event_type)
+      SELECT user_id, attr, valid_from,
+             lead(valid_from) OVER
+               (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+             n_updates
+      FROM hist
+      ORDER BY user_id, valid_from""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x52_scd2"          -> (x52Scd2 _),
     "x47_gap_fill"      -> (x47GapFill _),
     "x46_cdc_upsert"    -> (x46CdcUpsert _),
     "x40_unpivot"       -> (x40Unpivot _),
@@ -197,6 +242,31 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical run-detection arithmetic; (ts, event_id) tie order in
+    // both dialects keeps run boundaries deterministic
+    "x52_scd2" ->
+      """WITH chg AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      runs AS (
+        SELECT user_id, ts, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM chg),
+      hist AS (
+        SELECT user_id, event_type AS attr, MIN(ts) AS valid_from,
+               COUNT(*) AS n_updates
+        FROM runs GROUP BY user_id, run, event_type)
+      SELECT user_id, attr, valid_from,
+             lead(valid_from) OVER
+               (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+             n_updates
+      FROM hist
+      ORDER BY user_id, valid_from""",
     // same spine/fill/LOCF semantics; DuckDB spells IGNORE NULLS inline
     "x47_gap_fill" ->
       """WITH ev AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h

@@ -310,6 +310,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.lastIndexOf("HashAggregate") > p.indexOf("Window"), p.take(3000))
   }
 
+  test("x52: SCD2 history build — one user-key shuffle, all windows and the run aggregate key-local") {
+    val p = plan("x52_scd2")
+    // change-point windows, run aggregate and the closing lead() all
+    // share the user_id clustering, so the only exchanges are the one
+    // key hash and the presentation sort
+    assert(p.contains("Window"), p.take(3000))
+    assert("Exchange".r.findAllMatchIn(p).size <= 2, p.take(3000))
+  }
+
   test("x12: backward as-of is a partial+final max_by — no per-event candidate window sort") {
     val p = plan("x12_asof_join")
     assert(!p.contains("Window"), p.take(3000))
