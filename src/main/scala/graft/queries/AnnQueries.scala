@@ -309,6 +309,35 @@ object AnnQueries {
       .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
   }
 
+  /** s9 — batch MIPS (maximum INNER-PRODUCT search): top-3 by raw dot
+    * product for every probe in a deterministic subset (vec_id ≡ 7 mod
+    * 20). Retrieval-with-learned-scores ranks by inner product, NOT
+    * cosine — recommendation scorers and dual-encoder rankers train
+    * unnormalized, so a long vector can out-score a closer unit vector
+    * and the s2–s8 cosine machinery is the wrong order. MIPS is also
+    * not directly LSH-able (no triangle inequality); the standard scale
+    * path is the Bachrach et al. (2014) augmentation — append
+    * √(M²−‖x‖²) to each corpus vector and 0 to queries, which makes
+    * augmented-cosine order equal MIPS order, then reuse s2/s5's SRP
+    * index unchanged. `MipsAugmentationSpec` proves that reduction on
+    * this corpus; this query is the exact baseline it reduces to,
+    * through the same one-scan TopKPerKey shape as s6: probes
+    * broadcast, fused codegen dot per pair, per-probe bounded heaps
+    * collapse map-side, and the exchange carries ≤ partitions·probes·k
+    * narrow rows — the scored stream never materializes. */
+  def s9Mips(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    val scored = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Vectors.dot(col("embedding"), col("q_emb")), 9).as("ip"))
+    graft.plans.TopK.perKey(scored, Seq(col("probe_id")),
+      Seq(col("ip").desc, col("vec_id")), k = 3)
+      .orderBy(col("probe_id"), col("ip").desc, col("vec_id"))
+  }
+
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
     * computation (ADC), the memory-compression half of a FAISS-class
     * 100 TB vector index. The 64-dim corpus is ENCODED once into 4
@@ -428,6 +457,7 @@ object AnnQueries {
     "s4_ann_ivf" -> (s4AnnIvf _),
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
     "s6_knn_join" -> (s6KnnJoin _),
+    "s9_mips" -> (s9Mips _),
     "s7_ivf_pq" -> (s7IvfPq _),
     "d8_semantic_dedup" -> (d8SemanticDedup _),
   )
@@ -499,6 +529,17 @@ object AnnQueries {
             ON a.vec_id < b.vec_id
             AND len(list_filter(range(1, ${s5Bands + 1}), g -> a.sigs[g] = b.sigs[g])) > 0) t
         WHERE sim >= 0.85 ORDER BY vec_id_a, vec_id_b""",
+      // MIPS baseline restated as the window spelling over the raw dot
+      // product (same double fold order, same 9dp-rounded ranking key)
+      "s9_mips" ->
+        s"""SELECT probe_id, vec_id, ip FROM (
+          SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+            ROUND(${cosDot("a", "b")}, 9) AS ip,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY ROUND(${cosDot("a", "b")}, 9) DESC, b.vec_id) AS rn
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id % 20 = 7 AND b.vec_id <> a.vec_id) t
+        WHERE rn <= 3 ORDER BY probe_id, ip DESC, vec_id""",
       // kNN join restated as the window spelling; both engines rank by
       // the 9dp-ROUNDED cosine with vec_id tie-break, so the kept set is
       // deterministic even when true sims differ below the round

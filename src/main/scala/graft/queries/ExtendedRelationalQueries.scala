@@ -212,6 +212,48 @@ object ExtendedRelationalQueries {
       ORDER BY o_custkey, o_orderkey""")
   }
 
+  /** x54 — GLOBAL cumulative sum, spelled DISTRIBUTED: the running
+    * corpus-wide total of event value (in integer cents) over the full
+    * (ts, event_id) order. x24's windows are per-key and parallelize
+    * trivially; an UNPARTITIONED `SUM() OVER (ORDER BY ts)` is the
+    * shape Spark warns about with `WindowExec: No Partition Defined` —
+    * every row moves through ONE partition and one executor sorts the
+    * corpus. This query spells the classic two-level prefix-sum
+    * instead: (1) bucket rows by a ts-monotone key (epoch hour — ~720
+    * buckets/month at ANY corpus size); (2) one partial+final aggregate
+    * to per-bucket sums; (3) a window over the tiny bucket table
+    * computes each bucket's exclusive prefix (the only unpartitioned
+    * window, over ~720 rows); (4) broadcast-join the offsets back and
+    * run the within-bucket running sum PARTITIONED by bucket. Every
+    * corpus-sized op is a scan, a keyed aggregate, or a keyed window —
+    * the single-partition step touches only the bucket aggregate.
+    * Integer cents make the two engines' different summation orders
+    * exactly equal (associative), not approximately. The output is
+    * thinned to every 97th event AFTER the windows (gating the prefix
+    * at positions spread across the whole timeline) so the result set
+    * stays reviewable while the full computation still runs. */
+  def x54GlobalCumsum(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql("""
+      WITH e AS (SELECT event_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   unix_micros(ts) DIV 3600000000 AS bucket
+                 FROM events),
+      bsum AS (SELECT bucket, SUM(cents) AS s FROM e GROUP BY bucket),
+      boff AS (SELECT bucket,
+                 coalesce(SUM(s) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               FROM bsum)
+      SELECT event_id, ts, running_cents FROM (
+        SELECT e.event_id, e.ts,
+               b.off + SUM(e.cents) OVER (PARTITION BY e.bucket
+                 ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        FROM e JOIN boff b ON e.bucket = b.bucket)
+      WHERE event_id % 97 = 0
+      ORDER BY event_id""")
+  }
+
   /** x39 — RANGE frame over EVENT TIME (x24 covers ROWS frames): per
     * user, the count and value-sum of their events in the trailing
     * 1-hour window of each event — the moving time-window aggregate
@@ -321,6 +363,7 @@ object ExtendedRelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x54_global_cumsum" -> (x54GlobalCumsum _),
     "x17_topk_per_key" -> (x17TopkPerKey _),
     "x37_rank_family" -> (x37RankFamily _),
     "x38_exists_subquery" -> (x38ExistsSubquery _),
@@ -340,6 +383,18 @@ object ExtendedRelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the naive single-sequence spelling the two-level prefix sum must
+    // equal exactly — integer cents make both orders of addition the
+    // same number, so this is an equality of arithmetic, not rounding
+    "x54_global_cumsum" ->
+      """SELECT event_id, ts, running_cents FROM (
+        SELECT event_id, ts,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        FROM events)
+      WHERE event_id % 97 = 0
+      ORDER BY event_id""",
     // the per-event candidate-sort spelling the min_by aggregate must
     // equal: same |delta| and the same (date, key) tie-break
     "x49_asof_nearest" ->

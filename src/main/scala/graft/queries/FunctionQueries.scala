@@ -244,7 +244,59 @@ object FunctionQueries {
       .orderBy("day", "event_type")
   }
 
+  /** The moments formula over already-double power sums — ONE spelling
+    * shared verbatim by the Spark query and the DuckDB twin, so the two
+    * engines run the identical IEEE expression tree (neither dialect
+    * reassociates) and 6dp rounding has nothing luck-based to hide. */
+  private val momentsFormulaSql = """
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        round(mean, 6) AS mean,
+        round(sqrt(v2), 6) AS stddev_pop,
+        round((s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean)
+              / (v2 * sqrt(v2)), 6) AS skewness,
+        round((s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n)
+               - 3 * mean * mean * mean * mean)
+              / (v2 * v2) - 3.0, 6) AS excess_kurtosis
+      FROM (SELECT event_type, n, s1 / n AS mean,
+                   s2 / n - (s1 / n) * (s1 / n) AS v2, s2, s3, s4
+            FROM (SELECT event_type,
+                    CAST(cnt AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+                    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+                    CAST(s4 AS DOUBLE) AS s4
+                  FROM psums))
+      ORDER BY event_type"""
+
+  /** x55 — higher-moment statistics battery (mean, population stddev,
+    * skewness, excess kurtosis) per event type, computed the
+    * SINGLE-PASS way: one scan accumulates the four integer power sums
+    * Σv..Σv⁴ (each a plain SUM — partial+final, map-side combinable,
+    * 32 bytes of state per group at ANY corpus size), and the
+    * statistics derive from the sums afterward. The textbook
+    * `STDDEV/SKEWNESS/KURTOSIS` builtins exist on both engines but
+    * disagree in definition (sample vs population corrections) and in
+    * internal update order (Welford-style streams are
+    * association-sensitive in FP) — spelling the moments from exact
+    * integer sums makes the cross-engine equality arithmetic, not
+    * luck, and shows the sums ARE the mergeable sketch (union of
+    * partitions = elementwise sum). Values quantize to integer units
+    * first (v = round(value), ≤ 561) so every power sum is an exact
+    * integer: Σv⁴ ≤ 1e16 per group stays inside BIGINT (and inside
+    * HUGEINT in the twin), and the one CAST to DOUBLE rounds the same
+    * integer to the same double on both engines. */
+  def x55Moments(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(s"""
+      WITH psums AS (
+        SELECT event_type, COUNT(*) AS cnt,
+               SUM(v) AS s1, SUM(v * v) AS s2,
+               SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+        FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events)
+        GROUP BY event_type)
+      $momentsFormulaSql""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x55_moments" -> (x55Moments _),
     "x50_windowed_distinct" -> (x50WindowedDistinct _),
     "x48_histogram_quantile" -> (x48HistogramQuantile _),
     "x45_heavy_hitters" -> (x45HeavyHitters _),
@@ -259,6 +311,17 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the identical shared formula over the same integer power sums;
+    // DuckDB's BIGINT SUM widens to HUGEINT, collapsed by the same
+    // CAST AS DOUBLE of the same exact integer
+    "x55_moments" ->
+      s"""WITH psums AS (
+        SELECT event_type, COUNT(*) AS cnt,
+               SUM(v) AS s1, SUM(v * v) AS s2,
+               SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+        FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events)
+        GROUP BY event_type)
+      $momentsFormulaSql""",
     // x20's KMV estimate arithmetic, grouped by the event-time window
     "x50_windowed_distinct" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

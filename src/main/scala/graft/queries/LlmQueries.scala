@@ -216,6 +216,41 @@ object LlmQueries {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** l15 — corpus DATA CARD: the per-source quality/provenance report
+    * every curated training set ships with (docs, token and char
+    * volume, language spread, exact-duplication rate, mean doc length)
+    * — the aggregation a pipeline runs LAST, after the t/d/l stages,
+    * to document what was built. Scale shape: one scan computes per-doc
+    * token counts and a 64-bit content fingerprint (the wide text
+    * column never leaves the scan); duplicate detection is a
+    * partial+final COUNT per fingerprint (8-byte keys) joined back to
+    * the per-doc rows on that same 8-byte key; the final per-source
+    * rollup is a 20-group aggregate. Ratios derive from exact integer
+    * sums with one division at the end, so the 6dp round is cosmetic,
+    * not load-bearing. */
+  def l15DataCard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH d AS (SELECT doc_id, source, lang, n_chars,
+                   CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ${graft.functions.TextPrimitives.rollingHashSpark("text")} AS fp
+                 FROM documents),
+      fpc AS (SELECT fp, COUNT(*) AS c FROM d GROUP BY fp)
+      SELECT source,
+        COUNT(*) AS n_docs,
+        SUM(d.n_tokens) AS n_tokens,
+        SUM(d.n_chars) AS n_chars,
+        CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        SUM(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+        round(CAST(SUM(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+        round(CAST(SUM(d.n_tokens) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+      FROM d JOIN fpc ON d.fp = fpc.fp
+      GROUP BY source ORDER BY source""")
+  }
+
   /** l11 — TF-IDF keyword extraction: top-3 terms per document by an
     * integer tf-idf score — the signature/topic summary a curation
     * pipeline logs per doc (and the lexical half of hybrid retrieval).
@@ -338,6 +373,7 @@ object LlmQueries {
     "l8_corpus_mix"    -> (l8CorpusMix _),
     "l9_decontaminate" -> (l9Decontaminate _),
     "l10_global_shuffle" -> (l10GlobalShuffle _),
+    "l15_data_card"      -> (l15DataCard _),
     "l11_tfidf"          -> (l11Tfidf _),
     "l12_chunk"          -> (l12Chunk _),
     "l13_quantize"       -> (l13Quantize _),
@@ -345,6 +381,26 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same fingerprint (shared rolling-hash constants), same integer
+    // sums; DuckDB's HUGEINT sums collapse back to BIGINT by CAST
+    "l15_data_card" ->
+      (s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ${graft.functions.TextPrimitives.rollingHashDuck("text")} AS fp
+           FROM documents),
+      fpc AS (SELECT fp, COUNT(*) AS c FROM d GROUP BY fp)
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+        CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        CAST(SUM(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        round(CAST(SUM(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+        round(CAST(SUM(d.n_tokens) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+      FROM d JOIN fpc ON d.fp = fpc.fp
+      GROUP BY source ORDER BY source"""),
     "l1_exact_dedup" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "l2_text_stats" ->

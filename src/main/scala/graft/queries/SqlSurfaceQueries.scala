@@ -230,7 +230,35 @@ object SqlSurfaceQueries {
       ORDER BY user_id, valid_from""")
   }
 
+  /** x53 — GROUPING SETS + grouping_id: the third member of the
+    * multi-grouping family (x9 = ROLLUP, x25 = CUBE), with an EXPLICIT
+    * non-hierarchical set list — ((status, priority), (priority), ()) —
+    * that neither ROLLUP nor CUBE can spell (it skips the (status)
+    * marginal), plus the grouping-function disambiguation every report
+    * consumer needs: `gid` tells a NULL-because-aggregated cell apart
+    * from a NULL-valued key. Plans as ONE scan + Expand (3 rows per
+    * input) + a single hash aggregate — the same node CUBE uses, so cost
+    * is sets × scan, never one job per set; at 100 TB the alternative
+    * (three GROUP BYs UNIONed) reads the corpus three times. `gid` is
+    * spelled as grouping(a)·2 + grouping(b) because Spark's grouping_id
+    * and DuckDB's GROUPING bit orders are engine-defined — composing it
+    * from single-column grouping() flags is the dialect-stable form. */
+  def x53GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) * 2
+               + CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS cnt,
+             round(SUM(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x53_grouping_sets" -> (x53GroupingSets _),
     "x52_scd2"          -> (x52Scd2 _),
     "x47_gap_fill"      -> (x47GapFill _),
     "x46_cdc_upsert"    -> (x46CdcUpsert _),
@@ -242,6 +270,18 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same explicit set list; gid composed from per-column GROUPING
+    // flags so the two engines' internal bit orders never matter
+    "x53_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) * 2
+               + CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS cnt,
+             round(SUM(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     // identical run-detection arithmetic; (ts, event_id) tie order in
     // both dialects keeps run boundaries deterministic
     "x52_scd2" ->

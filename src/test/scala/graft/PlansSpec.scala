@@ -342,4 +342,39 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     // codebook + LUT + candidate sides all broadcast
     assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p.take(4000))
   }
+
+  test("s9: MIPS baseline — broadcast probes, partial top-k heaps below the exchange") {
+    val p = plan("s9_mips")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    assert(p.indexOf("TopKPerKeyPartial") > p.indexOf("Exchange hashpartitioning"),
+      p.take(3000))
+  }
+
+  test("x53: grouping sets is ONE scan through Expand + one partial+final aggregate") {
+    val p = plan("x53_grouping_sets")
+    assert(p.contains("Expand"), p.take(3000))
+    assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    // one corpus read — not one GROUP BY job per set UNIONed
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, p.take(3000))
+  }
+
+  test("x54: global cumsum — corpus window is PARTITIONED by bucket; single-partition work is only the bucket aggregate") {
+    val p = plan("x54_global_cumsum")
+    // the per-row running sum must be a bucket-partitioned window:
+    // windowspecdefinition lists the partition key before the sort keys
+    assert("windowspecdefinition\\(bucket#\\d+L?, ts#".r.findFirstIn(p).isDefined, p.take(4000))
+    // exactly one single-partition exchange — feeding the ~720-row
+    // bucket-offset window, never the corpus
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size == 1, p.take(4000))
+    // bucket sums are partial+final (map-side combine before the shuffle)
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(4000))
+  }
+
+  test("x55: moments battery is ONE partial+final aggregate pass — no window, no second scan") {
+    val p = plan("x55_moments")
+    assert(!p.contains("Window"), p.take(3000))
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, p.take(3000))
+  }
 }
