@@ -295,7 +295,48 @@ object FunctionQueries {
       $momentsFormulaSql""")
   }
 
+  /** The x57 standardization SQL — ONE text shared verbatim by both
+    * engines (same reasoning as [[momentsFormulaSql]]: identical IEEE
+    * expression tree, and the keep decision compares the ROUNDED z so
+    * the boundary is cross-engine stable by construction). */
+  private val zscoreSql = """
+      WITH psums AS (
+        SELECT event_type, COUNT(*) AS cnt, SUM(v) AS s1, SUM(v * v) AS s2
+        FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events)
+        GROUP BY event_type),
+      st AS (
+        SELECT event_type, s1 / n AS mean,
+               sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+        FROM (SELECT event_type, CAST(cnt AS DOUBLE) AS n,
+                     CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
+              FROM psums))
+      SELECT event_id, event_type, v, z FROM (
+        SELECT e.event_id, e.event_type,
+               CAST(round(e.value) AS BIGINT) AS v,
+               round((CAST(round(e.value) AS BIGINT) - st.mean) / st.sd, 6) AS z
+        FROM events e JOIN st ON e.event_type = st.event_type)
+      WHERE abs(z) > 2.5
+      ORDER BY event_id"""
+
+  /** x57 — two-pass standardization / anomaly gate: per-type z-scores
+    * with the |z| > 2.5 outliers emitted — the feature-normalization +
+    * outlier-quarantine stage every tabular training pipeline runs
+    * (and the per-type version of what x55's moments are FOR). Pass 1
+    * is x55's power-sum aggregate restricted to Σv, Σv² — a 5-row
+    * stats table from a (event_type, value)-only columnar read; pass 2
+    * re-scans and joins the stats back BY BROADCAST (the stats side is
+    * group-cardinality-sized at any corpus size), so scoring stays a
+    * perfectly parallel scan with no fact-side shuffle — the presentation
+    * sort is the only exchange of row data. The two scans are the
+    * honest cost of exact global statistics; the streaming alternative
+    * (approximate running stats) trades exactness for one pass. */
+  def x57Zscore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(zscoreSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x57_zscore" -> (x57Zscore _),
     "x55_moments" -> (x55Moments _),
     "x50_windowed_distinct" -> (x50WindowedDistinct _),
     "x48_histogram_quantile" -> (x48HistogramQuantile _),
@@ -311,6 +352,8 @@ object FunctionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // byte-identical shared SQL text — see zscoreSql
+    "x57_zscore" -> zscoreSql,
     // the identical shared formula over the same integer power sums;
     // DuckDB's BIGINT SUM widens to HUGEINT, collapsed by the same
     // CAST AS DOUBLE of the same exact integer

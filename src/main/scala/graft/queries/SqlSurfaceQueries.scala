@@ -205,8 +205,18 @@ object SqlSurfaceQueries {
     * event_id in BOTH dialects, keeping run boundaries deterministic. */
   def x52Scd2(spark: SparkSession, dir: String): DataFrame = {
     view(spark, dir, "events")
-    spark.sql("""
-      WITH chg AS (
+    spark.sql(s"""
+      WITH $scd2HistSql
+      SELECT user_id, attr, valid_from, valid_to, n_updates
+      FROM iv
+      ORDER BY user_id, valid_from""")
+  }
+
+  /** The x52 history build as a reusable CTE body — x56 composes it,
+    * and sharing the text keeps the two queries' run semantics
+    * identical by construction. */
+  private val scd2HistSql = """
+      chg AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN lag(event_type) OVER w IS NULL
                       OR lag(event_type) OVER w <> event_type
@@ -221,13 +231,50 @@ object SqlSurfaceQueries {
       hist AS (
         SELECT user_id, event_type AS attr, MIN(ts) AS valid_from,
                COUNT(*) AS n_updates
-        FROM runs GROUP BY user_id, run, event_type)
-      SELECT user_id, attr, valid_from,
-             lead(valid_from) OVER
-               (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
-             n_updates
-      FROM hist
-      ORDER BY user_id, valid_from""")
+        FROM runs GROUP BY user_id, run, event_type),
+      iv AS (
+        SELECT user_id, attr, valid_from,
+               lead(valid_from) OVER
+                 (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+               n_updates
+        FROM hist)"""
+
+  /** x56 — POINT-IN-TIME (time-travel) join: "what was every entity's
+    * attribute at time T" answered from the x52 SCD2 validity-interval
+    * history — the consumer that makes the history build useful
+    * (training-data snapshot reconstruction, audit reads, ML feature
+    * time-travel to prevent label leakage). Three probe instants × all
+    * users; an interval-containment predicate `valid_from ≤ T <
+    * valid_to` with NULL valid_to = current version; users whose first
+    * version postdates T surface with a NULL attr (LEFT join — the
+    * as-of read must distinguish "no entity" from "not yet born").
+    *
+    * Scale shape: the history is entity-keyed, so the containment join
+    * is an EQUI join on user_id with the interval test as a residual
+    * filter — one key shuffle (or none, if the history is bucketed by
+    * entity as it would be in a real lakehouse); the probe-instant
+    * grid is a 3-element explode of the distinct-entity set, never a
+    * fan-out of the fact table. Each (user, T) matches AT MOST one
+    * interval (intervals partition the timeline per entity by
+    * construction), so no dedup pass is needed — the join IS the
+    * answer. */
+  def x56PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(s"""
+      WITH $scd2HistSql,
+      probes AS (
+        SELECT user_id, t
+        FROM (SELECT DISTINCT user_id FROM events)
+        LATERAL VIEW explode(array(
+          TIMESTAMP '2024-01-08 12:00:00',
+          TIMESTAMP '2024-01-15 12:00:00',
+          TIMESTAMP '2024-01-22 12:00:00')) AS t)
+      SELECT p.user_id, p.t, iv.attr, iv.valid_from
+      FROM probes p LEFT JOIN iv
+        ON iv.user_id = p.user_id
+        AND iv.valid_from <= p.t
+        AND (iv.valid_to IS NULL OR p.t < iv.valid_to)
+      ORDER BY p.user_id, p.t""")
   }
 
   /** x53 — GROUPING SETS + grouping_id: the third member of the
@@ -258,6 +305,7 @@ object SqlSurfaceQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x56_pit_join"      -> (x56PitJoin _),
     "x53_grouping_sets" -> (x53GroupingSets _),
     "x52_scd2"          -> (x52Scd2 _),
     "x47_gap_fill"      -> (x47GapFill _),
@@ -270,6 +318,22 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same history CTEs + the same containment predicate; the
+    // probe grid is DuckDB's unnest of the same three instants
+    "x56_pit_join" ->
+      s"""WITH $scd2HistSql,
+      probes AS (
+        SELECT user_id, unnest([
+          TIMESTAMP '2024-01-08 12:00:00',
+          TIMESTAMP '2024-01-15 12:00:00',
+          TIMESTAMP '2024-01-22 12:00:00']) AS t
+        FROM (SELECT DISTINCT user_id FROM events))
+      SELECT p.user_id, p.t, iv.attr, iv.valid_from
+      FROM probes p LEFT JOIN iv
+        ON iv.user_id = p.user_id
+        AND iv.valid_from <= p.t
+        AND (iv.valid_to IS NULL OR p.t < iv.valid_to)
+      ORDER BY p.user_id, p.t""",
     // same explicit set list; gid composed from per-column GROUPING
     // flags so the two engines' internal bit orders never matter
     "x53_grouping_sets" ->

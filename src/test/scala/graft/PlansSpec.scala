@@ -377,4 +377,20 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
     assert("Scan parquet".r.findAllMatchIn(p).size == 1, p.take(3000))
   }
+
+  test("x56: point-in-time read is an entity-keyed equi join — containment is a residual filter, never a nested loop") {
+    val p = plan("x56_pit_join")
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
+      p.take(4000))
+    // the interval test rides the user_id equi join as its residual
+    // condition — the join keys are the entity ids on both sides
+    assert("Join \\[user_id#\\d+L?\\], \\[user_id#\\d+L?\\], LeftOuter".r
+      .findFirstIn(p).isDefined, p.take(4000))
+  }
+
+  test("x57: z-score pass joins the tiny stats side by broadcast — scoring scan never shuffles") {
+    val p = plan("x57_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
