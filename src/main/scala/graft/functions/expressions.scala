@@ -1138,6 +1138,69 @@ object RepetitionStats {
   def apply(c: Column): Column = GraftShims.column(RepetitionStats(GraftShims.expression(c)))
 }
 
+/** Per-document CHARACTER-level statistics in one fused pass over the
+  * text's code points: `[n_codepoints, distinct codepoints, max
+  * codepoint multiplicity, Σ multiplicity²]` — the integer ingredients
+  * of the character-diversity quality gates (Simpson concentration =
+  * Σc²/n², effective alphabet = its reciprocal) that catch mojibake,
+  * binary-pasted-as-text and single-character flooding, which
+  * word-level gates (repeat_stats) are blind to because a garbage
+  * "word" is still one token. All four are exact integers, so the
+  * DuckDB twin (unnest characters + grouped counts) reproduces them
+  * bit-for-bit and derived ratios divide identically. The builtin
+  * spelling explodes every CHARACTER of the corpus through a shuffled
+  * per-(doc, char) aggregate — at 100 TB that's a corpus-of-codepoints
+  * shuffle vs this per-row hash loop at scan speed. Counting is by
+  * CODE POINT (not UTF-16 unit), matching DuckDB's character
+  * semantics; multiplicities fit an int (docs are bounded by the
+  * engine's 2 GB string limit). */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_stats needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[Integer, Integer](64)
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var top = 0L
+    var sumSq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > top) top = c
+      sumSq += c * c
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Long](n, counts.size.toLong, top, sumSq))
+  }
+
+  // One interpreted call per ROW (the RepetitionStats pattern); the
+  // per-character work is the fused Java loop either way.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("charStats", this, classOf[CharStats].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+}
+
+object CharStats {
+  def apply(c: Column): Column = GraftShims.column(CharStats(GraftShims.expression(c)))
+}
+
 /** Unicode NFC normalization — the canonicalization a multilingual
   * curation pipeline runs BEFORE tokenizing, shingling or hashing: the
   * same text crawled from two sources can differ only in
@@ -1291,6 +1354,8 @@ object GraftFunctions {
       exprs => CharTrigrams(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("repeat_stats",
       exprs => RepetitionStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_stats",
+      exprs => CharStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("int8_quant_stats",

@@ -193,7 +193,35 @@ object TextQueries {
       ORDER BY doc_id""")
   }
 
+  /** t9 — character-diversity quality gate (the [[graft.functions.CharStats]]
+    * codegen kernel): per doc, code-point count, distinct code points,
+    * the top code point's multiplicity and the Simpson concentration
+    * Σc²/n² — the character-level detectors for mojibake, binary blobs
+    * pasted as text and single-character flooding, which t7's
+    * word-level gates cannot see (a garbage "word" is still one
+    * token). One fused per-row hash loop at scan speed; the builtin
+    * spelling explodes every character of the corpus through a
+    * shuffled per-(doc, char) aggregate. All counts are exact
+    * integers; the keep decision compares the 6dp-ROUNDED Simpson so
+    * the boolean is cross-engine stable by construction. */
+  def t9CharDiversity(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql("""
+      SELECT doc_id, n_cp, n_distinct_cp, max_cp_count, simpson,
+             (n_distinct_cp >= 10 AND simpson <= 0.2) AS keep_doc
+      FROM (
+        SELECT doc_id, n_cp, n_distinct_cp, max_cp_count,
+               round(CAST(sum_c2 AS DOUBLE)
+                     / (CAST(n_cp AS DOUBLE) * CAST(n_cp AS DOUBLE)), 6) AS simpson
+        FROM (SELECT doc_id, cs[0] AS n_cp, cs[1] AS n_distinct_cp,
+                     cs[2] AS max_cp_count, cs[3] AS sum_c2
+              FROM (SELECT doc_id, char_stats(text) AS cs FROM documents))
+        WHERE n_cp > 0)
+      ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_char_diversity" -> (t9CharDiversity _),
     "t1_lang_id"       -> (t1LangId _),
     "t8_normalize"     -> (t8Normalize _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -209,6 +237,27 @@ object TextQueries {
     val scoresDuck = Seq("en", "de", "es", "fr")
       .map(l => s"${stopHitsDuck(w, stopwords(l))} AS s_$l").mkString(", ")
     Map(
+      // the explode-per-character spelling the fused kernel must equal:
+      // DuckDB's 1-based string indexing enumerates code points, the
+      // same unit char_stats counts
+      "t9_char_diversity" ->
+        """WITH ch AS (SELECT doc_id,
+                 unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+               FROM documents),
+        cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+        st AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_cp,
+                      COUNT(*) AS n_distinct_cp,
+                      CAST(MAX(k) AS BIGINT) AS max_cp_count,
+                      CAST(SUM(k * k) AS BIGINT) AS sum_c2
+               FROM cc GROUP BY doc_id)
+        SELECT doc_id, n_cp, n_distinct_cp, max_cp_count, simpson,
+               (n_distinct_cp >= 10 AND simpson <= 0.2) AS keep_doc
+        FROM (SELECT doc_id, n_cp, n_distinct_cp, max_cp_count,
+                round(CAST(sum_c2 AS DOUBLE)
+                      / (CAST(n_cp AS DOUBLE) * CAST(n_cp AS DOUBLE)), 6) AS simpson
+              FROM st)
+        WHERE n_cp > 0
+        ORDER BY doc_id""",
       "t1_lang_id" ->
         s"""SELECT doc_id, lang, CASE
             WHEN s_zh > 0 THEN 'zh'

@@ -633,4 +633,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     info(s"s4 recall@5 = ${(exact & ivf).size}/5")
     assert(ivf.size == 5)
   }
+
+  test("CharStats == builtin explode/count spelling on real docs + unicode edges") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    // builtin restatement: split to characters, count per char, derive
+    // the same four integers (split('') yields code-point strings)
+    val diff = spark.sql("""
+      WITH cc AS (SELECT doc_id, c, COUNT(*) AS k
+                  FROM (SELECT doc_id, explode(split(text, '')) AS c FROM documents)
+                  GROUP BY doc_id, c),
+      ref AS (SELECT doc_id, array(CAST(SUM(k) AS BIGINT), COUNT(*),
+                                   CAST(MAX(k) AS BIGINT), CAST(SUM(k * k) AS BIGINT)) AS r
+              FROM cc GROUP BY doc_id),
+      fast AS (SELECT doc_id, char_stats(text) AS f FROM documents)
+      SELECT count(*) FROM ref JOIN fast USING (doc_id) WHERE r != f""").head().getLong(0)
+    assert(diff == 0)
+    // edges: empty string; a supplementary code point (two UTF-16
+    // units, ONE code point — the unit the kernel must count); repeats
+    val edges = Seq("", "😀a😀", "aaab")
+      .toDF("t").selectExpr("char_stats(t) AS cs").as[Seq[Long]].collect().toSeq
+    assert(edges == Seq(
+      Seq(0L, 0L, 0L, 0L),        // empty: no code points
+      Seq(3L, 2L, 2L, 5L),        // 😀 a 😀 → n=3, distinct=2, top=2, 4+1
+      Seq(4L, 2L, 3L, 10L)))      // aaab → 9+1
+  }
 }

@@ -393,4 +393,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("t9: char-diversity gate is the fused kernel scan — one Exchange (the result sort) only") {
+    val p = plan("t9_char_diversity")
+    assert(p.toLowerCase.contains("charstats") || p.contains("char_stats"), p.take(2000))
+    // no per-character explode + shuffled per-(doc, char) aggregate
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
 }
