@@ -159,7 +159,76 @@ object ExtensionQueries {
       .orderBy(col("o_orderkey").asc_nulls_last, col("c_custkey").asc_nulls_last)
   }
 
+  /** The x58 funnel SQL — ONE text shared verbatim by both engines:
+    * timestamps, MIN aggregates, equi joins with time residuals and
+    * null-probed LEFT joins all spell identically in the two dialects. */
+  private val funnelSql = """
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT v.user_id, v.t1, c.t2, p.t3,
+             (c.user_id IS NOT NULL) AS reached_click,
+             (p.user_id IS NOT NULL) AS reached_purchase
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""
+
+  /** x58 — ordered-step FUNNEL: per user, first 'view', first 'click'
+    * strictly after it, first 'purchase' strictly after that — the
+    * conversion-path primitive behind every product-analytics engine
+    * (and a sequencing query SQL typically hands to specialized
+    * systems). Each step is one keyed MIN aggregate over an equi join
+    * whose TIME constraint rides as a residual (never an interval
+    * nested loop), and later steps join only the SURVIVORS of earlier
+    * ones — the candidate set shrinks monotonically down the funnel.
+    * At 100 TB: three key-equi shuffles of (user, ts) pairs, no
+    * windows, no per-user event-sequence buffering (contrast the
+    * sessionize/window spelling, which sorts every user's full
+    * history); the LEFT joins preserve drop-offs, whose NULL steps ARE
+    * the funnel metric. */
+  def x58Funnel(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(funnelSql)
+  }
+
+  /** The x59 retention SQL, parameterized on the one dialect split:
+    * day arithmetic (Spark `datediff(d, cohort)`, DuckDB `d - cohort`). */
+  private def retentionSql(dayDiff: String): String = s"""
+      WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      cs AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY cohort)
+      SELECT f.cohort, CAST($dayDiff AS BIGINT) AS day_offset,
+             COUNT(*) AS active_users,
+             round(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(cs.cohort_size AS DOUBLE), 6) AS retention
+      FROM a JOIN f ON a.user_id = f.user_id
+             JOIN cs ON cs.cohort = f.cohort
+      GROUP BY f.cohort, CAST($dayDiff AS BIGINT), cs.cohort_size
+      ORDER BY f.cohort, day_offset"""
+
+  /** x59 — COHORT RETENTION matrix: users grouped by first-activity
+    * day, each cohort's share still active N days later — the
+    * growth-analytics staple next to x58's funnel. Shape: the cohort
+    * map is one keyed MIN; activity de-dups to (user, day) pairs (one
+    * partial+final DISTINCT on a 12-byte key — days, not events, cross
+    * the wire after map-side combine); the cohort join is key-equi;
+    * and the output matrix is cohorts × offsets — tiny at any corpus
+    * size, so nothing bigger than the answer survives the last
+    * aggregate. Retention ratios derive from exact integer counts. */
+  def x59Retention(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(retentionSql("datediff(a.d, f.cohort)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x58_funnel"      -> (x58Funnel _),
+    "x59_retention"   -> (x59Retention _),
     "x1_equi_join"    -> (x1EquiJoin _),
     "x2_join_agg"     -> (x2JoinAgg _),
     "x3_window_rank"  -> (x3WindowRank _),
@@ -173,6 +242,11 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // byte-identical shared SQL text — see funnelSql
+    "x58_funnel" -> funnelSql,
+    // same text with DuckDB's native date subtraction (DATE − DATE =
+    // BIGINT days, the unit datediff counts on the Spark side)
+    "x59_retention" -> retentionSql("(a.d - f.cohort)"),
     "x1_equi_join" ->
       ("SELECT c_name, o_orderkey, o_totalprice FROM customer " +
         "JOIN orders ON c_custkey = o_custkey ORDER BY o_orderkey"),

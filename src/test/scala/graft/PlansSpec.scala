@@ -394,6 +394,24 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("x58: funnel steps are keyed aggregates over equi joins with time residuals — no window, no nested loop") {
+    val p = plan("x58_funnel")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
+      p.take(4000))
+    // the strictly-after constraints ride equi joins as conditions
+    assert("Join Inner, \\(ts".r.findFirstIn(p).isDefined
+      || "Join \\[user_id".r.findFirstIn(p).isDefined
+      || p.contains("HashJoin"), p.take(4000))
+  }
+
+  test("x59: retention matrix — distinct activity and cohort map are partial+final aggregates, no window") {
+    val p = plan("x59_retention")
+    assert(!p.contains("Window"), p.take(4000))
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 4, p.take(4000))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
+  }
+
   test("t9: char-diversity gate is the fused kernel scan — one Exchange (the result sort) only") {
     val p = plan("t9_char_diversity")
     assert(p.toLowerCase.contains("charstats") || p.contains("char_stats"), p.take(2000))
