@@ -60,6 +60,17 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // codebooks — per-vector work is constant (M x K x d/M
       // multiplies), so wall time must track vector count
       "s7_ivf_pq" -> (graft.queries.AnnQueries.s7IvfPq _),
+      // round-6 batch-2/3 heavies —
+      // t9: the char_stats kernel walks every code point of the
+      // corpus; its scan-speed claim is precisely wall ∝ corpus chars
+      "t9_char_diversity" -> (graft.queries.TextQueries.t9CharDiversity _),
+      // x54: the two-level prefix sum — the single-partition step must
+      // stay bucket-sized, so wall must follow rows, not collapse
+      // through one sorted partition (which would bend the curve)
+      "x54_global_cumsum" -> (graft.queries.ExtendedRelationalQueries.x54GlobalCumsum _),
+      // x58: three keyed aggregates + survivor joins; linearity says
+      // funnel cost follows events, not users × events
+      "x58_funnel" -> (graft.queries.ExtensionQueries.x58Funnel _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
