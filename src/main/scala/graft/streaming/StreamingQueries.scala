@@ -631,6 +631,54 @@ object StreamingQueries {
     * The measured rows/s is printed to stderr for PLANS.md attribution;
     * the returned result is exactly the distinct on-time per-type
     * counts, which the batch oracle restates. */
+  /** x60 — SKETCH STATE in streaming: the Misra–Gries heavy-hitter
+    * aggregate ([[graft.functions.MisraGries]], x45's batch sketch)
+    * run as a complete-mode streaming aggregation — the sketch buffer
+    * itself is the state-store value, merged across micro-batches.
+    * This is the streaming-analytics shape that makes sketches matter
+    * at 100 TB ingest: per-key exact counting holds every key ever
+    * seen in state (unbounded), while the MG buffer is a FIXED 64
+    * entries no matter how many distinct keys stream past. After the
+    * stream drains, the candidate set is recounted EXACTLY against the
+    * corpus (x45's broadcast-recount shape) and thresholded at
+    * freq > n/20 — and because an MG(64) survivor set always contains
+    * every key with freq > n/64 REGARDLESS of the order partials were
+    * merged in, the emitted set is deterministic and micro-batch
+    * boundaries can never change the answer (that containment is
+    * exactly what the shared oracle with x45's HAVING spelling gates). */
+  def x60StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 4) {
+    val feed = feedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x60").toString
+    val schema = spark.read.parquet(feed).schema
+    def keyed(df: DataFrame): DataFrame = df.select(
+      when(col("event_id") % 10 < 7, col("event_id") % 5)
+        .otherwise(col("user_id") + 1000L).cast("long").as("k"))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(feed)
+    val qname = "x60_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = keyed(stream)
+      .agg(graft.functions.MisraGries(col("k"), 64).as("ks"),
+        count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cand = spark.table(qname)
+    keyed(Tables.load(spark, dir, "events"))
+      .join(broadcast(cand), array_contains(col("ks"), col("k")))
+      .groupBy("k", "n").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 20 > col("n"))
+      .select(col("k"), col("cnt"))
+      .orderBy("k")
+  }
+
   def x51StreamThroughput(spark: SparkSession, dir: String): DataFrame =
       withShufflePartitions(spark, 4) {
     val feed = throughputFeedFor(spark, dir)
@@ -806,12 +854,25 @@ object StreamingQueries {
     "x32_stream_outer_join" -> (x32StreamOuterJoin _),
     "x33_stateful_sessions" -> (x33StatefulSessions _),
     "x51_stream_throughput" -> (x51StreamThroughput _),
+    "x60_stream_heavy_hitters" -> (x60StreamHeavyHitters _),
     "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "r9_streaming_agg" ->
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // x45's exact spelling: the emitted set is keys above n/20, which
+    // the MG(64) streaming candidate set provably contains — the
+    // oracle's independence from sketch internals IS the determinism
+    // argument
+    "x60_stream_heavy_hitters" ->
+      """SELECT k, COUNT(*) AS cnt
+      FROM (SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 5
+                        ELSE user_id + 1000 END AS k
+            FROM events)
+      GROUP BY k
+      HAVING COUNT(*) * 20 > (SELECT COUNT(*) FROM events)
+      ORDER BY k""",
     // the enrichment is stateless, so the streaming output is exactly
     // the batch star join over the same tables
     "x36_stream_static_join" ->
