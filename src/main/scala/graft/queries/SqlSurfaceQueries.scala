@@ -304,7 +304,45 @@ object SqlSurfaceQueries {
       ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
   }
 
+  /** x61 — SNAPSHOT DIFF / table reconciliation: two keyed snapshots
+    * compacted from disjoint changelog halves (event_id parity — a
+    * deterministic stand-in for "yesterday's table" vs "today's"),
+    * FULL-outer joined on the key and classified `added` / `removed` /
+    * `changed` with the `same` rows dropped — the validation report
+    * every migration, backfill and replication pipeline runs to prove
+    * two copies agree (including the one a user switching engines onto
+    * THIS library would run). Each snapshot is x46's one-pass
+    * `max_by` compaction; the diff is a single key-equi FULL join
+    * (unbroadcastable by definition — both unmatched sides must
+    * surface, x35's argument) and the output is only the disagreement
+    * set, so nothing bigger than the discrepancies survives. The
+    * DuckDB twin restates the snapshots through the row_number
+    * spelling, gating the max_by equivalence per half. */
+  def x61SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql("""
+      WITH a AS (SELECT user_id, last.event_type AS t, round(last.value, 4) AS v
+                 FROM (SELECT user_id,
+                         max_by(struct(event_type, value), struct(ts, event_id)) AS last
+                       FROM events WHERE event_id % 2 = 0 GROUP BY user_id)),
+      b AS (SELECT user_id, last.event_type AS t, round(last.value, 4) AS v
+            FROM (SELECT user_id,
+                    max_by(struct(event_type, value), struct(ts, event_id)) AS last
+                  FROM events WHERE event_id % 2 = 1 GROUP BY user_id))
+      SELECT user_id, diff, type_old, type_new FROM (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN a.t <> b.t OR a.v <> b.v THEN 'changed'
+                    ELSE 'same' END AS diff,
+               a.t AS type_old, b.t AS type_new
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+      WHERE diff <> 'same'
+      ORDER BY user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_snapshot_diff" -> (x61SnapshotDiff _),
     "x56_pit_join"      -> (x56PitJoin _),
     "x53_grouping_sets" -> (x53GroupingSets _),
     "x52_scd2"          -> (x52Scd2 _),
@@ -318,6 +356,29 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // snapshots restated through the row_number spelling (the x46
+    // oracle pattern) per changelog half; same diff classification
+    "x61_snapshot_diff" ->
+      """WITH a AS (SELECT user_id, event_type AS t, round(value, 4) AS v
+                 FROM (SELECT *, row_number() OVER
+                         (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM events WHERE event_id % 2 = 0)
+                 WHERE rn = 1),
+      b AS (SELECT user_id, event_type AS t, round(value, 4) AS v
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events WHERE event_id % 2 = 1)
+            WHERE rn = 1)
+      SELECT user_id, diff, type_old, type_new FROM (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN a.t <> b.t OR a.v <> b.v THEN 'changed'
+                    ELSE 'same' END AS diff,
+               a.t AS type_old, b.t AS type_new
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+      WHERE diff <> 'same'
+      ORDER BY user_id""",
     // the same history CTEs + the same containment predicate; the
     // probe grid is DuckDB's unnest of the same three instants
     "x56_pit_join" ->

@@ -412,6 +412,14 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
   }
 
+  test("x61: snapshot diff — partial max_by per half, one full-outer key join, no window") {
+    val p = plan("x61_snapshot_diff")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("partial_max_by"), p.take(4000))
+    assert(p.contains("FullOuter"), p.take(4000))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
+  }
+
   test("t9: char-diversity gate is the fused kernel scan — one Exchange (the result sort) only") {
     val p = plan("t9_char_diversity")
     assert(p.toLowerCase.contains("charstats") || p.contains("char_stats"), p.take(2000))
