@@ -251,6 +251,57 @@ object LlmQueries {
       GROUP BY source ORDER BY source""")
   }
 
+  /** l16 — CURRICULUM sampling: keep rates that depend on DATA-DERIVED
+    * quality strata — the "sample easy docs lightly, keep the hard
+    * tail" recipe curriculum/data-mixing work uses, and the composed
+    * form of three existing capabilities: t2's quality score, x48's
+    * histogram-quantile machinery (the bounded-state way to find the
+    * corpus's score tertiles) and l5/l6's deterministic hash sampling.
+    * Scale shape: one scan scores docs (scan-speed expression work); a
+    * partial+final aggregate builds a ≤50-bucket score histogram whose
+    * cumulative walk yields the two tertile cutoffs (the only
+    * unpartitioned window runs over those ≤50 rows); the 1-row cutoff
+    * frame broadcasts back onto the scored stream, and the keep
+    * decision is a pure hash comparison — no sort, no per-doc state,
+    * nothing corpus-sized crosses the wire except the scored id
+    * stream. Deterministic end-to-end: score is 6dp-rounded, bucket
+    * arithmetic is integer, and the sampler is the shared LCG hash. */
+  def l16CurriculumSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextPrimitives._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    val w = "split(text, ' ')"
+    spark.sql(s"""
+      WITH sc AS (
+        SELECT doc_id,
+          round(0.5 * stop_hits / n_tokens
+              + 0.3 * least(1.0, n_tokens / 100.0)
+              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS s
+        FROM (SELECT doc_id, n_chars,
+                CAST(size($w) AS BIGINT) AS n_tokens,
+                CAST(${stopHitsSpark(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
+                CAST(char_length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE) AS punct
+              FROM documents)
+        WHERE n_tokens > 0),
+      h AS (SELECT CAST(floor(s * 50) AS BIGINT) AS b, COUNT(*) AS c
+            FROM sc GROUP BY CAST(floor(s * 50) AS BIGINT)),
+      cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h),
+      cuts AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN b END) AS c1,
+                      MIN(CASE WHEN cum * 3 >= 2 * n THEN b END) AS c2
+               FROM cum)
+      SELECT doc_id, stratum FROM (
+        SELECT sc.doc_id,
+               CASE WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c1 THEN 'low'
+                    WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c2 THEN 'mid'
+                    ELSE 'high' END AS stratum,
+               ${FunctionQueries.kmvHashSpark("sc.doc_id")} AS hsh
+        FROM sc CROSS JOIN cuts)
+      WHERE hsh < CASE stratum WHEN 'low' THEN 200000001
+                               WHEN 'mid' THEN 500000003
+                               ELSE 1000000007 END
+      ORDER BY doc_id""")
+  }
+
   /** l11 — TF-IDF keyword extraction: top-3 terms per document by an
     * integer tf-idf score — the signature/topic summary a curation
     * pipeline logs per doc (and the lexical half of hybrid retrieval).
@@ -374,6 +425,7 @@ object LlmQueries {
     "l9_decontaminate" -> (l9Decontaminate _),
     "l10_global_shuffle" -> (l10GlobalShuffle _),
     "l15_data_card"      -> (l15DataCard _),
+    "l16_curriculum_sample" -> (l16CurriculumSample _),
     "l11_tfidf"          -> (l11Tfidf _),
     "l12_chunk"          -> (l12Chunk _),
     "l13_quantize"       -> (l13Quantize _),
@@ -403,6 +455,40 @@ object LlmQueries {
       GROUP BY source ORDER BY source"""),
     "l1_exact_dedup" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    // same t2 score arithmetic, same integer histogram/tertile walk,
+    // same LCG hash thresholds — restated in the DuckDB dialect
+    "l16_curriculum_sample" -> {
+      import graft.functions.TextPrimitives._
+      val w = "string_split(text, ' ')"
+      s"""WITH sc AS (
+        SELECT doc_id,
+          round(0.5 * stop_hits / n_tokens
+              + 0.3 * least(1.0, n_tokens / 100.0)
+              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS s
+        FROM (SELECT doc_id, n_chars,
+                CAST(length($w) AS BIGINT) AS n_tokens,
+                CAST(${stopHitsDuck(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+              FROM documents)
+        WHERE n_tokens > 0),
+      h AS (SELECT CAST(floor(s * 50) AS BIGINT) AS b, COUNT(*) AS c
+            FROM sc GROUP BY CAST(floor(s * 50) AS BIGINT)),
+      cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h),
+      cuts AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN b END) AS c1,
+                      MIN(CASE WHEN cum * 3 >= 2 * n THEN b END) AS c2
+               FROM cum)
+      SELECT doc_id, stratum FROM (
+        SELECT sc.doc_id,
+               CASE WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c1 THEN 'low'
+                    WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c2 THEN 'mid'
+                    ELSE 'high' END AS stratum,
+               ${FunctionQueries.kmvHashDuck("sc.doc_id")} AS hsh
+        FROM sc CROSS JOIN cuts)
+      WHERE hsh < CASE stratum WHEN 'low' THEN 200000001
+                               WHEN 'mid' THEN 500000003
+                               ELSE 1000000007 END
+      ORDER BY doc_id"""
+    },
     "l2_text_stats" ->
       ("SELECT doc_id, CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens, " +
         "n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"),

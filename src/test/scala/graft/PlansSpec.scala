@@ -412,6 +412,17 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
   }
 
+  test("l16: curriculum sampling — tertile walk confined to the tiny histogram, cutoffs broadcast") {
+    val p = plan("l16_curriculum_sample")
+    // the only single-partition work is the <=50-row histogram cumulative
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size <= 2, p.take(4000))
+    // the 1-row cutoff frame broadcasts onto the scored stream
+    assert(p.contains("Broadcast"), p.take(4000))
+    // keep decision is a scan-side filter, never a corpus sort below the
+    // presentation ORDER BY
+    assert("Sort \\[doc_id".r.findAllMatchIn(p).size <= 1, p.take(4000))
+  }
+
   test("x61: snapshot diff — partial max_by per half, one full-outer key join, no window") {
     val p = plan("x61_snapshot_diff")
     assert(!p.contains("Window"), p.take(4000))
