@@ -254,6 +254,53 @@ object ExtendedRelationalQueries {
       ORDER BY event_id""")
   }
 
+  /** The x62 island-merge SQL, parameterized on the one dialect split
+    * (epoch micros: Spark `unix_micros(ts)`, DuckDB `epoch_us(ts)`).
+    * Integer micros everywhere, so island boundaries are exact. */
+  private def intervalMergeSql(epochUs: String): String = s"""
+      WITH iv AS (SELECT user_id, event_id, $epochUs AS s_us,
+                    $epochUs + CAST(round(value * 60000000) AS BIGINT) AS e_us
+                  FROM events),
+      brks AS (SELECT user_id, event_id, s_us, e_us,
+                 CASE WHEN MAX(e_us) OVER (PARTITION BY user_id
+                        ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR s_us > MAX(e_us) OVER (PARTITION BY user_id
+                        ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS brk
+               FROM iv),
+      isl AS (SELECT user_id, s_us, e_us,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM brks)
+      SELECT user_id, island, MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+             COUNT(*) AS n_events,
+             MAX(e_us) - MIN(s_us) AS span_us
+      FROM isl GROUP BY user_id, island
+      ORDER BY user_id, island"""
+
+  /** x62 — INTERVAL MERGE (gaps-and-islands): each event opens an
+    * interval [ts, ts + value minutes); per user, transitively
+    * OVERLAPPING intervals merge into islands with their coverage
+    * span — the union-of-intervals primitive behind sensor-coverage,
+    * on-call overlap, ad-viewability and contiguous-availability
+    * questions. This is the third member of the segmentation family
+    * and genuinely different from both: x28/x33 break on a fixed
+    * INACTIVITY GAP, x52 breaks on VALUE CHANGE; islands chain on
+    * interval OVERLAP, which needs the running-max-of-ends trick —
+    * an island continues while the next start is ≤ the max end seen so
+    * far (a plain lag(e_us) spelling is WRONG when an early long
+    * interval swallows later short ones). Scale shape: one shuffle on
+    * the user key, then two key-local window passes and one
+    * partial+final aggregate sharing that partitioning — the x52
+    * shape, with the windows' ROWS frames running in integer micros so
+    * both engines agree exactly. */
+  def x62IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(intervalMergeSql("unix_micros(ts)"))
+  }
+
   /** x39 — RANGE frame over EVENT TIME (x24 covers ROWS frames): per
     * user, the count and value-sum of their events in the trailing
     * 1-hour window of each event — the moving time-window aggregate
@@ -363,6 +410,7 @@ object ExtendedRelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_interval_merge" -> (x62IntervalMerge _),
     "x54_global_cumsum" -> (x54GlobalCumsum _),
     "x17_topk_per_key" -> (x17TopkPerKey _),
     "x37_rank_family" -> (x37RankFamily _),
@@ -383,6 +431,8 @@ object ExtendedRelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same island arithmetic over DuckDB's epoch_us
+    "x62_interval_merge" -> intervalMergeSql("epoch_us(ts)"),
     // the naive single-sequence spelling the two-level prefix sum must
     // equal exactly — integer cents make both orders of addition the
     // same number, so this is an equality of arithmetic, not rounding

@@ -412,6 +412,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
   }
 
+  test("x62: interval merge — one user-key shuffle, both windows and the island aggregate key-local") {
+    val p = plan("x62_interval_merge")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size == 1, p.take(4000))
+    // running-max-of-ends and island-id windows both partition by user
+    assert("windowspecdefinition\\(user_id#\\d+L?, s_us#".r.findAllMatchIn(p).size >= 1,
+      p.take(4000))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
+  }
+
   test("l16: curriculum sampling — tertile walk confined to the tiny histogram, cutoffs broadcast") {
     val p = plan("l16_curriculum_sample")
     // the only single-partition work is the <=50-row histogram cumulative
