@@ -266,21 +266,28 @@ object LlmQueries {
     * nothing corpus-sized crosses the wire except the scored id
     * stream. Deterministic end-to-end: score is 6dp-rounded, bucket
     * arithmetic is integer, and the sampler is the shared LCG hash. */
-  def l16CurriculumSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The l16 CTE chain per dialect, ending in `sampled(doc_id,
+    * stratum)` — shared with p4's composed release pipeline. */
+  private[queries] def curriculumCtes(sparkDialect: Boolean): String = {
     import graft.functions.TextPrimitives._
-    graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
-    val w = "split(text, ' ')"
-    spark.sql(s"""
-      WITH sc AS (
+    val w = if (sparkDialect) "split(text, ' ')" else "string_split(text, ' ')"
+    val len = if (sparkDialect) s"size($w)" else s"length($w)"
+    val stop = if (sparkDialect) stopHitsSpark(w, stopwords("en"))
+               else stopHitsDuck(w, stopwords("en"))
+    val punct = if (sparkDialect)
+      "char_length(regexp_replace(text, '[A-Za-z0-9 ]', ''))"
+    else "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+    val hsh = if (sparkDialect) FunctionQueries.kmvHashSpark("sc.doc_id")
+              else FunctionQueries.kmvHashDuck("sc.doc_id")
+    s"""sc AS (
         SELECT doc_id,
           round(0.5 * stop_hits / n_tokens
               + 0.3 * least(1.0, n_tokens / 100.0)
               + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS s
         FROM (SELECT doc_id, n_chars,
-                CAST(size($w) AS BIGINT) AS n_tokens,
-                CAST(${stopHitsSpark(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
-                CAST(char_length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE) AS punct
+                CAST($len AS BIGINT) AS n_tokens,
+                CAST($stop AS DOUBLE) AS stop_hits,
+                CAST($punct AS DOUBLE) AS punct
               FROM documents)
         WHERE n_tokens > 0),
       h AS (SELECT CAST(floor(s * 50) AS BIGINT) AS b, COUNT(*) AS c
@@ -288,18 +295,25 @@ object LlmQueries {
       cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h),
       cuts AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN b END) AS c1,
                       MIN(CASE WHEN cum * 3 >= 2 * n THEN b END) AS c2
-               FROM cum)
-      SELECT doc_id, stratum FROM (
+               FROM cum),
+      sampled AS (SELECT doc_id, stratum FROM (
         SELECT sc.doc_id,
                CASE WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c1 THEN 'low'
                     WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c2 THEN 'mid'
                     ELSE 'high' END AS stratum,
-               ${FunctionQueries.kmvHashSpark("sc.doc_id")} AS hsh
+               $hsh AS hsh
         FROM sc CROSS JOIN cuts)
-      WHERE hsh < CASE stratum WHEN 'low' THEN 200000001
-                               WHEN 'mid' THEN 500000003
-                               ELSE 1000000007 END
-      ORDER BY doc_id""")
+        WHERE hsh < CASE stratum WHEN 'low' THEN 200000001
+                                 WHEN 'mid' THEN 500000003
+                                 ELSE 1000000007 END)"""
+  }
+
+  def l16CurriculumSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH ${curriculumCtes(sparkDialect = true)}
+      SELECT doc_id, stratum FROM sampled ORDER BY doc_id""")
   }
 
   /** l11 — TF-IDF keyword extraction: top-3 terms per document by an
@@ -457,38 +471,9 @@ object LlmQueries {
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     // same t2 score arithmetic, same integer histogram/tertile walk,
     // same LCG hash thresholds — restated in the DuckDB dialect
-    "l16_curriculum_sample" -> {
-      import graft.functions.TextPrimitives._
-      val w = "string_split(text, ' ')"
-      s"""WITH sc AS (
-        SELECT doc_id,
-          round(0.5 * stop_hits / n_tokens
-              + 0.3 * least(1.0, n_tokens / 100.0)
-              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS s
-        FROM (SELECT doc_id, n_chars,
-                CAST(length($w) AS BIGINT) AS n_tokens,
-                CAST(${stopHitsDuck(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
-                CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
-              FROM documents)
-        WHERE n_tokens > 0),
-      h AS (SELECT CAST(floor(s * 50) AS BIGINT) AS b, COUNT(*) AS c
-            FROM sc GROUP BY CAST(floor(s * 50) AS BIGINT)),
-      cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h),
-      cuts AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN b END) AS c1,
-                      MIN(CASE WHEN cum * 3 >= 2 * n THEN b END) AS c2
-               FROM cum)
-      SELECT doc_id, stratum FROM (
-        SELECT sc.doc_id,
-               CASE WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c1 THEN 'low'
-                    WHEN CAST(floor(sc.s * 50) AS BIGINT) <= cuts.c2 THEN 'mid'
-                    ELSE 'high' END AS stratum,
-               ${FunctionQueries.kmvHashDuck("sc.doc_id")} AS hsh
-        FROM sc CROSS JOIN cuts)
-      WHERE hsh < CASE stratum WHEN 'low' THEN 200000001
-                               WHEN 'mid' THEN 500000003
-                               ELSE 1000000007 END
-      ORDER BY doc_id"""
-    },
+    "l16_curriculum_sample" ->
+      s"""WITH ${curriculumCtes(sparkDialect = false)}
+      SELECT doc_id, stratum FROM sampled ORDER BY doc_id""",
     "l2_text_stats" ->
       ("SELECT doc_id, CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens, " +
         "n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"),

@@ -54,6 +54,38 @@ object PipelineQueries {
     * carry ids only. The packing window is partition-local per shard —
     * no global sort. At 100 TB this composition pipelines with no
     * materialization barrier wider than its ids. */
+  /** p4 — the corpus RELEASE report, composing the round-6 operators
+    * as ONE query: exact-dedup survivors ∧ t7's repetition gate ∧
+    * l16's curriculum sample (tertile strata from the score histogram,
+    * per-stratum keep rates), rolled up per (source, stratum) into the
+    * doc/token counts a release manifest publishes — "what will this
+    * training mix actually contain". Composition keeps every stage's
+    * posture: dedup moves (hash, id); the repetition gate is the fused
+    * `repeat_stats` scan; the stratum cutoffs live in a broadcast
+    * 1-row frame; the three keep decisions meet in id-only equi joins;
+    * and only the final rollup (sources × 3 strata) aggregates — the
+    * report is the biggest thing built after the scans. */
+  def p4CorpusRelease(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH ${LlmQueries.curriculumCtes(sparkDialect = true)},
+      survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      rep AS (SELECT doc_id FROM (
+                SELECT doc_id, CAST(size(w) AS BIGINT) AS n_tokens, repeat_stats(w) AS rs
+                FROM (SELECT doc_id, split(text, ' ') AS w FROM documents))
+              WHERE n_tokens >= 2
+                AND round(rs[0] / CAST(n_tokens AS DOUBLE), 6) <= 0.2
+                AND round(1.0 - rs[1] / CAST(n_tokens - 1 AS DOUBLE), 6) <= 0.2),
+      rel AS (SELECT s.doc_id, s.stratum FROM sampled s
+              JOIN survivors USING (doc_id) JOIN rep USING (doc_id))
+      SELECT d.source, r.stratum, COUNT(*) AS n_docs,
+             SUM(CAST(size(split(d.text, ' ')) AS BIGINT)) AS n_tokens
+      FROM rel r JOIN documents d ON d.doc_id = r.doc_id
+      GROUP BY d.source, r.stratum
+      ORDER BY d.source, r.stratum""")
+  }
+
   def p3CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
@@ -90,6 +122,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_pipeline" -> (p1TrainingPipeline _),
     "p3_curation_pipeline" -> (p3CurationPipeline _),
+    "p4_corpus_release" -> (p4CorpusRelease _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -112,6 +145,32 @@ object PipelineQueries {
         FROM scored
         WHERE score >= $qualityThreshold
         ORDER BY doc_id""",
+      // the same three keep decisions restated: l16's shared duck CTEs,
+      // t7's counts over DuckDB lists, dedup by text; final sums CAST
+      // from HUGEINT
+      "p4_corpus_release" ->
+        s"""WITH ${LlmQueries.curriculumCtes(sparkDialect = false)},
+        survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens,
+                 CAST(length(list_distinct(list_transform(range(1, length(w)),
+                   i -> w[i] || ' ' || w[i + 1]))) AS BIGINT) AS n_distinct_bg
+               FROM toks WHERE length(w) >= 2),
+        topw AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+                   SELECT doc_id, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(w) AS wd FROM toks)
+                   GROUP BY doc_id, wd)
+                 GROUP BY doc_id),
+        rep AS (SELECT b.doc_id FROM bg b JOIN topw t USING (doc_id)
+                WHERE round(t.top_cnt / CAST(b.n_tokens AS DOUBLE), 6) <= 0.2
+                  AND round(1.0 - b.n_distinct_bg / CAST(b.n_tokens - 1 AS DOUBLE), 6) <= 0.2),
+        rel AS (SELECT s.doc_id, s.stratum FROM sampled s
+                JOIN survivors USING (doc_id) JOIN rep USING (doc_id))
+        SELECT d.source, r.stratum, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(length(string_split(d.text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM rel r JOIN documents d ON d.doc_id = r.doc_id
+        GROUP BY d.source, r.stratum
+        ORDER BY d.source, r.stratum""",
       // stage-by-stage mirror: t7's counts over DuckDB lists, l9's
       // shingle+rolling-hash spelling, l7's window-sum packing; // is
       // DuckDB integer division and the CASTs collapse its HUGEINT

@@ -412,6 +412,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
   }
 
+  test("p4: release report — fused repetition kernel, broadcast cutoffs, id-only keep joins") {
+    val p = plan("p4_corpus_release")
+    assert(p.toLowerCase.contains("repetitionstats") || p.contains("repeat_stats"),
+      p.take(4000))
+    assert(p.contains("Broadcast"), p.take(4000))
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("NestedLoopJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("x62: interval merge — one user-key shuffle, both windows and the island aggregate key-local") {
     val p = plan("x62_interval_merge")
     assert("Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size == 1, p.take(4000))
