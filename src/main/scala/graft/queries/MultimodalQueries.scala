@@ -155,6 +155,30 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m10 — a real DEEP-SAMPLE codec behind the same seam: the JDK's
+    * TIFF plugin (javax.imageio, JDK 9+) carrying 16-BIT grayscale —
+    * the scientific/scan-corpus format and the only >8-bit sample path
+    * in the codec matrix (PNG/JPEG/GIF/MJPEG are all 8-bit): sample
+    * i = byte i × 257, so a 16-bit endianness, stride or truncation
+    * bug shifts the sum in ways the 8-bit codecs cannot detect.
+    * Lossless, so the oracle recomputes geometry, the decoded bit
+    * depth and the exact 16-bit sample sum arithmetically from the
+    * source text. */
+  def m10TiffDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val tiff = MultimodalKernels.encodeTiff16(bytes)
+          val (w, h, depth, sum) = MultimodalKernels.decodeTiff16(tiff)
+          (id, w, h, depth, sum)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "bit_depth", "px_sum")
+      .orderBy("doc_id")
+  }
+
   /** m6 — a REAL audio codec behind the same seam: payload bytes become
     * 8-bit unsigned PCM samples in a genuine WAV container written AND
     * parsed by javax.sound.sampled (the JDK's RIFF/WAVE codec); the
@@ -302,6 +326,7 @@ object MultimodalQueries {
     "m6_audio_decode"      -> (m6AudioDecode _),
     "m7_jpeg_decode"       -> (m7JpegDecode _),
     "m8_mjpeg_frames"      -> (m8MjpegFrames _),
+    "m10_tiff_decode"      -> (m10TiffDecode _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -368,6 +393,15 @@ object MultimodalQueries {
     // NOT string_split(text,''): DuckDB splits '' to [''] and ord('')
     // is -1, so the split spelling returns -1 instead of 0 for an
     // empty document while the kernels return 0
+    // m5 geometry with the 16-bit expansion: sample = ord × 257, padded
+    // zeros contribute nothing, decoded depth must be 16
+    "m10_tiff_decode" ->
+      ("SELECT doc_id, CAST(32 AS BIGINT) AS width, " +
+        "CAST(greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS height, " +
+        "CAST(16 AS BIGINT) AS bit_depth, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), i -> ord(text[i]) * 257)), 0) " +
+        "% 1000000007 AS BIGINT) AS px_sum " +
+        "FROM documents ORDER BY doc_id"),
     "m5_image_decode" ->
       ("SELECT doc_id, CAST(32 AS BIGINT) AS width, " +
         "CAST(greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS BIGINT) AS height, " +
@@ -699,5 +733,46 @@ object MultimodalKernels {
     // n_samples = frames actually decoded (1 byte/frame here), not the
     // header's claim — the honest decoded count
     (fmt.getSampleRate.toLong, fmt.getChannels.toLong, data.length.toLong, sum)
+  }
+
+  /** bytes → real TIFF: 32-wide, 16-BIT grayscale (TYPE_USHORT_GRAY),
+    * sample i = byte i × 257 (the exact 8→16-bit range expansion),
+    * zero-padded final row. TIFF is the scientific/scan-corpus format
+    * and the one deep-sample container in the matrix — PNG/JPEG/GIF
+    * here are all 8-bit paths; a stride or byte-order bug in 16-bit
+    * little/big-endian sample handling is invisible to them. */
+  def encodeTiff16(bytes: Array[Byte]): Array[Byte] = {
+    val w = 32
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % w, i / w, 0, (bytes(i) & 0xff) * 257)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "tiff", baos),
+      "JDK TIFF writer unavailable")
+    baos.toByteArray
+  }
+
+  /** TIFF → (width, height, sample bit depth, 16-bit sample sum mod P)
+    * via the decoded raster ONLY — the production decode contract.
+    * Lossless, so the oracle recomputes the sum arithmetically. */
+  def decodeTiff16(tiff: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+    require(img != null, "JDK TIFF reader returned null")
+    val r = img.getRaster
+    val depth = r.getSampleModel.getSampleSize(0).toLong
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum = (sum + r.getSample(x, y, 0)) % P; x += 1 }
+      y += 1
+    }
+    (img.getWidth.toLong, img.getHeight.toLong, depth, sum)
   }
 }

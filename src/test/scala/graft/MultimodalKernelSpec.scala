@@ -31,6 +31,26 @@ class MultimodalKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("m10 payloads are real TIFFs (magic) and 16-bit samples roundtrip exactly") {
+    (payloads :+ Array[Byte](0, 127, -1)).foreach { bytes =>
+      val tiff = MultimodalKernels.encodeTiff16(bytes)
+      // TIFF magic: "II*\0" (little-endian) or "MM\0*" (big-endian)
+      val magic = tiff.take(4).toSeq
+      assert(magic == Seq[Byte](0x49, 0x49, 0x2a, 0x00)
+        || magic == Seq[Byte](0x4d, 0x4d, 0x00, 0x2a), "not a TIFF container")
+      val (w, h, depth, sum) = MultimodalKernels.decodeTiff16(tiff)
+      assert(w == 32)
+      assert(h == math.max(1, (bytes.length + 31) / 32))
+      // the decoded raster must really carry 16-bit samples — an
+      // 8-bit downconversion would still pass a mod-257 sum check
+      assert(depth == 16, s"decoded bit depth $depth")
+      val expected = bytes.foldLeft(0L)((s, b) => (s + (b & 0xff) * 257L) % 1000000007L)
+      assert(sum == expected, s"16-bit sum $sum != expected $expected (len ${bytes.length})")
+      // the 0xff byte maps to the full 16-bit range end (65535), so
+      // the top byte of every sample is exercised, not just the low 8
+    }
+  }
+
   test("m6 payloads are real RIFF/WAVE containers and PCM roundtrips exactly") {
     payloads.foreach { bytes =>
       val wav = MultimodalKernels.encodeWav(bytes)
