@@ -226,7 +226,74 @@ object ExtensionQueries {
     spark.sql(retentionSql("datediff(a.d, f.cohort)"))
   }
 
+  /** x63 — INTERSECT ALL, completing the set-operation matrix (x5
+    * EXCEPT, x11 INTERSECT, x26 EXCEPT ALL): multiset intersection
+    * keeps each key min(multiplicity-left, multiplicity-right) times —
+    * here "order keys by customers with a positive balance, counted as
+    * often as both sides support". Catalyst plans it as the
+    * generated-multiplicity join (no row-by-row loop); output is
+    * re-grouped so the result is a deterministic (key, n) table. */
+  def x63IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql("""
+      SELECT o_custkey, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders
+        INTERSECT ALL
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      GROUP BY o_custkey ORDER BY o_custkey""")
+  }
+
+  /** x64 — NULL-semantics battery: the three-valued-logic behaviors
+    * that silently diverge when a workload migrates engines —
+    * null-safe equality, IS DISTINCT FROM, NULL propagation through
+    * comparisons and 3VL OR/AND, NULLIF/COALESCE, and NULL handling in
+    * aggregates (COUNT(col) vs COUNT(*), SUM/AVG skipping nulls, and
+    * the all-NULL group yielding NULL not 0). Two deterministic
+    * nullable derivations (value NULLed on 'error' rows; a second
+    * NULLed by key residue) give every 3VL combination real rows.
+    * Row-level battery on a 1-in-50 sample + the per-type aggregate
+    * battery; pure scan + one partial+final aggregate. The only
+    * dialect split is null-safe equality's spelling (Spark `<=>`,
+    * DuckDB `IS NOT DISTINCT FROM`). */
+  def x64NullLogic(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(nullLogicSql("v <=> w"))
+  }
+
+  private[queries] def nullLogicSql(nullSafeEq: String): String = s"""
+      WITH t AS (SELECT event_id, event_type, user_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(round(value) AS BIGINT) END AS v,
+                   CASE WHEN user_id % 3 = 0 THEN NULL
+                        ELSE CAST(round(value) AS BIGINT) END AS w
+                 FROM events),
+      rowlevel AS (
+        SELECT event_id,
+               $nullSafeEq                    AS nsafe_eq,
+               (v = w)                        AS plain_eq,
+               (v > 100 OR w > 100)           AS either_big,
+               (v > 100 AND w > 100)          AS both_big,
+               coalesce(v, -1)                AS v_filled,
+               nullif(coalesce(v, -1), -1)    AS v_refused
+        FROM t WHERE event_id % 50 = 0),
+      agglevel AS (
+        SELECT event_type,
+               COUNT(*)                       AS n_rows,
+               COUNT(v)                       AS n_nonnull,
+               CAST(SUM(v) AS BIGINT)         AS sum_v,
+               round(AVG(CAST(v AS DOUBLE)), 6) AS avg_v
+        FROM t GROUP BY event_type)
+      SELECT r.event_id, r.nsafe_eq, r.plain_eq, r.either_big, r.both_big,
+             r.v_filled, r.v_refused,
+             a.event_type, a.n_rows, a.n_nonnull, a.sum_v, a.avg_v
+      FROM rowlevel r JOIN events e ON e.event_id = r.event_id
+      JOIN agglevel a ON a.event_type = e.event_type
+      ORDER BY r.event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_intersect_all" -> (x63IntersectAll _),
+    "x64_null_logic"    -> (x64NullLogic _),
     "x58_funnel"      -> (x58Funnel _),
     "x59_retention"   -> (x59Retention _),
     "x1_equi_join"    -> (x1EquiJoin _),
@@ -242,6 +309,15 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same multiset semantics; DuckDB also spells INTERSECT ALL
+    "x63_intersect_all" ->
+      """SELECT o_custkey, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders
+        INTERSECT ALL
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      GROUP BY o_custkey ORDER BY o_custkey""",
+    // identical text bar null-safe equality's dialect spelling
+    "x64_null_logic" -> nullLogicSql("(v IS NOT DISTINCT FROM w)"),
     // byte-identical shared SQL text — see funnelSql
     "x58_funnel" -> funnelSql,
     // same text with DuckDB's native date subtraction (DATE − DATE =
