@@ -338,6 +338,29 @@ object AnnQueries {
       .orderBy(col("probe_id"), col("ip").desc, col("vec_id"))
   }
 
+  /** s10 — LABEL CENTROIDS: the per-class mean embedding (class
+    * prototypes for classification-by-nearest-centroid, cluster-mean
+    * updates for k-means-style refinement, per-source drift
+    * monitoring) through the new [[graft.functions.VectorSumAgg]]
+    * mergeable aggregate. The posexplode spelling shuffles
+    * rows × d (label, pos, value) triples; the native aggregate's
+    * partial buffers collapse map-side to ONE d-length integer vector
+    * per (partition, label), so the exchange carries labels × (8d+8)
+    * bytes at any corpus size — the difference between shuffling the
+    * corpus and shuffling the answer. Components quantize to integer
+    * micro-units inside the aggregate (SQL round() semantics), making
+    * every sum exact and the mean division identical on both engines;
+    * the DuckDB twin IS the explode spelling, gating the equivalence. */
+  def s10LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadSpread(spark, dir, "embeddings")
+    e.groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.VectorSumAgg(col("embedding")).as("cs"))
+      .select(col("label"), col("cs").getItem(0).as("n"),
+        expr("transform(slice(cs, 2, size(cs) - 1), " +
+          "s -> round(CAST(s AS DOUBLE) / cs[0] / 1000000, 6))").as("centroid"))
+      .orderBy("label")
+  }
+
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
     * computation (ADC), the memory-compression half of a FAISS-class
     * 100 TB vector index. The 64-dim corpus is ENCODED once into 4
@@ -458,6 +481,7 @@ object AnnQueries {
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
     "s6_knn_join" -> (s6KnnJoin _),
     "s9_mips" -> (s9Mips _),
+    "s10_label_centroids" -> (s10LabelCentroids _),
     "s7_ivf_pq" -> (s7IvfPq _),
     "d8_semantic_dedup" -> (d8SemanticDedup _),
   )
@@ -529,6 +553,18 @@ object AnnQueries {
             ON a.vec_id < b.vec_id
             AND len(list_filter(range(1, ${s5Bands + 1}), g -> a.sigs[g] = b.sigs[g])) > 0) t
         WHERE sim >= 0.85 ORDER BY vec_id_a, vec_id_b""",
+      // the explode spelling the native vector-sum aggregate must
+      // equal: same micro-unit quantization, same grouped integer
+      // sums, same mean division text
+      "s10_label_centroids" ->
+        s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label, k,
+             CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           FROM embeddings, range(1, ${dims + 1}) t(k)),
+        s AS (SELECT label, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+              FROM q GROUP BY label, k)
+        SELECT label, n,
+               list(round(CAST(sq AS DOUBLE) / n / 1000000, 6) ORDER BY k) AS centroid
+        FROM s GROUP BY label, n ORDER BY label""",
       // MIPS baseline restated as the window spelling over the raw dot
       // product (same double fold order, same 9dp-rounded ranking key)
       "s9_mips" ->

@@ -634,6 +634,41 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(ivf.size == 5)
   }
 
+  test("VectorSumAgg == posexplode spelling on real embeddings; ragged input fails loudly") {
+    import graft.functions.VectorSumAgg
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.createOrReplaceTempView("emb")
+    val fast = e.groupBy(col("label"))
+      .agg(VectorSumAgg(col("embedding")).as("cs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    // builtin restatement: posexplode + grouped integer sums with the
+    // same micro-unit half-away-from-zero quantization (SQL round)
+    val ref = spark.sql("""
+      SELECT label, pos, CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS c
+      FROM (SELECT label, posexplode(embedding) AS (pos, x) FROM emb)
+      GROUP BY label, pos""").collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        val d = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        val n = rows.head.getLong(3)
+        l -> (n +: (0 until d.size).map(d)).toSeq
+      }
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (l, got) =>
+      assert(got == ref(l), s"label $l: $got vs ${ref(l)}")
+    }
+    // ragged corpora are a data bug — the aggregate must fail, not
+    // silently average vectors of different lengths
+    import spark.implicits._
+    val ragged = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(1.0f))).toDF("label", "embedding")
+      .select(col("label"), col("embedding").cast("array<float>").as("embedding"))
+    val err = intercept[Exception] {
+      ragged.groupBy("label").agg(VectorSumAgg(col("embedding"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("CharStats == builtin explode/count spelling on real docs + unicode edges") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

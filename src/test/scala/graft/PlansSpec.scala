@@ -412,6 +412,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
   }
 
+  test("s10: label centroids — partial+final vector-sum buffers, no posexplode of the corpus") {
+    val p = plan("s10_label_centroids")
+    // TypedImperativeAggregate plans as ObjectHashAggregate partial+final
+    assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
+
   test("p4: release report — fused repetition kernel, broadcast cutoffs, id-only keep joins") {
     val p = plan("p4_corpus_release")
     assert(p.toLowerCase.contains("repetitionstats") || p.contains("repeat_stats"),
