@@ -361,6 +361,36 @@ object AnnQueries {
       .orderBy("label")
   }
 
+  /** s11 — one LLOYD (k-means) STEP, the iterative-refinement workload
+    * composed from the engine's own parts: assign every vector to its
+    * nearest s4 coarse centroid (broadcast centroids, fused L2 kernel,
+    * argmin via partial+final `min_by` — never a per-vector window
+    * sort), then recompute each cluster's mean through
+    * [[graft.functions.VectorSumAgg]]. This is the update step every
+    * k-means/product-quantizer training loop runs; iterating is just
+    * feeding the output back as the next broadcast, with per-iteration
+    * cost = one scan + one labels×d exchange (the s10 shuffle story).
+    * The DuckDB twin restates assignment as the row_number spelling
+    * and the mean as the explode spelling — both equivalences gated at
+    * once. */
+  def s11KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadSpread(spark, dir, "embeddings")
+    val cent = centroids(e)
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("label"),
+        struct(L2SquaredDistance(col("centroid"), col("embedding")), col("label")))
+        .as("clabel"))
+    assigned.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .groupBy(col("clabel").cast("long").as("cluster"))
+      .agg(graft.functions.VectorSumAgg(col("embedding")).as("cs"))
+      .select(col("cluster"), col("cs").getItem(0).as("n"),
+        expr("transform(slice(cs, 2, size(cs) - 1), " +
+          "s -> round(CAST(s AS DOUBLE) / cs[0] / 1000000, 6))").as("centroid"))
+      .orderBy("cluster")
+  }
+
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
     * computation (ADC), the memory-compression half of a FAISS-class
     * 100 TB vector index. The 64-dim corpus is ENCODED once into 4
@@ -482,6 +512,7 @@ object AnnQueries {
     "s6_knn_join" -> (s6KnnJoin _),
     "s9_mips" -> (s9Mips _),
     "s10_label_centroids" -> (s10LabelCentroids _),
+    "s11_kmeans_step" -> (s11KmeansStep _),
     "s7_ivf_pq" -> (s7IvfPq _),
     "d8_semantic_dedup" -> (d8SemanticDedup _),
   )
@@ -553,6 +584,27 @@ object AnnQueries {
             ON a.vec_id < b.vec_id
             AND len(list_filter(range(1, ${s5Bands + 1}), g -> a.sigs[g] = b.sigs[g])) > 0) t
         WHERE sim >= 0.85 ORDER BY vec_id_a, vec_id_b""",
+      // s4's centroid + row_number assignment spellings feeding s10's
+      // explode-mean spelling — the whole Lloyd step restated
+      "s11_kmeans_step" ->
+        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
+              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
+        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
+        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        assigned AS (SELECT vec_id, clabel FROM (
+            SELECT e.vec_id, c.label AS clabel,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        q AS (SELECT CAST(a.clabel AS BIGINT) AS cluster, k,
+                CAST(round(CAST(e.embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+              FROM assigned a, embeddings e, range(1, ${dims + 1}) t(k)
+              WHERE e.vec_id = a.vec_id),
+        s AS (SELECT cluster, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+              FROM q GROUP BY cluster, k)
+        SELECT cluster, n,
+               list(round(CAST(sq AS DOUBLE) / n / 1000000, 6) ORDER BY k) AS centroid
+        FROM s GROUP BY cluster, n ORDER BY cluster""",
       // the explode spelling the native vector-sum aggregate must
       // equal: same micro-unit quantization, same grouped integer
       // sums, same mean division text

@@ -341,7 +341,53 @@ object SqlSurfaceQueries {
       ORDER BY user_id""")
   }
 
+  /** The x65 PageRank SQL, parameterized on the integer-division
+    * operator (Spark `DIV`, DuckDB `//`) — everything else, including
+    * the damping arithmetic, is shared text. Ranks live in integer
+    * millionths and every step is integer (sum of per-edge
+    * `rank DIV outdeg`, then `(85·Σ) DIV 100 + 150000`), so the two
+    * engines agree exactly — no float mass accounting to luck out on. */
+  private def pagerankSql(idiv: String): String = {
+    val iter = (1 to 3).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r.rank $idiv d.outdeg)) $idiv 100 AS BIGINT) AS rank
+           FROM edges e
+           JOIN r${i - 1} r ON r.node = e.src
+           JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH fwd AS (SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      $iter
+      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 100"""
+  }
+
+  /** x65 — PAGERANK (3 unrolled damped iterations) over the
+    * customer↔supplier interaction graph (orders⋈lineitem edges,
+    * symmetrized so every node has out-degree ≥ 1 — no dangling-mass
+    * special case): the second graph-analytics operator next to d4's
+    * connected components, and the canonical iterative-join workload
+    * (influence/importance scoring over entity graphs). Each iteration
+    * is ONE rank⋈edges equi join on the source key plus a partial+final
+    * SUM by destination — the edge list is built once and reused, so
+    * per-iteration cost at 100 TB is a keyed shuffle of (node, rank)
+    * pairs against a static edge partitioning; bounded unrolling stays
+    * declarative, and unbounded convergence belongs on the engine's
+    * checkpointed ConnectedComponents-style loop (lineage truncation —
+    * same argument as x42). Integer millionth-ranks make the result
+    * exact, not approximately-reproducible. */
+  def x65Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    view(spark, dir, "lineitem")
+    spark.sql(pagerankSql("DIV"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x65_pagerank"      -> (x65Pagerank _),
     "x61_snapshot_diff" -> (x61SnapshotDiff _),
     "x56_pit_join"      -> (x56PitJoin _),
     "x53_grouping_sets" -> (x53GroupingSets _),
@@ -356,6 +402,8 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical text bar DuckDB's // integer division
+    "x65_pagerank" -> pagerankSql("//"),
     // snapshots restated through the row_number spelling (the x46
     // oracle pattern) per changelog half; same diff classification
     "x61_snapshot_diff" ->

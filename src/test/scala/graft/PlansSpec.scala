@@ -419,6 +419,20 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Generate"), p.take(3000))
   }
 
+  test("s11: Lloyd step — min_by assignment + vector-sum buffers, no per-vector window sort") {
+    val p = plan("s11_kmeans_step")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("min_by"), p.take(3000))
+    assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+  }
+
+  test("x65: PageRank iterations are keyed equi joins + partial+final sums; top-100 is a bounded heap") {
+    val p = plan("x65_pagerank")
+    assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 4, p.take(4000))
+  }
+
   test("p4: release report — fused repetition kernel, broadcast cutoffs, id-only keep joins") {
     val p = plan("p4_corpus_release")
     assert(p.toLowerCase.contains("repetitionstats") || p.contains("repeat_stats"),
