@@ -71,6 +71,13 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // x58: three keyed aggregates + survivor joins; linearity says
       // funnel cost follows events, not users × events
       "x58_funnel" -> (graft.queries.ExtensionQueries.x58Funnel _),
+      // s11: the full Lloyd step — per-vector work is constant
+      // (K centroids × d), the exchange is labels × d; wall must
+      // track vector count, not pairs
+      "s11_kmeans_step" -> (graft.queries.AnnQueries.s11KmeansStep _),
+      // p4: the composed release report — three keep gates + rollup
+      // must compound to a linear curve like p3
+      "p4_corpus_release" -> (graft.queries.PipelineQueries.p4CorpusRelease _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
