@@ -341,30 +341,30 @@ object SqlSurfaceQueries {
       ORDER BY user_id""")
   }
 
-  /** The x65 PageRank SQL, parameterized on the integer-division
-    * operator (Spark `DIV`, DuckDB `//`) — everything else, including
-    * the damping arithmetic, is shared text. Ranks live in integer
-    * millionths and every step is integer (sum of per-edge
+  /** The x65 iteration chain, parameterized on the integer-division
+    * operator (Spark `DIV`, DuckDB `//`) and the edge/degree relation
+    * names — the damping arithmetic is shared text. Ranks live in
+    * integer millionths and every step is integer (sum of per-edge
     * `rank DIV outdeg`, then `(85·Σ) DIV 100 + 150000`), so the two
     * engines agree exactly — no float mass accounting to luck out on. */
-  private def pagerankSql(idiv: String): String = {
+  private def pagerankIterSql(idiv: String, edges: String, deg: String): String = {
     val iter = (1 to 3).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
              CAST(150000 + (85 * SUM(r.rank $idiv d.outdeg)) $idiv 100 AS BIGINT) AS rank
-           FROM edges e
+           FROM $edges e
            JOIN r${i - 1} r ON r.node = e.src
-           JOIN deg d ON d.src = e.src
+           JOIN $deg d ON d.src = e.src
            GROUP BY e.dst)"""
     }.mkString(",\n      ")
-    s"""
-      WITH fwd AS (SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
-                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
-      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    s"""r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM $deg),
       $iter
       SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 100"""
   }
+
+  private val pagerankEdgesSql = """
+      WITH fwd AS (SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+      SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd"""
 
   /** x65 — PAGERANK (3 unrolled damped iterations) over the
     * customer↔supplier interaction graph (orders⋈lineitem edges,
@@ -383,7 +383,21 @@ object SqlSurfaceQueries {
   def x65Pagerank(spark: SparkSession, dir: String): DataFrame = {
     view(spark, dir, "orders")
     view(spark, dir, "lineitem")
-    spark.sql(pagerankSql("DIV"))
+    // Catalyst inlines CTEs, so an `edges` CTE would re-run the
+    // orders⋈lineitem build once PER ITERATION (and `deg` with it) —
+    // persist both once instead; iterations then reference the cached
+    // relations, the real iterative-workload contract. At sf0.1 the
+    // line's wall (~3.4 s) barely moves because the first-use cache
+    // materialization costs what the two avoided rebuilds did, but at
+    // 100 TB the rebuild is a full fact-table join per iteration while
+    // the cache is a one-time cost amortized over every round
+    val edges = spark.sql(pagerankEdgesSql)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.createOrReplaceTempView("pr_edges")
+    spark.sql("SELECT src, COUNT(*) AS outdeg FROM pr_edges GROUP BY src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("pr_deg")
+    spark.sql(s"WITH ${pagerankIterSql("DIV", "pr_edges", "pr_deg")}")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -402,8 +416,14 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // identical text bar DuckDB's // integer division
-    "x65_pagerank" -> pagerankSql("//"),
+    // identical iteration text bar DuckDB's // integer division; the
+    // oracle keeps edges/deg as CTEs (DuckDB materializes reused CTEs)
+    "x65_pagerank" ->
+      (s"""WITH fwd AS (SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      """ + pagerankIterSql("//", "edges", "deg")),
     // snapshots restated through the row_number spelling (the x46
     // oracle pattern) per changelog half; same diff classification
     "x61_snapshot_diff" ->
