@@ -125,6 +125,37 @@ object DedupQueries {
       ORDER BY doc_id_a, doc_id_b""")
   }
 
+  /** d13 — CONTAINMENT dedup (Broder's resemblance vs containment
+    * split): score = |A∩B| / min(|A|, |B|) over the same distinct
+    * shingle-hash sets d1 verifies Jaccard on. Jaccard misses the
+    * doc-inside-doc case entirely — a page quoting a whole smaller
+    * document scores |small|/|big| ≈ 0 resemblance but containment 1 —
+    * and quote/aggregator/boilerplate-wrapper pages are exactly what a
+    * web training corpus is full of. Same scale story as d1: banded
+    * minhash equi-join candidates (never all-pairs), exact set
+    * arithmetic only on the candidate survivors; the threshold (0.6)
+    * sits below d1's 0.5 Jaccard bar because containment ≥ Jaccard —
+    * the emitted set strictly contains d1's pair set restated. */
+  def d13Containment(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("ids")
+    spark.sql(s"""
+      WITH mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
+      eb AS (SELECT doc_id, band.bi AS bi, band.bk AS bk
+             FROM mh LATERAL VIEW explode(array($bandStructsSpark)) AS band),
+      cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+               FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
+                round(CAST(size(array_intersect(ia.ids, ib.ids)) AS DOUBLE)
+                      / least(size(ia.ids), size(ib.ids)), 6) AS containment
+              FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)
+      SELECT doc_id_a, doc_id_b, containment FROM ver WHERE containment >= 0.6
+      ORDER BY doc_id_a, doc_id_b""")
+  }
+
   // --- d2: SimHash ---------------------------------------------------------
 
   /** Fingerprinting runs through the codegen [[graft.functions.SimHash30]]
@@ -436,6 +467,7 @@ object DedupQueries {
     "d10_bloom_dedup"  -> (d10BloomDedup _),
     "d9_span_dedup"    -> (d9SpanDedup _),
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
+    "d13_containment"  -> (d13Containment _),
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
     "d4_dedup_clusters" -> (d4DedupClusters _),
@@ -537,6 +569,21 @@ object DedupQueries {
                ${jacDuck("a.ids", "b.ids")} AS jac
         FROM ids a JOIN ids b ON a.doc_id < b.doc_id
         WHERE ${jacDuck("a.ids", "b.ids")} >= $jacThreshold
+        ORDER BY doc_id_a, doc_id_b""",
+      // same band candidates, containment instead of resemblance
+      "d13_containment" ->
+        s"""WITH $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
+                  round(CAST(length(list_intersect(ia.ids, ib.ids)) AS DOUBLE)
+                        / least(length(ia.ids), length(ib.ids)), 6) AS containment
+                FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)
+        SELECT doc_id_a, doc_id_b, containment FROM ver WHERE containment >= 0.6
         ORDER BY doc_id_a, doc_id_b""",
       "d1_minhash_lsh" ->
         s"""WITH $shingleCteDuck,

@@ -419,6 +419,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Generate"), p.take(3000))
   }
 
+  test("d13: containment candidates come from the band equi-join, never an all-pairs loop") {
+    val p = plan("d13_containment")
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
+      p.take(4000))
+    assert(p.contains("Join") && p.contains("hashpartitioning"), p.take(4000))
+  }
+
   test("s11: Lloyd step — min_by assignment + vector-sum buffers, no per-vector window sort") {
     val p = plan("s11_kmeans_step")
     assert(!p.contains("Window"), p.take(3000))
