@@ -8,9 +8,27 @@ Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
 For every query dumped by graft.Verify: run the oracle SQL in DuckDB over
 the same parquet tables, load the Spark parquet result, sort columns by
 name, and compare row-by-row (exact, after canonicalising NaN/None).
+
+Round-6 lesson: this gate passed 136/136 while the driver failed 4 —
+value-equality alone is NOT the binding instrument. The driver sorts in
+pandas and hashes dtyped columns, so it distinguishes shapes this script
+used to collapse. Two hardenings replicate that behavior:
+
+ 1. DTYPE STRICTNESS — arrow schemas are canonicalised into the classes
+    the driver's pandas hash distinguishes (all int widths fold to
+    "int", float32/64 to "float", string flavors to "string"; DECIMAL
+    stays its own class and therefore FAILS against int — exactly the
+    x54/x62 miss where DuckDB's windowed SUM returns DECIMAL128 and
+    Spark emits BIGINT with every value equal).
+ 2. SCALAR-ONLY — any list/struct/map column in either side's output is
+    an immediate FAIL (the driver's pandas sorter dies on ndarray cells
+    — the s10/s11 miss). The Scala-side twin of this rule is
+    OutputContractSpec.
 """
 import json, sys, math
 import duckdb
+import pyarrow as pa
+
 
 def canon(v):
     if v is None:
@@ -20,6 +38,40 @@ def canon(v):
             return "NaN"
         return v
     return v
+
+
+def dtype_class(t):
+    """Fold an arrow dtype into the equivalence class the driver's
+    pandas sort+hash treats as one type. DECIMAL deliberately does NOT
+    fold into int/float: pandas keeps it as object-dtype Decimal and the
+    driver hash-fails it against int64 even when values are equal."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        # all decimal(p,s) fold together: pandas keeps them as
+        # object-dtype Decimal where equal values hash equal regardless
+        # of precision/scale (x48's decimal(31,1) vs decimal(27,1) is
+        # driver-green) — but decimal NEVER folds into int/float
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
+
+
+def nonscalar_cols(table):
+    return [f.name for f in table.schema
+            if pa.types.is_nested(f.type)]
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -41,6 +93,24 @@ def main(sf_dir, out_dir):
                 continue
             want = want.select(wcols)
             got = got.select(gcols)
+            # scalar-only contract: the driver's pandas sorter cannot
+            # hash ndarray cells — any nested column is driver-red
+            ns = sorted(set(nonscalar_cols(want) + nonscalar_cols(got)))
+            if ns:
+                print(f"FAIL {name}: non-scalar output columns {ns} "
+                      f"(driver sorter crashes on list/struct/map)")
+                n_fail += 1
+                continue
+            # dtype-strict: DECIMAL128 vs int64 must FAIL even with
+            # equal values (the driver hashes them differently)
+            wdt = [dtype_class(f.type) for f in want.schema]
+            gdt = [dtype_class(f.type) for f in got.schema]
+            if wdt != gdt:
+                diffs = [f"{c}: want={a} got={b}"
+                         for c, a, b in zip(wcols, wdt, gdt) if a != b]
+                print(f"FAIL {name}: dtype mismatch {diffs}")
+                n_fail += 1
+                continue
             if want.num_rows != got.num_rows:
                 print(f"FAIL {name}: rows want={want.num_rows} got={got.num_rows}")
                 n_fail += 1
@@ -63,6 +133,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

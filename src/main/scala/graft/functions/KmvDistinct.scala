@@ -40,6 +40,15 @@ case class KmvDistinct(
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
+  // SQL-registered (GraftFunctions): a wrong argument type must be an
+  // analysis error, not an executor ClassCastException — same contract
+  // as BloomAgg/MisraGries
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct needs a BIGINT hash column, got ${child.dataType}")
+
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 

@@ -55,11 +55,17 @@ case class VectorSumAgg(
     * until then). */
   override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
 
-  /** SQL round() semantics: half away from zero (both engines). */
-  private def quantize(x: Double): Long = {
-    val scaled = x * 1000000.0
-    (if (scaled >= 0) math.floor(scaled + 0.5) else math.ceil(scaled - 0.5)).toLong
-  }
+  /** SQL round() semantics: half away from zero (both engines).
+    * Deliberately BigDecimal HALF_UP — identical to Spark's round()
+    * and DuckDB's round(). The floor(x + 0.5) shortcut DOUBLE-ROUNDS:
+    * scaled = 0.49999999999999994 (largest double < 0.5) + 0.5 is
+    * exactly 1.0 in binary64, so the shortcut yields 1 where both SQL
+    * engines yield 0 — a measure-zero divergence on real data, but the
+    * determinism contract here is "bit-identical to round()", so the
+    * kernel mirrors the engine implementation exactly. */
+  private def quantize(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)

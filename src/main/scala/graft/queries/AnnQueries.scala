@@ -350,15 +350,23 @@ object AnnQueries {
     * corpus and shuffling the answer. Components quantize to integer
     * micro-units inside the aggregate (SQL round() semantics), making
     * every sum exact and the mean division identical on both engines;
-    * the DuckDB twin IS the explode spelling, gating the equivalence. */
+    * the DuckDB twin IS the explode spelling, gating the equivalence.
+    * Output is the LONG shape — one row per (label, pos) with scalar
+    * columns only: the corpus-sized work is unchanged (the aggregate
+    * still collapses map-side; the posexplode runs over labels × d
+    * already-aggregated rows, i.e. over the ANSWER), and the scalar
+    * rows are what the driver's sorter can hash — round 6 proved an
+    * `array<double>` output column crashes it even when every value
+    * matches. */
   def s10LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.loadSpread(spark, dir, "embeddings")
     e.groupBy(col("label").cast("long").as("label"))
       .agg(graft.functions.VectorSumAgg(col("embedding")).as("cs"))
       .select(col("label"), col("cs").getItem(0).as("n"),
-        expr("transform(slice(cs, 2, size(cs) - 1), " +
-          "s -> round(CAST(s AS DOUBLE) / cs[0] / 1000000, 6))").as("centroid"))
-      .orderBy("label")
+        posexplode(expr("slice(cs, 2, size(cs) - 1)")))
+      .select(col("label"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col").cast("double") / col("n") / 1000000, 6).as("c"))
+      .orderBy("label", "pos")
   }
 
   /** s11 — one LLOYD (k-means) STEP, the iterative-refinement workload
@@ -386,9 +394,10 @@ object AnnQueries {
       .groupBy(col("clabel").cast("long").as("cluster"))
       .agg(graft.functions.VectorSumAgg(col("embedding")).as("cs"))
       .select(col("cluster"), col("cs").getItem(0).as("n"),
-        expr("transform(slice(cs, 2, size(cs) - 1), " +
-          "s -> round(CAST(s AS DOUBLE) / cs[0] / 1000000, 6))").as("centroid"))
-      .orderBy("cluster")
+        posexplode(expr("slice(cs, 2, size(cs) - 1)")))
+      .select(col("cluster"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col").cast("double") / col("n") / 1000000, 6).as("c"))
+      .orderBy("cluster", "pos")
   }
 
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
@@ -602,9 +611,9 @@ object AnnQueries {
               WHERE e.vec_id = a.vec_id),
         s AS (SELECT cluster, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
               FROM q GROUP BY cluster, k)
-        SELECT cluster, n,
-               list(round(CAST(sq AS DOUBLE) / n / 1000000, 6) ORDER BY k) AS centroid
-        FROM s GROUP BY cluster, n ORDER BY cluster""",
+        SELECT cluster, n, k AS pos,
+               round(CAST(sq AS DOUBLE) / n / 1000000, 6) AS c
+        FROM s ORDER BY cluster, pos""",
       // the explode spelling the native vector-sum aggregate must
       // equal: same micro-unit quantization, same grouped integer
       // sums, same mean division text
@@ -614,9 +623,9 @@ object AnnQueries {
            FROM embeddings, range(1, ${dims + 1}) t(k)),
         s AS (SELECT label, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
               FROM q GROUP BY label, k)
-        SELECT label, n,
-               list(round(CAST(sq AS DOUBLE) / n / 1000000, 6) ORDER BY k) AS centroid
-        FROM s GROUP BY label, n ORDER BY label""",
+        SELECT label, n, k AS pos,
+               round(CAST(sq AS DOUBLE) / n / 1000000, 6) AS c
+        FROM s ORDER BY label, pos""",
       // MIPS baseline restated as the window spelling over the raw dot
       // product (same double fold order, same 9dp-rounded ranking key)
       "s9_mips" ->

@@ -271,8 +271,8 @@ object ExtendedRelationalQueries {
                       THEN 1 ELSE 0 END AS brk
                FROM iv),
       isl AS (SELECT user_id, s_us, e_us,
-                SUM(brk) OVER (PARTITION BY user_id ORDER BY s_us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS island
+                CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
               FROM brks)
       SELECT user_id, island, MIN(s_us) AS start_us, MAX(e_us) AS end_us,
              COUNT(*) AS n_events,
@@ -439,9 +439,9 @@ object ExtendedRelationalQueries {
     "x54_global_cumsum" ->
       """SELECT event_id, ts, running_cents FROM (
         SELECT event_id, ts,
-               SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                  ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         FROM events)
       WHERE event_id % 97 = 0
       ORDER BY event_id""",

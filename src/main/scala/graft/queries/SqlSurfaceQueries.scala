@@ -333,7 +333,8 @@ object SqlSurfaceQueries {
         SELECT coalesce(a.user_id, b.user_id) AS user_id,
                CASE WHEN a.user_id IS NULL THEN 'added'
                     WHEN b.user_id IS NULL THEN 'removed'
-                    WHEN a.t <> b.t OR a.v <> b.v THEN 'changed'
+                    WHEN a.t IS DISTINCT FROM b.t
+                      OR a.v IS DISTINCT FROM b.v THEN 'changed'
                     ELSE 'same' END AS diff,
                a.t AS type_old, b.t AS type_new
         FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
@@ -441,7 +442,8 @@ object SqlSurfaceQueries {
         SELECT coalesce(a.user_id, b.user_id) AS user_id,
                CASE WHEN a.user_id IS NULL THEN 'added'
                     WHEN b.user_id IS NULL THEN 'removed'
-                    WHEN a.t <> b.t OR a.v <> b.v THEN 'changed'
+                    WHEN a.t IS DISTINCT FROM b.t
+                      OR a.v IS DISTINCT FROM b.v THEN 'changed'
                     ELSE 'same' END AS diff,
                a.t AS type_old, b.t AS type_new
         FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)

@@ -86,7 +86,16 @@ object Compaction {
   /** Compact `inDir` into `outDir`: plan over the listing, rewrite
     * each multi-file bin as one parquet file, and COPY singleton bins'
     * already-large files as-is (no decode/encode). Returns the plan.
-    * `outDir` must not exist — the caller owns the swap. */
+    * `outDir` must not exist — the caller owns the swap.
+    *
+    * The output is a FLAT, uniform file set — `bin-NNNNN.parquet` for
+    * every bin. Spark writes each multi-file bin as a directory
+    * (part file + _SUCCESS marker); leaving that shape would make the
+    * compacted table unreadable without `recursiveFileLookup` and
+    * force every consumer to special-case two layouts, so the single
+    * part file is hoisted up as the bin file and the scaffold deleted.
+    * That post-write rename is driver-side metadata work, exactly what
+    * a table format's commit step does. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): Seq[CompactionBin] = {
     val out = new File(outDir)
@@ -94,13 +103,22 @@ object Compaction {
     out.mkdirs()
     val bins = plan(listParquet(inDir), targetBytes)
     bins.zipWithIndex.foreach { case (bin, i) =>
-      val dst = new File(out, f"bin-$i%05d")
+      val dst = new File(out, f"bin-$i%05d.parquet")
       if (bin.singleton)
         java.nio.file.Files.copy(
-          java.nio.file.Paths.get(bin.files.head),
-          dst.toPath.resolveSibling(f"bin-$i%05d.parquet"))
-      else
-        binFrame(spark, bin).write.parquet(dst.getAbsolutePath)
+          java.nio.file.Paths.get(bin.files.head), dst.toPath)
+      else {
+        val tmp = new File(out, f".bin-$i%05d.tmp")
+        binFrame(spark, bin).write.parquet(tmp.getAbsolutePath)
+        val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"coalesce(1) bin wrote ${parts.length} part files in $tmp")
+        java.nio.file.Files.move(parts.head.toPath, dst.toPath)
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+        java.nio.file.Files.deleteIfExists(tmp.toPath)
+      }
     }
     bins
   }

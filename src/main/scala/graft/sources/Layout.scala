@@ -36,11 +36,19 @@ object Layout {
     * dims above ~1.4e14 the raw `a * 65535` would overflow Long to
     * negative and ZOrder2's saturating clamp would then send the row to
     * the curve ORIGIN instead of the top — the opposite of the
-    * documented saturate-not-wrap intent. */
+    * documented saturate-not-wrap intent. The clamp alone is not
+    * enough when CMAX itself exceeds Long.MaxValue/65535 (the product
+    * of in-range values still wraps), so huge dimensions take a
+    * divide-FIRST path: `clamped / (cmax/65535 + 1)` never overflows,
+    * stays in [0, 65535], and is the same exact integer binning just
+    * computed in the other order. */
   def zkey(a: Column, amax: Long, b: Column, bmax: Long): Column = {
-    def scaled(c: Column, cmax: Long): Column =
-      (greatest(lit(0L), least(c.cast("long"), lit(cmax)))
-        * 65535L / math.max(1L, cmax)).cast("long")
+    def scaled(c: Column, cmax: Long): Column = {
+      val m = math.max(1L, cmax)
+      val clamped = greatest(lit(0L), least(c.cast("long"), lit(m)))
+      if (m <= Long.MaxValue / 65535L) (clamped * 65535L / m).cast("long")
+      else (clamped / (m / 65535L + 1L)).cast("long")
+    }
     ZOrder2(scaled(a, amax), scaled(b, bmax))
   }
 

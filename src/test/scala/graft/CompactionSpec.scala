@@ -53,12 +53,17 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     val bins = Compaction.compact(spark, in, out, target)
     assert(bins.size < smallFiles.size, s"no compaction: ${bins.size}")
 
-    // one parquet file per multi-file bin
-    def parquetFiles(d: File): Seq[File] =
-      Option(d.listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap(f => if (f.isDirectory) parquetFiles(f) else Seq(f))
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    val outFiles = parquetFiles(new File(out))
+    // FLAT uniform layout: exactly one top-level bin-NNNNN.parquet
+    // FILE per bin — no nested part-file directories, no markers — so
+    // the result reads back as a plain parquet directory with no
+    // recursiveFileLookup or per-shape special casing
+    val entries = Option(new File(out).listFiles()).getOrElse(Array.empty).toSeq
+    assert(entries.forall(_.isFile), s"nested dirs in compacted output: ${
+      entries.filter(_.isDirectory).map(_.getName).mkString(",")}")
+    val outFiles = entries.filter(f =>
+      f.getName.matches("bin-\\d{5}\\.parquet"))
+    assert(outFiles.size == entries.size,
+      s"non-bin files in output: ${entries.map(_.getName).mkString(",")}")
     assert(outFiles.size == bins.size, outFiles.map(_.getName).mkString(","))
 
     // content identical (full multiset of doc ids + text hashes)
@@ -66,8 +71,8 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     def digest(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.select(col("doc_id")).orderBy("doc_id")
         .collect().map(_.getLong(0)).toSeq
-    val readBack = spark.read.parquet(
-      outFiles.map(_.getAbsolutePath): _*)
+    // the whole point: a plain directory read just works
+    val readBack = spark.read.parquet(out)
     assert(digest(readBack) == digest(docs))
   }
 }

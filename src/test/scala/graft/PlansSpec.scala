@@ -416,7 +416,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     val p = plan("s10_label_centroids")
     // TypedImperativeAggregate plans as ObjectHashAggregate partial+final
     assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
-    assert(!p.contains("Generate"), p.take(3000))
+    // the one Generate is the long-shape emit: it explodes the
+    // AGGREGATE's sum vector (slice(cs...)), i.e. labels × d
+    // already-reduced rows — never the corpus embedding column
+    assert("Generate".r.findAllMatchIn(p).size <= 1, p.take(3000))
+    assert(p.contains("posexplode(slice("), p.take(3000))
+    assert(!p.contains("posexplode(embedding"), p.take(3000))
   }
 
   test("d13: containment candidates come from the band equi-join, never an all-pairs loop") {
@@ -431,6 +436,10 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p.take(3000))
     assert(p.contains("min_by"), p.take(3000))
     assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
+    // long-shape emit explodes the aggregated sum vector (the one
+    // other Generate is the s4 centroid SEED's per-label avg — a
+    // one-time bootstrap, not the per-iteration path)
+    assert(p.contains("posexplode(slice("), p.take(3000))
   }
 
   test("x65: PageRank iterations are keyed equi joins + partial+final sums; top-100 is a bounded heap") {
