@@ -365,7 +365,7 @@ object AnnQueries {
       .select(col("label"), col("cs").getItem(0).as("n"),
         posexplode(expr("slice(cs, 2, size(cs) - 1)")))
       .select(col("label"), col("n"), (col("pos") + 1).cast("long").as("pos"),
-        round(col("col").cast("double") / col("n") / 1000000, 6).as("c"))
+        expr(meanMicroSpark).as("c"))
       .orderBy("label", "pos")
   }
 
@@ -396,8 +396,103 @@ object AnnQueries {
       .select(col("cluster"), col("cs").getItem(0).as("n"),
         posexplode(expr("slice(cs, 2, size(cs) - 1)")))
       .select(col("cluster"), col("n"), (col("pos") + 1).cast("long").as("pos"),
-        round(col("col").cast("double") / col("n") / 1000000, 6).as("c"))
+        expr(meanMicroSpark).as("c"))
       .orderBy("cluster", "pos")
+  }
+
+  /** s12 — k-means RUN to the fixpoint (bounded at 10 rounds): the
+    * full iterative-refinement LOOP, where s11 is one step. Each round
+    * follows the MLlib-KMeans pattern — centroids live DRIVER-side
+    * (k×d doubles, size independent of the corpus) and re-enter the
+    * plan as LITERALS, so assignment is a pure per-row expression
+    * (array_min over k fused-L2 struct distances — no join, no
+    * window, no shuffle) and the only exchange per round is the
+    * [[graft.functions.VectorSumAgg]] partial buffers: labels×(8d+8)
+    * bytes. Per-iteration cost at 100 TB = exactly one corpus scan.
+    * The one deliberate collect() is the k-row centroid table each
+    * round — that IS the algorithm's state, not row data, and looping
+    * through the driver truncates lineage for free (no checkpoint
+    * needed because nothing distributed carries across rounds).
+    *
+    * Determinism contract: centroid components round(mean, 6) INSIDE
+    * Spark each round (never driver-side Scala arithmetic — Catalyst's
+    * and DuckDB's round() agree; a JVM reimplementation might not),
+    * quantized integer sums inside the aggregate, argmin tie-break by
+    * cluster id. Stop when the rounded centroid set repeats exactly —
+    * integer/6dp equality, no epsilon. The bound (25) is above the
+    * measured fixpoint at every SF (13/10/23 rounds at sf0.001/0.01/
+    * 0.1), so the emitted `iters` is a real convergence count, not the
+    * cap. The DuckDB twin unrolls 25
+    * rounds as CTEs (the x65 precedent), packs each round's centroid
+    * set into one ordered list, and picks the first round whose
+    * packed state equals its predecessor — the same stop rule run to
+    * the same fixpoint. Output: final centroids in the s10/s11 long
+    * scalar shape plus the rounds-to-converge count. */
+  /** Half-away-from-zero integer rounding of the micro-unit MEAN
+    * (sq/n), then the exact /1e6 to double — shared by s10/s11/s12 and
+    * their oracles. The round(CAST(sq AS DOUBLE)/n/1e6, 6) spelling is
+    * NOT cross-engine safe: sq/n is rational and can land exactly on a
+    * .5 micro boundary (measured at sf0.1: sq/n = -32191.5), where
+    * Spark's round() rounds the DECIMAL shortest-repr of the double
+    * (HALF_UP -> -0.032192) but DuckDB's round() rounds the BINARY
+    * value (std::round of -0.03219149999... -> -0.032191). Integer
+    * arithmetic — m = sign(sq) * ((2|sq| + n) div (2n)) — is exact in
+    * both engines, and CAST(m AS DOUBLE)/1000000 is one IEEE op each,
+    * bit-identical. */
+  private def meanMicroLambda(sq: String, n: String): String =
+    s"CAST(CASE WHEN $sq >= 0 THEN (2 * $sq + $n) DIV (2 * $n) " +
+      s"ELSE -((2 * -$sq + $n) DIV (2 * $n)) END AS DOUBLE) / 1000000"
+
+  /** The long-shape emit after posexplode: columns col (component
+    * micro sum) and n (count). */
+  private val meanMicroSpark: String = meanMicroLambda("col", "n")
+
+  /** DuckDB twin — same integer arithmetic; `//` floor-divides but
+    * both branches keep operands non-negative, where floor = truncate. */
+  private[queries] def meanMicroDuck(sq: String, n: String): String =
+    s"CAST((CASE WHEN $sq >= 0 THEN (2 * $sq + $n) // (2 * $n) " +
+      s"ELSE -((2 * -($sq) + $n) // (2 * $n)) END) AS DOUBLE) / 1000000"
+
+  private val kmeansMaxRounds = 25
+
+  def s12KmeansRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.loadSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur: Seq[(Long, Seq[Double])] =
+        centroids(Tables.load(spark, dir, "embeddings"))
+          .select(col("label").cast("long"), col("centroid"))
+          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      var ns: Seq[(Long, Long)] = Seq.empty
+      var iters = 0
+      var converged = false
+      while (!converged && iters < kmeansMaxRounds) {
+        val assign = array_min(array(cur.map { case (cl, ct) =>
+          struct(L2SquaredDistance(typedLit(ct), col("embedding")).as("d"),
+            lit(cl).as("c"))
+        }: _*)).getField("c")
+        val upd = e.groupBy(assign.as("cluster"))
+          .agg(graft.functions.VectorSumAgg(col("embedding")).as("cs"))
+          .select(col("cluster"), col("cs").getItem(0).as("n"),
+            expr("transform(slice(cs, 2, size(cs) - 1), s -> " +
+              meanMicroLambda("s", "cs[0]") + ")").as("cent"))
+          .as[(Long, Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+        val next = upd.map { case (cl, _, cent) => (cl, cent) }
+        iters += 1
+        converged = next == cur
+        ns = upd.map { case (cl, n, _) => (cl, n) }
+        cur = next
+      }
+      val nOf = ns.toMap
+      cur.flatMap { case (cl, cent) =>
+        cent.zipWithIndex.map { case (c, p) =>
+          (cl, nOf(cl), (p + 1).toLong, c, iters.toLong)
+        }
+      }.toDF("cluster", "n", "pos", "c", "iters")
+        .orderBy("cluster", "pos")
+    } finally e.unpersist(blocking = false)
   }
 
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
@@ -522,6 +617,7 @@ object AnnQueries {
     "s9_mips" -> (s9Mips _),
     "s10_label_centroids" -> (s10LabelCentroids _),
     "s11_kmeans_step" -> (s11KmeansStep _),
+    "s12_kmeans_run" -> (s12KmeansRun _),
     "s7_ivf_pq" -> (s7IvfPq _),
     "d8_semantic_dedup" -> (d8SemanticDedup _),
   )
@@ -612,8 +708,55 @@ object AnnQueries {
         s AS (SELECT cluster, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
               FROM q GROUP BY cluster, k)
         SELECT cluster, n, k AS pos,
-               round(CAST(sq AS DOUBLE) / n / 1000000, 6) AS c
+               ${meanMicroDuck("sq", "n")} AS c
         FROM s ORDER BY cluster, pos""",
+      // s12: the LOOP unrolled — kmeansMaxRounds rounds of (assign by
+      // the row_number argmin spelling, recompute quantized means),
+      // each round's centroid set packed into one ordered list, and
+      // the emitted round = the FIRST whose packed state equals its
+      // predecessor (Spark's exact stop rule; rounds past the
+      // fixpoint are identical by construction, so computing them all
+      // is wasteful-but-correct oracle work). Each round's centroid
+      // CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs per reference,
+      // and with ~4 references per round the 25-round chain would
+      // otherwise expand exponentially (measured: the un-hinted
+      // spelling never finished)
+      "s12_kmeans_run" -> {
+        val kmRounds = (1 to kmeansMaxRounds).map { i =>
+          s"""a$i AS (SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cluster AS cl,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2sq("c.cent", "e.embedding")}, c.cluster) AS rn
+            FROM embeddings e, c${i - 1} c) WHERE rn = 1),
+        q$i AS (SELECT a.cl AS cluster, k,
+              CAST(round(CAST(e.embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+            FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, ${dims + 1}) t(k)),
+        s$i AS (SELECT cluster, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+            FROM q$i GROUP BY cluster, k),
+        c$i AS MATERIALIZED (SELECT cluster, MIN(n) AS n,
+              list(${meanMicroDuck("sq", "n")} ORDER BY k) AS cent
+            FROM s$i GROUP BY cluster)"""
+        }.mkString(",\n        ")
+        def packed(i: Int) =
+          s"(SELECT list({'cl': cluster, 'ct': cent} ORDER BY cluster) FROM c$i)"
+        val fixCase = (1 to kmeansMaxRounds)
+          .map(i => s"WHEN ${packed(i)} = ${packed(i - 1)} THEN $i").mkString(" ")
+        val allr = (1 to kmeansMaxRounds)
+          .map(i => s"SELECT $i AS r, cluster, n, cent FROM c$i").mkString(" UNION ALL ")
+        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
+              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
+        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
+        c0 AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n,
+               list(cx ORDER BY pos) AS cent FROM cdim GROUP BY label),
+        $kmRounds,
+        fx AS (SELECT CAST(CASE $fixCase ELSE $kmeansMaxRounds END AS BIGINT) AS iters),
+        allr AS ($allr)
+        SELECT a.cluster, a.n, CAST(t.k AS BIGINT) AS pos,
+               a.cent[CAST(t.k AS INT)] AS c, fx.iters AS iters
+        FROM allr a, fx, range(1, ${dims + 1}) t(k)
+        WHERE a.r = fx.iters
+        ORDER BY cluster, pos"""
+      },
       // the explode spelling the native vector-sum aggregate must
       // equal: same micro-unit quantization, same grouped integer
       // sums, same mean division text
@@ -624,7 +767,7 @@ object AnnQueries {
         s AS (SELECT label, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
               FROM q GROUP BY label, k)
         SELECT label, n, k AS pos,
-               round(CAST(sq AS DOUBLE) / n / 1000000, 6) AS c
+               ${meanMicroDuck("sq", "n")} AS c
         FROM s ORDER BY label, pos""",
       // MIPS baseline restated as the window spelling over the raw dot
       // product (same double fold order, same 9dp-rounded ranking key)

@@ -131,11 +131,30 @@ object DedupQueries {
     * doc-inside-doc case entirely — a page quoting a whole smaller
     * document scores |small|/|big| ≈ 0 resemblance but containment 1 —
     * and quote/aggregator/boilerplate-wrapper pages are exactly what a
-    * web training corpus is full of. Same scale story as d1: banded
-    * minhash equi-join candidates (never all-pairs), exact set
-    * arithmetic only on the candidate survivors; the threshold (0.6)
-    * sits below d1's 0.5 Jaccard bar because containment ≥ Jaccard —
-    * the emitted set strictly contains d1's pair set restated. */
+    * web training corpus is full of.
+    *
+    * Candidate generation is a PREFIX FILTER (Chaudhuri et al. SSJoin /
+    * Bayardo et al. all-pairs), not d1's minhash bands: band-collision
+    * probability is a function of RESEMBLANCE, so for the motivating
+    * small-inside-big pair (containment ≈ 1, Jaccard ≈ 0) the bands
+    * almost never collide — the banded spelling systematically missed
+    * exactly the pairs this query exists for. The prefix rule is
+    * asymmetric and EXACT: if containment(A,B) ≥ t with |A| ≤ |B|,
+    * then at most (1−t)·|A| of A's shingles are outside B, so ANY
+    * ⌊(1−t)·|A|⌋+1 of A's shingles must include one that B contains.
+    * Each doc therefore probes the full inverted index with its
+    * ⌊0.4·sz⌋+1 RAREST shingles (global doc-frequency order, rarest
+    * first — the ordering is free for correctness but keeps probed
+    * posting lists short), and only strictly-not-larger docs probe.
+    * Recall is 1 by construction — which is why the DuckDB twin is the
+    * ALL-PAIRS ground truth, so the oracle gates the candidate
+    * scheme's recall itself, not a shared blind spot.
+    *
+    * 100 TB shape: explode to (doc, shingle-hash) 8-byte keys, one
+    * hash-keyed agg for document frequency, one doc-keyed window for
+    * the rarest-first rank, one hash-keyed equi join for candidates —
+    * never all-pairs; exact set arithmetic only on candidate
+    * survivors. */
   def d13Containment(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
@@ -143,11 +162,16 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .createOrReplaceTempView("ids")
     spark.sql(s"""
-      WITH mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),
-      eb AS (SELECT doc_id, band.bi AS bi, band.bk AS bk
-             FROM mh LATERAL VIEW explode(array($bandStructsSpark)) AS band),
-      cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-               FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      WITH ex AS (SELECT doc_id, size(ids) AS sz, explode(ids) AS g FROM ids),
+      df AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+      rk AS (SELECT ex.doc_id, ex.sz, ex.g,
+               row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.df, ex.g) AS rn
+             FROM ex JOIN df ON ex.g = df.g),
+      pref AS (SELECT doc_id, sz, g FROM rk WHERE rn <= floor(0.4 * sz) + 1),
+      cand AS (SELECT DISTINCT least(p.doc_id, x.doc_id) AS i,
+                      greatest(p.doc_id, x.doc_id) AS j
+               FROM pref p JOIN ex x ON p.g = x.g
+               WHERE p.sz < x.sz OR (p.sz = x.sz AND p.doc_id <> x.doc_id)),
       ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
                 round(CAST(size(array_intersect(ia.ids, ib.ids)) AS DOUBLE)
                       / least(size(ia.ids), size(ib.ids)), 6) AS containment
@@ -239,6 +263,31 @@ object DedupQueries {
     Tables.load(spark, dir, "documents")
       .join(victims, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** d14 — FULL dedup clustering over BOTH duplication modalities:
+    * d1's resemblance pairs (Jaccard ≥ 0.5) unioned with d13's
+    * containment pairs (≥ 0.6) before connected components. d4
+    * clusters resemblance alone, which dedups a wrapper-page corpus
+    * WRONG: a page quoting a whole smaller document chains to it only
+    * through containment (Jaccard ≈ |small|/|big| ≈ 0), so the
+    * quote-wrapper survives d4/d5 as a "unique" document and the
+    * training corpus keeps the duplicated text. The union runs before
+    * CC — transitivity must close over the MERGED edge set (A contains
+    * B, B resembles C ⇒ one cluster), not per modality.
+    *
+    * Scale shape: both pair miners are the already-audited equi-join
+    * plans (band join / prefix-filter join) sharing the persisted
+    * shingle-id table; only 16-byte id PAIRS enter the union and the
+    * star-contraction rounds — the text column never reaches CC. */
+  def d14FullDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val resemblance = d1MinhashLsh(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+    val containment = d13Containment(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    graft.operators.ConnectedComponents.run(docs, resemblance.union(containment))
+      .select(col("id").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
   }
 
@@ -468,6 +517,7 @@ object DedupQueries {
     "d9_span_dedup"    -> (d9SpanDedup _),
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
     "d13_containment"  -> (d13Containment _),
+    "d14_full_dedup"   -> (d14FullDedup _),
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
     "d4_dedup_clusters" -> (d4DedupClusters _),
@@ -570,20 +620,19 @@ object DedupQueries {
         FROM ids a JOIN ids b ON a.doc_id < b.doc_id
         WHERE ${jacDuck("a.ids", "b.ids")} >= $jacThreshold
         ORDER BY doc_id_a, doc_id_b""",
-      // same band candidates, containment instead of resemblance
+      // the ALL-PAIRS ground truth — the prefix-filter candidates are
+      // exact-recall by construction, so the oracle deliberately does
+      // NOT restate candidate generation: any recall gap in the Spark
+      // scheme shows up as a missing row here
       "d13_containment" ->
         s"""WITH $shingleCteDuck,
-        $idsCteDuck,
-        mh AS (SELECT doc_id, $mhDuck FROM ids),
-        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
-               FROM mh, UNNEST([$bandList]) t(u)),
-        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
-        ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
-                  round(CAST(length(list_intersect(ia.ids, ib.ids)) AS DOUBLE)
-                        / least(length(ia.ids), length(ib.ids)), 6) AS containment
-                FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)
-        SELECT doc_id_a, doc_id_b, containment FROM ver WHERE containment >= 0.6
+        $idsCteDuck
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(length(list_intersect(a.ids, b.ids)) AS DOUBLE)
+                     / least(length(a.ids), length(b.ids)), 6) AS containment
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+        WHERE round(CAST(length(list_intersect(a.ids, b.ids)) AS DOUBLE)
+                    / least(length(a.ids), length(b.ids)), 6) >= 0.6
         ORDER BY doc_id_a, doc_id_b""",
       "d1_minhash_lsh" ->
         s"""WITH $shingleCteDuck,
@@ -622,6 +671,34 @@ object DedupQueries {
         pairs AS (SELECT c.i AS pa, c.j AS pb
                   FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j
                   WHERE ${jacDuck("ia.ids", "ib.ids")} >= $jacThreshold),
+        edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+                  UNION
+                  SELECT e.dst AS id, reach.lab
+                  FROM edges e JOIN reach ON reach.id = e.src)
+        SELECT id AS doc_id, MIN(lab) AS cluster FROM reach
+        GROUP BY id ORDER BY doc_id""",
+      // d4's transitive closure over the MERGED edge set: the banded
+      // resemblance pairs UNION the all-pairs containment ground truth
+      // (the Spark side's prefix-filter candidates are exact-recall,
+      // so the all-pairs spelling is the right twin — as in d13)
+      "d14_full_dedup" ->
+        s"""WITH RECURSIVE $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        rpairs AS (SELECT c.i AS pa, c.j AS pb
+                   FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j
+                   WHERE ${jacDuck("ia.ids", "ib.ids")} >= $jacThreshold),
+        cpairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                   FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+                   WHERE round(CAST(length(list_intersect(a.ids, b.ids)) AS DOUBLE)
+                               / least(length(a.ids), length(b.ids)), 6) >= 0.6),
+        pairs AS (SELECT pa, pb FROM rpairs UNION SELECT pa, pb FROM cpairs),
         edges AS (SELECT pa AS src, pb AS dst FROM pairs
                   UNION ALL SELECT pb, pa FROM pairs),
         reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents

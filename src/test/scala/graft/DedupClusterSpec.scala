@@ -40,6 +40,45 @@ class DedupClusterSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  /** d14's reason to exist, pinned on a crafted corpus: the
+    * doc-inside-doc (wrapper-page) pair has Jaccard ≈ |small|/|big|
+    * below d1's threshold, so resemblance-only clustering (d4) keeps
+    * both — d14's merged edge set must cluster them. The generated
+    * testdata has no containment-only pairs (verified: every d13 pair
+    * at sf0.01 is also a d1 pair), so this is constructed, not
+    * sampled. Also gates the prefix-filter candidate scheme's recall
+    * on exactly the adversarial shape the banded scheme missed:
+    * containment 1, resemblance ~0.17. */
+  test("d14 merges a containment-only wrapper pair that d4 leaves split") {
+    val dir = java.nio.file.Files.createTempDirectory("d14case").toString
+    val words = (0 until 60).map(i => s"w$i")
+    val big = words.mkString(" ")                  // 58 shingles
+    val small = words.take(12).mkString(" ")       // 10 shingles, all in big
+    val other = (0 until 30).map(i => s"z$i").mkString(" ")
+    Seq((1L, small, small.length.toLong), (2L, big, big.length.toLong),
+        (3L, other, other.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val d13 = graft.queries.DedupQueries.d13Containment(spark, dir)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(d13.contains((1L, 2L)),
+      s"prefix filter missed the contained pair (got $d13)")
+
+    val d1 = graft.queries.DedupQueries.d1MinhashLsh(spark, dir)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(!d1.contains((1L, 2L)), "pair visible to Jaccard — case not adversarial")
+
+    val d14 = graft.queries.DedupQueries.d14FullDedup(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(d14(1L) == 1L && d14(2L) == 1L, s"wrapper pair not merged: $d14")
+    assert(d14(3L) == 3L, s"unrelated doc absorbed: $d14")
+
+    val d4 = graft.queries.DedupQueries.d4DedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(d4(1L) != d4(2L), "d4 merged the pair — containment edge not needed?")
+  }
+
   /** d8's claims, MEASURED (the s5 practice: a documented rate is a
     * test, not a comment): at the production threshold the background
     * corpus loses nothing (no false-positive removals), and planted

@@ -424,7 +424,17 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("posexplode(embedding"), p.take(3000))
   }
 
-  test("d13: containment candidates come from the band equi-join, never an all-pairs loop") {
+  test("d14: merged-modality clustering keeps id-only edges into CC, text never shuffles") {
+    val p = plan("d14_full_dedup")
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("NestedLoop"),
+      p.take(4000))
+    // the output side is labels ⋈ nothing wide: no text column survives
+    // into the post-CC plan (the pair miners' scans are upstream of the
+    // checkpoint barrier)
+    assert(!p.contains("text#"), p.take(4000))
+  }
+
+  test("d13: containment candidates come from the prefix-filter equi-join, never an all-pairs loop") {
     val p = plan("d13_containment")
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
       p.take(4000))

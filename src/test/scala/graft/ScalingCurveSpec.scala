@@ -78,6 +78,20 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // p4: the composed release report — three keep gates + rollup
       // must compound to a linear curve like p3
       "p4_corpus_release" -> (graft.queries.PipelineQueries.p4CorpusRelease _),
+      // round-7 additions —
+      // d13: the prefix-filter containment join — candidates follow
+      // the (prefix × posting) product, which the rarest-first order
+      // keeps data-proportional, never all-pairs
+      "d13_containment" -> (graft.queries.DedupQueries.d13Containment _),
+      // d14: both pair miners + star-contraction composed; edges are
+      // id-only so CC cost follows the pair count
+      "d14_full_dedup" -> (graft.queries.DedupQueries.d14FullDedup _),
+      // s12: per-ROUND cost is one scan (constant per-vector work);
+      // total rounds are data-dependent (10 at sf0.01, 23 at sf0.1),
+      // so the wall ratio carries a 2.3x round factor on top of the
+      // row factor — still far inside the envelope, and the round
+      // count is part of the measured claim
+      "s12_kmeans_run" -> (graft.queries.AnnQueries.s12KmeansRun _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
