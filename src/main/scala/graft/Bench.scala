@@ -126,7 +126,15 @@ object Bench {
     // carries it. The full-precision artifact (both passes, 9 decimals)
     // goes to target/bench_full.json for offline attribution.
     val totalR = num(total, 3)
-    val qs = jsonMap(results.map(r => (r._1, r._2)), 3)
+    // The stdout map is emitted in REVERSE alphabetical order: the
+    // driver's capture window keeps the TAIL of the line, so when a
+    // long inventory overruns it the clipped head now loses the
+    // alphabetically-LAST names' values on some rounds and the
+    // alphabetically-first on none — with the r6 forward order the
+    // same d/l/m families were unrecoverable every round. The
+    // full-precision artifact below keeps canonical forward order.
+    val qs = jsonMap(results.map(r => (r._1, r._2))
+      .sortBy(_._1)(Ordering[String].reverse), 3)
     val qsCold = jsonMap(results.map(r => (r._1, r._3)), 9)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(r => (r._1, r._2)), 9)},"queries_cold":$qsCold,"passes":2,"sf":"$sfDir"}"""

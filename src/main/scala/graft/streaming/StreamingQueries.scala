@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Tables
+import graft.queries.FunctionQueries
 
 /** Streaming members of the declared inventory (SURVEY §2.4).
   *
@@ -598,7 +599,7 @@ object StreamingQueries {
     * third). Exists so the bench carries a THROUGHPUT number for the
     * stateful path, not just the per-trigger fixed-cost floor the
     * 4-batch demo feeds measure (VERDICT r5 task 6). */
-  private def throughputFeedFor(spark: SparkSession, dir: String): String = {
+  private[graft] def throughputFeedFor(spark: SparkSession, dir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_x51_feed_${feedKey(dir, "events", "_v1")}")
     if (!new java.io.File(root, "_FEED_READY").exists()) {
@@ -646,22 +647,39 @@ object StreamingQueries {
     * merged in, the emitted set is deterministic and micro-batch
     * boundaries can never change the answer (that containment is
     * exactly what the shared oracle with x45's HAVING spelling gates). */
+  /** x60's key projection — shared by the stream side, the exact
+    * recount, and the chaos spec. */
+  def x60Keyed(df: DataFrame): DataFrame = df.select(
+    when(col("event_id") % 10 < 7, col("event_id") % 5)
+      .otherwise(col("user_id") + 1000L).cast("long").as("k"))
+
+  /** x60's streaming sketch aggregation (complete mode) — factored so
+    * the chaos spec can kill/restart this exact definition. */
+  def x60Sketch(stream: DataFrame): DataFrame =
+    x60Keyed(stream)
+      .agg(graft.functions.MisraGries(col("k"), 64).as("ks"),
+        count(lit(1)).as("n"))
+
+  /** x60's exact-recount gate over the drained sketch snapshot. */
+  def x60Recount(spark: SparkSession, dir: String, cand: DataFrame): DataFrame =
+    x60Keyed(Tables.load(spark, dir, "events"))
+      .join(broadcast(cand), array_contains(col("ks"), col("k")))
+      .groupBy("k", "n").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 20 > col("n"))
+      .select(col("k"), col("cnt"))
+      .orderBy("k")
+
   def x60StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
       withShufflePartitions(spark, 4) {
     val feed = feedFor(spark, dir)
     val tmp = Files.createTempDirectory("graft_x60").toString
     val schema = spark.read.parquet(feed).schema
-    def keyed(df: DataFrame): DataFrame = df.select(
-      when(col("event_id") % 10 < 7, col("event_id") % 5)
-        .otherwise(col("user_id") + 1000L).cast("long").as("k"))
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "2")
       .parquet(feed)
     val qname = "x60_state_" + UUID.randomUUID().toString.replace("-", "")
-    val q = keyed(stream)
-      .agg(graft.functions.MisraGries(col("k"), 64).as("ks"),
-        count(lit(1)).as("n"))
+    val q = x60Sketch(stream)
       .writeStream
       .outputMode("complete")
       .format("memory")
@@ -670,14 +688,84 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val cand = spark.table(qname)
-    keyed(Tables.load(spark, dir, "events"))
-      .join(broadcast(cand), array_contains(col("ks"), col("k")))
-      .groupBy("k", "n").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") * 20 > col("n"))
-      .select(col("k"), col("cnt"))
-      .orderBy("k")
+    x60Recount(spark, dir, spark.table(qname))
   }
+
+  /** x66's stream transform — factored like [[p2Transform]] so the
+    * semantics/chaos specs drive this exact definition. Hourly
+    * event-time windows, 30 s watermark, and the [[graft.functions
+    * .KmvDistinct]] sketch as the STATE VALUE: the per-window state is
+    * the k=64 smallest key hashes (a fixed ≤ 64 longs however many
+    * distinct users the window sees), merged across micro-batches by
+    * the sketch's associative merge. `n` (row count) rides along both
+    * as the dashboard's denominator and as the UPDATE-mode version
+    * stamp — it strictly grows every time a window re-emits, so the
+    * final snapshot is max_by(n) per window. */
+  def x66Transform(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "30 seconds")
+      .selectExpr("ts", FunctionQueries.kmvHashSpark("user_id") + " AS h")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.KmvDistinct(col("h"), 64).as("est_users"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("est_users"), col("n"))
+
+  /** x66 — ROLLING DISTINCT-PER-WINDOW, live: the dashboard query
+    * ("distinct users per hour, updating as events arrive") in UPDATE
+    * mode — each micro-batch re-emits only the windows it touched,
+    * which is the sink contract a live dashboard upserts from. The
+    * 100 TB state story is the whole point: per-window EXACT distinct
+    * holds every user id ever seen in state (unbounded, the x16
+    * shape), while the KMV buffer is ≤ 64 hashes per window AND the
+    * watermark closes windows behind the event-time frontier — state
+    * = live windows × a fixed sketch, regardless of corpus or
+    * cardinality. The final per-window estimates equal the batch
+    * x20-style KMV over the same rows because the sketch is
+    * merge-order independent (the mergeable-summaries rule), which is
+    * exactly what the batch-restated oracle gates; the estimate's
+    * ±1/√(k−1) error is against TRUE cardinality, not against the
+    * oracle — both engines compute the identical estimator. */
+  def x66StreamRollingDistinct(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 4) {
+    val feed = feedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x66").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(feed)
+    val qname = "x66_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = x66Transform(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // incremental-update attribution for PLANS.md: state rows UPDATED
+    // per batch = windows the batch touched (numRowsTotal is
+    // unavailable — this session's RocksDB stores run with
+    // trackTotalNumberOfRows off, the round-5 latency fix). With the
+    // ts-ordered feed each batch touches only its own ts range's
+    // windows — the update-mode dashboard contract the semantics spec
+    // asserts on the sink itself.
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(s =>
+        s"b${p.batchId}=${s.numRowsUpdated}"))
+    System.err.println(s"[x66] state rows updated per batch: ${stateRows.mkString(" ")}")
+    spark.table(qname)
+      .groupBy("wstart")
+      .agg(max_by(col("est_users"), col("n")).as("est_users"), max(col("n")).as("n"))
+      .orderBy("wstart")
+  }
+
+  /** x51's watermark-bounded dedup transform — factored like
+    * [[p2Transform]] so the chaos spec can drive this exact
+    * definition through a restartable parquet sink. */
+  def x51Transform(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
 
   def x51StreamThroughput(spark: SparkSession, dir: String): DataFrame =
       withShufflePartitions(spark, 4) {
@@ -689,8 +777,7 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
     val qname = "x51_state_" + UUID.randomUUID().toString.replace("-", "")
-    val q = stream.withWatermark("ts", "30 seconds")
-      .dropDuplicatesWithinWatermark("event_id")
+    val q = x51Transform(stream)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -855,6 +942,7 @@ object StreamingQueries {
     "x33_stateful_sessions" -> (x33StatefulSessions _),
     "x51_stream_throughput" -> (x51StreamThroughput _),
     "x60_stream_heavy_hitters" -> (x60StreamHeavyHitters _),
+    "x66_stream_rolling_distinct" -> (x66StreamRollingDistinct _),
     "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
@@ -873,6 +961,16 @@ object StreamingQueries {
       GROUP BY k
       HAVING COUNT(*) * 20 > (SELECT COUNT(*) FROM events)
       ORDER BY k""",
+    // the final UPDATE-mode snapshot equals the batch KMV per window:
+    // the sketch is merge-order independent, so micro-batch boundaries
+    // cannot change the answer — x20's estimator restated per hour
+    "x66_stream_rolling_distinct" ->
+      s"""SELECT date_trunc('hour', ts) AS wstart,
+        CASE WHEN count(DISTINCT h) < 64 THEN count(DISTINCT h)
+             ELSE CAST(63 AS BIGINT) * 1000000007 // list_sort(list(DISTINCT h))[64] END AS est_users,
+        COUNT(*) AS n
+      FROM (SELECT ts, ${FunctionQueries.kmvHashDuck("user_id")} AS h FROM events)
+      GROUP BY wstart ORDER BY wstart""",
     // the enrichment is stateless, so the streaming output is exactly
     // the batch star join over the same tables
     "x36_stream_static_join" ->

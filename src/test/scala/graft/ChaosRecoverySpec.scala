@@ -233,6 +233,131 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     killRestartScenario("x33", startX33, x33Manifest)
   }
 
+  // ---- x51 throughput-dedup chaos scenario ----------------------------------
+
+  private lazy val x51Feed: String =
+    graft.streaming.StreamingQueries.throughputFeedFor(spark, "/root/testdata/sf0.01")
+
+  private def startX51(out: String, ckpt: String, trigger: Trigger) = {
+    val schema = spark.read.parquet(x51Feed).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(x51Feed)
+    graft.streaming.StreamingQueries.x51Transform(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(trigger).start()
+  }
+
+  /** The sink digest for x51's 750 k-row manifest: the oracle-checked
+    * per-type counts plus the distinct/total id counts — a re-delivered
+    * duplicate shifts total vs distinct, a dropped row shifts a type
+    * count, so the digest catches both failure modes without hauling
+    * the full row set through the comparison. */
+  private def x51Manifest(out: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(out)
+    df.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type").collect().map(_.toString).toSeq ++
+      df.agg(count(lit(1)), countDistinct(col("event_id")))
+        .collect().map(_.toString).toSeq
+  }
+
+  test("x51 throughput dedup killed mid-feed resumes from checkpoint; counts exactly-once") {
+    // the kill lands with RocksDB dedup state partially built over the
+    // 10x feed; the drain includes the re-delivery file, which the
+    // RESTORED state must drop — the same contract as p2 but at the
+    // row volume where state work dominates trigger fixed cost
+    killRestartScenario("x51", startX51, x51Manifest)
+  }
+
+  // ---- x60 / x66 sketch-state chaos scenarios -------------------------------
+
+  /** Kill-restart for COMPLETE/UPDATE-mode sketch queries, where the
+    * parquet-sink helper doesn't apply: run clean (AvailableNow), then
+    * run with a fast trigger, stop after the first committed batch, and
+    * resume from the SAME checkpoint into a fresh memory table. The
+    * comparison is on the drained final answer, which the sketches'
+    * merge-order independence makes byte-comparable: the restored
+    * state + remaining batches must reach the same fixpoint the
+    * uninterrupted run reached. */
+  private def sketchKillRestart(label: String, mode: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      feed: String, finalize: org.apache.spark.sql.DataFrame => Seq[String]): Unit = {
+    val schema = spark.read.parquet(feed).schema
+    def start(qname: String, ckpt: String, trigger: Trigger) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      transform(stream).writeStream.outputMode(mode)
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+    }
+    val cleanCkpt = Files.createTempDirectory(s"${label}_clean").toString
+    val qc = start(s"${label}_clean_t", s"$cleanCkpt/ckpt", Trigger.AvailableNow())
+    qc.awaitTermination()
+    val clean = finalize(spark.table(s"${label}_clean_t"))
+    assert(clean.nonEmpty, s"clean $label run produced an empty snapshot")
+
+    val ckpt = Files.createTempDirectory(s"${label}_restart").toString + "/ckpt"
+    val q1 = start(s"${label}_killed_t", ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "no batch committed within the deadline — can't demonstrate a mid-feed kill")
+    q1.stop()
+    q1.awaitTermination()
+    val q2 = start(s"${label}_resumed_t", ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = finalize(spark.table(s"${label}_resumed_t"))
+    assert(got == clean,
+      s"$label restart broke the snapshot: ${got.size} rows vs clean ${clean.size}")
+  }
+
+  test("x60 MG sketch state killed mid-feed restores from checkpoint; heavy hitters exact") {
+    // complete mode: the MG buffers ARE the state-store values; the
+    // resumed run's final emission reflects state merged across the
+    // kill boundary, and the exact recount must equal the clean run's
+    sketchKillRestart("x60", "complete",
+      graft.streaming.StreamingQueries.x60Sketch,
+      graft.streaming.StreamingQueries.feedFor(spark, "/root/testdata/sf0.01"),
+      cand => graft.streaming.StreamingQueries
+        .x60Recount(spark, "/root/testdata/sf0.01", cand)
+        .collect().map(_.toString).toSeq)
+  }
+
+  test("x66 KMV window state killed mid-feed restores from checkpoint; estimates exact") {
+    // update mode emits only the windows a batch touched, so a memory
+    // sink (reset on restart) would lose windows finished before the
+    // kill. Instead every update row is APPENDED to one parquet dir by
+    // foreachBatch across BOTH incarnations; an uncommitted batch the
+    // restart replays appends byte-identical rows (the transform is
+    // deterministic), which the max-n-per-window snapshot absorbs. A
+    // window the kill interrupted mid-accumulation re-emits with its n
+    // grown from RESTORED KMV state — the thing under test: a fresh
+    // (empty) state would re-emit a smaller n/estimate and break the
+    // snapshot equality.
+    import org.apache.spark.sql.functions._
+    val feed = graft.streaming.StreamingQueries.feedFor(spark, "/root/testdata/sf0.01")
+    val schema = spark.read.parquet(feed).schema
+    def start(out: String, ckpt: String, trigger: Trigger) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      graft.streaming.StreamingQueries.x66Transform(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+    }
+    def snapshot(out: String): Seq[String] =
+      spark.read.parquet(out).groupBy("wstart")
+        .agg(max_by(col("est_users"), col("n")).as("est_users"), max(col("n")).as("n"))
+        .orderBy("wstart").collect().map(_.toString).toSeq
+    killRestartScenario("x66", start, snapshot)
+  }
+
   test("d4 clustering survives executor SIGKILL with reliable checkpoints; labels exact") {
     // the one crack in the dedup-clustering 100 TB posture was that
     // localCheckpoint blocks die with their executor; this drives the

@@ -70,6 +70,37 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("x66 rolling distinct emits incrementally in update mode; KMV state merges across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = graft.streaming.StreamingQueries
+      .x66Transform(in.toDF().toDF("ts", "user_id"))
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("x66sem").start()
+    try {
+      // batch 1 touches only hour-0: exactly ONE update row
+      in.addData((ts(1), 10L), (ts(2), 11L), (ts(3), 10L))
+      q.processAllAvailable()
+      val after1 = spark.table("x66sem")
+        .as[(Timestamp, Long, Long)].collect().toSeq
+      assert(after1 == Seq((ts(0), 2L, 3L)),
+        s"hour-0 should emit distinct=2 of n=3: $after1")
+      // batch 2 touches hour-0 (new user, via RESTORED KMV state) and
+      // hour-1 (new window): exactly TWO more update rows — update
+      // mode must NOT re-emit untouched windows (that would be the
+      // complete-mode dashboard anti-pattern at 100 TB window counts)
+      in.addData((ts(4), 12L), (ts(70), 10L))
+      q.processAllAvailable()
+      val after2 = spark.table("x66sem")
+        .as[(Timestamp, Long, Long)].collect().toSeq
+      assert(after2.size == 3, s"expected 1 + 2 update rows, got $after2")
+      val latest = after2.groupBy(_._1).map { case (w, rows) => w -> rows.maxBy(_._3) }
+      assert(latest(ts(0)) == ((ts(0), 3L, 4L)),
+        s"hour-0 must re-emit with state-merged distinct=3 of n=4: $after2")
+      assert(latest(ts(60)) == ((ts(60), 1L, 1L)), s"hour-1 wrong: $after2")
+    } finally q.stop()
+  }
+
   test("gap sessionization: sessions close on gap, state survives micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
