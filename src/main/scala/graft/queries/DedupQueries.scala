@@ -266,6 +266,31 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d15 — NORMALIZED exact dedup (the CCNet/RefinedWeb "fuzzy-exact"
+    * gate): group on the hash of the CANONICALIZED text — NFC
+    * normalization, lowercase, whitespace runs collapsed to one
+    * space, leading/trailing space trimmed — and keep the minimum
+    * doc_id per group with its copy count. l1's byte-exact dedup
+    * misses trivially-reformatted copies (case flips, doubled spaces,
+    * decomposed Unicode — exactly what scraping the same page through
+    * two toolchains produces); full near-dup (d1) is overkill for
+    * them. This is the cheap middle gate real pipelines run FIRST:
+    * one scan computing a per-row key + one hash-keyed aggregate —
+    * the text never shuffles, only the 8-byte key does. The crafted
+    * variant-collapse case (which the generated corpus lacks) is
+    * asserted in DedupClusterSpec. */
+  def d15NormalizedExact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM (SELECT doc_id,
+              poly_hash(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' '))) AS k
+            FROM documents)
+      GROUP BY k
+      ORDER BY doc_id""")
+  }
+
   /** d14 — FULL dedup clustering over BOTH duplication modalities:
     * d1's resemblance pairs (Jaccard ≥ 0.5) unioned with d13's
     * containment pairs (≥ 0.6) before connected components. d4
@@ -518,6 +543,7 @@ object DedupQueries {
     "d1_minhash_lsh"   -> (d1MinhashLsh _),
     "d13_containment"  -> (d13Containment _),
     "d14_full_dedup"   -> (d14FullDedup _),
+    "d15_normalized_exact" -> (d15NormalizedExact _),
     "d2_simhash"       -> (d2Simhash _),
     "d3_ngram_jaccard" -> (d3NgramJaccard _),
     "d4_dedup_clusters" -> (d4DedupClusters _),
@@ -620,6 +646,15 @@ object DedupQueries {
         FROM ids a JOIN ids b ON a.doc_id < b.doc_id
         WHERE ${jacDuck("a.ids", "b.ids")} >= $jacThreshold
         ORDER BY doc_id_a, doc_id_b""",
+      // the same canonicalization chain verbatim (NFC -> lower ->
+      // whitespace collapse -> trim) hashed by the shared rolling hash
+      "d15_normalized_exact" ->
+        s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id,
+                ${rollingHashDuck("trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))")} AS k
+              FROM documents)
+        GROUP BY k
+        ORDER BY doc_id""",
       // the ALL-PAIRS ground truth — the prefix-filter candidates are
       // exact-recall by construction, so the oracle deliberately does
       // NOT restate candidate generation: any recall gap in the Spark

@@ -342,6 +342,40 @@ object SqlSurfaceQueries {
       ORDER BY user_id""")
   }
 
+  /** x69 — UPSERT APPLY (MERGE INTO semantics as a batch operator),
+    * x61's sibling: x61 REPORTS how two snapshots differ; x69 APPLIES
+    * a change set to a base snapshot and emits the post-merge table —
+    * the CDC-apply step every warehouse sync, dimension refresh and
+    * engine migration runs. Base = the even-changelog compaction,
+    * changes = the odd half; per key the change row wins (`WHEN
+    * MATCHED UPDATE` + `WHEN NOT MATCHED INSERT`), untouched base rows
+    * survive, and each output row carries its provenance. Spark-native
+    * spelling: since MERGE INTO needs a mutable table format, the
+    * declarative form is ONE full-outer key join + coalesce — the
+    * exact plan a format's merge executes underneath, minus the
+    * transaction log. Unbroadcastable by definition (both unmatched
+    * sides must surface); one key-equi shuffle each side. */
+  def x69UpsertApply(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql("""
+      WITH base AS (SELECT user_id, last.event_type AS t, round(last.value, 4) AS v
+                    FROM (SELECT user_id,
+                            max_by(struct(event_type, value), struct(ts, event_id)) AS last
+                          FROM events WHERE event_id % 2 = 0 GROUP BY user_id)),
+      chg AS (SELECT user_id, last.event_type AS t, round(last.value, 4) AS v
+              FROM (SELECT user_id,
+                      max_by(struct(event_type, value), struct(ts, event_id)) AS last
+                    FROM events WHERE event_id % 2 = 1 GROUP BY user_id))
+      SELECT coalesce(c.user_id, b.user_id) AS user_id,
+             coalesce(c.t, b.t) AS t,
+             coalesce(c.v, b.v) AS v,
+             CASE WHEN b.user_id IS NULL THEN 'inserted'
+                  WHEN c.user_id IS NULL THEN 'kept'
+                  ELSE 'updated' END AS src
+      FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      ORDER BY user_id""")
+  }
+
   /** The x65 iteration chain, parameterized on the integer-division
     * operator (Spark `DIV`, DuckDB `//`) and the edge/degree relation
     * names — the damping arithmetic is shared text. Ranks live in
@@ -404,6 +438,7 @@ object SqlSurfaceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x65_pagerank"      -> (x65Pagerank _),
     "x61_snapshot_diff" -> (x61SnapshotDiff _),
+    "x69_upsert_apply"  -> (x69UpsertApply _),
     "x56_pit_join"      -> (x56PitJoin _),
     "x53_grouping_sets" -> (x53GroupingSets _),
     "x52_scd2"          -> (x52Scd2 _),
@@ -425,6 +460,27 @@ object SqlSurfaceQueries {
       edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
       deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
       """ + pagerankIterSql("//", "edges", "deg")),
+    // x61's row_number snapshot spelling per half, the same merge
+    // rule: change row wins, base survives, provenance tagged
+    "x69_upsert_apply" ->
+      """WITH base AS (SELECT user_id, event_type AS t, round(value, 4) AS v
+                 FROM (SELECT *, row_number() OVER
+                         (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM events WHERE event_id % 2 = 0)
+                 WHERE rn = 1),
+      chg AS (SELECT user_id, event_type AS t, round(value, 4) AS v
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events WHERE event_id % 2 = 1)
+            WHERE rn = 1)
+      SELECT coalesce(c.user_id, b.user_id) AS user_id,
+             coalesce(c.t, b.t) AS t,
+             coalesce(c.v, b.v) AS v,
+             CASE WHEN b.user_id IS NULL THEN 'inserted'
+                  WHEN c.user_id IS NULL THEN 'kept'
+                  ELSE 'updated' END AS src
+      FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      ORDER BY user_id""",
     // snapshots restated through the row_number spelling (the x46
     // oracle pattern) per changelog half; same diff classification
     "x61_snapshot_diff" ->

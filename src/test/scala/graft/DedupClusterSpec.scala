@@ -79,6 +79,32 @@ class DedupClusterSpec extends AnyFunSuite with SparkSuite {
     assert(d4(1L) != d4(2L), "d4 merged the pair — containment edge not needed?")
   }
 
+  /** d15's reason to exist, pinned on crafted variants: the same
+    * sentence reformatted (case flip, doubled whitespace, decomposed
+    * Unicode é) is byte-distinct — l1's exact hash keeps all copies —
+    * but canonicalizes to one key that d15 collapses. */
+  test("d15 collapses case/whitespace/NFC variants that byte-exact dedup keeps") {
+    val dir = java.nio.file.Files.createTempDirectory("d15case").toString
+    val base = "the café on main street serves espresso"
+    val caseFlip = "The Café on MAIN street serves espresso"
+    val spaced = "the café  on main\tstreet  serves espresso "
+    val decomposed = "the cafe\u0301 on main street serves espresso" // e + COMBINING ACUTE
+    val other = "a completely different document"
+    Seq((1L, base), (2L, caseFlip), (3L, spaced), (4L, decomposed), (5L, other))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val l1 = graft.queries.LlmQueries.l1ExactDedup(spark, dir)
+      .as[Long].collect().toSet
+    assert(l1 == Set(1L, 2L, 3L, 4L, 5L), s"byte-exact should keep all five: $l1")
+
+    val d15 = graft.queries.DedupQueries.d15NormalizedExact(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(d15 == Map(1L -> 4L, 5L -> 1L),
+      s"variants must collapse to doc 1 with 4 copies: $d15")
+  }
+
   /** d8's claims, MEASURED (the s5 practice: a documented rate is a
     * test, not a comment): at the production threshold the background
     * corpus loses nothing (no false-positive removals), and planted
