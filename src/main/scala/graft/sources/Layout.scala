@@ -39,9 +39,12 @@ object Layout {
     * documented saturate-not-wrap intent. The clamp alone is not
     * enough when CMAX itself exceeds Long.MaxValue/65535 (the product
     * of in-range values still wraps), so huge dimensions take a
-    * divide-FIRST path: `clamped / (cmax/65535 + 1)` never overflows,
-    * stays in [0, 65535], and is the same exact integer binning just
-    * computed in the other order. */
+    * divide-FIRST path: `clamped / (cmax/65535 + 1)` never overflows
+    * and stays in [0, 65535]. Note this is an overflow-safe APPROXIMATE
+    * binning, not the identical binning computed in the other order:
+    * its bucket boundaries differ slightly from `clamped*65535/cmax`
+    * and its top bucket is 65534 — but it is monotone in the input,
+    * which is all z-order clustering needs. */
   def zkey(a: Column, amax: Long, b: Column, bmax: Long): Column = {
     def scaled(c: Column, cmax: Long): Column = {
       val m = math.max(1L, cmax)

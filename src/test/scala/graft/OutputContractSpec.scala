@@ -36,7 +36,13 @@ class OutputContractSpec extends AnyFunSuite with SparkSuite {
 
   test("every query output schema is scalar-only (driver sorter can hash it)") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // analysis only — .schema resolves the plan without executing it
+      // .schema resolves most plans at analysis time without executing
+      // them — but NOT uniformly: the streaming family (x27+, p2) runs
+      // its feed + start()/awaitTermination inside the query function
+      // before a DataFrame exists, and s12 runs its full Lloyd loop.
+      // The sf0.001 inputs keep those executions cheap (~seconds); the
+      // contract deliberately exercises the real builder path rather
+      // than a declared-schema registry that could drift from it.
       val schema = fn(spark, sf).schema
       schema.fields.collect {
         case f if !scalarOk(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
