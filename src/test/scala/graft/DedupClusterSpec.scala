@@ -126,4 +126,20 @@ class DedupClusterSpec extends AnyFunSuite with SparkSuite {
     val recall = removed.size.toDouble / twins.size
     assert(recall >= 0.9, s"twin recall $recall (${removed.size}/${twins.size})")
   }
+
+  /** The dedup consumer family (d1/d4/d5/d7/d14) shares one pair
+    * mining per session: the verified pair manifests are persisted
+    * and the cache manager's canonicalized-plan dedup must substitute
+    * the cached data into every later call's plan — otherwise each
+    * consumer silently re-runs the band join + verify (the round-7
+    * board's top cost). Pinned here structurally: after one execution,
+    * a fresh call's optimized plan reads an InMemoryRelation. */
+  test("d1 pair mining is session-cached: second call's plan reads the in-memory manifest") {
+    val dir = "/root/testdata/sf0.01"
+    graft.queries.DedupQueries.d1MinhashLsh(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val second = graft.queries.DedupQueries.d1MinhashLsh(spark, dir)
+    assert(second.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "second d1 call does not reuse the persisted pair manifest")
+  }
 }
