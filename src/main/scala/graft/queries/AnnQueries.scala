@@ -226,24 +226,32 @@ object AnnQueries {
 
   /** s4 — IVF-flat ANN: the other classic ANN scale path (inverted file
     * index). Coarse quantizer = per-label mean centroids (deterministic:
-    * each coordinate is round(avg, 6), killing summation-order noise, so
-    * the DuckDB oracle regenerates identical centroids); every vector is
+    * integer micro-unit arithmetic, see [[centroids]]); every vector is
     * assigned to its nearest centroid (argmin L2², label-ascending
     * tie-break); the query probes its nprobe=2 nearest lists and ranks
     * only their members by exact cosine. At 100 TB: centroids are a tiny
     * broadcast table, assignment is a scan, and the query touches
     * ~nprobe/nlists of the corpus. */
-  /** Deterministic coarse quantizer, shared by s4 and d8: per-label mean
-    * centroids (label, array<double>[64]) — posexplode → per-dim avg,
-    * each coordinate round(avg, 6) so summation order can't produce
-    * engine-visible noise and the DuckDB oracle regenerates identical
-    * centroids. */
+  /** Deterministic coarse quantizer, shared by s4/s7/s11/d8 and s12's
+    * seed: per-label mean centroids (label, array<double>[64]) through
+    * [[graft.functions.VectorSumAgg]]'s quantized integer sums and the
+    * half-away-from-zero [[meanMicroLambda]] division — the SAME
+    * arithmetic the per-round k-means means use. The earlier
+    * round(avg(x), 6) spelling was double-rounding: Spark's avg is
+    * summation-order dependent, and on an exact .5 micro boundary
+    * Spark's round() (HALF_UP on the decimal shortest-repr) and
+    * DuckDB's (std::round of the binary value) disagree — a seed
+    * boundary hit would cascade through every k-means round. Integer
+    * sums are exact and order-independent in both engines, so every
+    * coordinate is bit-identical by construction. Bonus: the aggregate
+    * collapses map-side (labels×(8d+8)-byte exchange), where the
+    * posexplode spelling shuffled rows×d triples. */
   private[graft] def centroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(round(avg(col("x")), 6).as("cx"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
-        .as("centroid"))
+    e.groupBy(col("label"))
+      .agg(graft.functions.VectorSumAgg(col("embedding")).as("cs"))
+      .select(col("label"),
+        expr("transform(slice(cs, 2, size(cs) - 1), s -> " +
+          meanMicroLambda("s", "cs[0]") + ")").as("centroid"))
 
   def s4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
@@ -645,6 +653,21 @@ object AnnQueries {
     def l2sq(c: String, e: String) =
       s"list_sum(list_transform(range(1, $dims + 1), k -> " +
         s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
+    // the coarse-quantizer centroid CTEs shared by every twin that uses
+    // it (s4/s7/s11/d8/s12's seed) — ONE spelling so they cannot
+    // diverge, restating centroids()'s arithmetic exactly: quantized
+    // integer component sums (VectorSumAgg) + the half-away-from-zero
+    // integer mean division (meanMicro). Replaces the ROUND(AVG(x), 6)
+    // spelling, which was summation-order dependent and cross-engine
+    // divergent on exact .5 micro boundaries.
+    val centCtes =
+      s"""qc AS (SELECT label, k,
+              CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+            FROM embeddings, range(1, ${dims + 1}) t(k)),
+        sc AS (SELECT label, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+            FROM qc GROUP BY label, k),
+        cent AS (SELECT label, list(${meanMicroDuck("sq", "n")} ORDER BY k) AS centroid
+            FROM sc GROUP BY label)"""
     Map(
       "s8_range_search" ->
         s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
@@ -692,10 +715,7 @@ object AnnQueries {
       // s4's centroid + row_number assignment spellings feeding s10's
       // explode-mean spelling — the whole Lloyd step restated
       "s11_kmeans_step" ->
-        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
-              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
-        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
-        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        s"""WITH $centCtes,
         assigned AS (SELECT vec_id, clabel FROM (
             SELECT e.vec_id, c.label AS clabel,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -743,11 +763,9 @@ object AnnQueries {
           .map(i => s"WHEN ${packed(i)} = ${packed(i - 1)} THEN $i").mkString(" ")
         val allr = (1 to kmeansMaxRounds)
           .map(i => s"SELECT $i AS r, cluster, n, cent FROM c$i").mkString(" UNION ALL ")
-        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
-              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
-        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
+        s"""WITH $centCtes,
         c0 AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n,
-               list(cx ORDER BY pos) AS cent FROM cdim GROUP BY label),
+               centroid AS cent FROM cent),
         $kmRounds,
         fx AS (SELECT CAST(CASE $fixCase ELSE $kmeansMaxRounds END AS BIGINT) AS iters),
         allr AS ($allr)
@@ -803,10 +821,7 @@ object AnnQueries {
             list_transform(embedding, (x, i) ->
               CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 * ((i - 1) % 3 - 1)) AS FLOAT)) AS embedding
           FROM embeddings WHERE vec_id % 10 = 0),
-        dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
-              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
-        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
-        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        $centCtes,
         assigned AS (SELECT vec_id, cluster FROM (
             SELECT e.vec_id, c.label AS cluster,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -830,10 +845,7 @@ object AnnQueries {
           s"list_sum(list_transform(range(1, 17), j -> " +
             s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE)) * " +
             s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE))))"
-        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
-              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
-        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
-        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        s"""WITH $centCtes,
         mm AS (SELECT unnest(range(0, 4)) AS m),
         codes AS (SELECT vec_id, m, label AS code FROM (
             SELECT e.vec_id, mm.m, c.label,
@@ -854,10 +866,7 @@ object AnnQueries {
         ORDER BY sim DESC, b.vec_id LIMIT 5"""
       },
       "s4_ann_ivf" ->
-        s"""WITH dims AS (SELECT label, u.i AS pos, u.x AS x FROM embeddings,
-              UNNEST(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) t(u)),
-        cdim AS (SELECT label, pos, ROUND(AVG(x), 6) AS cx FROM dims GROUP BY label, pos),
-        cent AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+        s"""WITH $centCtes,
         assigned AS (SELECT vec_id, clabel FROM (
             SELECT e.vec_id, c.label AS clabel,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
