@@ -100,4 +100,23 @@ object TextPrimitives {
     * doubled. */
   val bpeTokenPatternSpark: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
   val bpeTokenPatternDuck: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** The fixed subword vocabulary for t10's greedy longest-match
+    * tokenizer ([[graft.functions.SubwordCount]]): the classic
+    * high-frequency English merges a small BPE vocabulary learns
+    * first, lengths 2–4, lowercase ASCII letters only (the kernel's
+    * packed-int matcher and the DuckDB twin's literal list both
+    * restate THIS sequence — one definition). Single characters are
+    * the implicit fallback (one token each), so the vocabulary needs
+    * no length-1 entries. */
+  val subwordVocab: Seq[String] = Seq(
+    "tion",
+    "the", "ing", "ent", "ion", "and", "ers", "est", "ati",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "ed", "st", "ar", "al", "to", "it",
+    "is", "of", "as")
+
+  /** The same vocabulary as a DuckDB list literal. */
+  val subwordVocabDuck: String =
+    subwordVocab.map(v => s"'$v'").mkString("[", ", ", "]")
 }

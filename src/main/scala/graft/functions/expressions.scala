@@ -1308,6 +1308,96 @@ object Int8QuantStats {
   def apply(c: Column): Column = GraftShims.column(Int8QuantStats(GraftShims.expression(c)))
 }
 
+/** Greedy longest-match subword token count over the fixed
+  * [[TextPrimitives.subwordVocab]] — tokenizer-accurate counting for
+  * packing/mixing budgets, where t3's whitespace and BPE-shape counts
+  * under-estimate real subword sequence lengths. At each position:
+  * the longest vocabulary piece (length 4 → 2) matching the current
+  * prefix is one token; otherwise one CODE POINT is one token (the
+  * OOV fallback); the ASCII space is a separator (consumed, never
+  * counted), so whole-text counting equals per-word counting — the
+  * fact the per-word recursive DuckDB twin relies on. One fused pass
+  * over the UTF-8 bytes, allocation-free: pieces are matched as
+  * packed big-endian ints against per-length sorted arrays (the
+  * vocabulary is ASCII, so a window containing a space or a
+  * non-ASCII byte can never match and is skipped cheaply). The
+  * builtin spelling would be a per-position lambda over the
+  * vocabulary list — interpreted, allocating, and ~vocab× the
+  * comparisons. Callers lowercase first (`subword_count(lower(text))`)
+  * so case folding stays with the engines' lower(), which the t5
+  * precedent already proves cross-engine identical. */
+case class SubwordCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"subword_count needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    SubwordCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.SubwordCount.count($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}
+
+object SubwordCount {
+  private val maxLen = TextPrimitives.subwordVocab.map(_.length).max
+  require(maxLen <= 4 && TextPrimitives.subwordVocab.forall(v =>
+    v.length >= 2 && v.forall(c => c >= 'a' && c <= 'z')),
+    "subword vocab must be lowercase ASCII pieces of length 2-4")
+
+  private def packed(len: Int): Array[Int] =
+    TextPrimitives.subwordVocab.filter(_.length == len)
+      .map(_.foldLeft(0)((a, c) => (a << 8) | (c & 0xff))).sorted.toArray
+  private val p2 = packed(2)
+  private val p3 = packed(3)
+  private val p4 = packed(4)
+  private def table(len: Int): Array[Int] =
+    if (len == 4) p4 else if (len == 3) p3 else p2
+
+  def count(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var i = 0
+    var n = 0L
+    while (i < nb) {
+      val b = s.getByte(i) & 0xff
+      if (b == ' ') {
+        i += 1 // separator: consumed, not counted
+      } else if (b >= 0x80) {
+        n += 1 // OOV fallback: one token per code point
+        i += UTF8String.numBytesForFirstByte(s.getByte(i))
+      } else {
+        var step = 1
+        var l = math.min(maxLen, nb - i)
+        while (step == 1 && l >= 2) {
+          var k = 0
+          var key = 0
+          var ok = true
+          while (ok && k < l) {
+            val bb = s.getByte(i + k) & 0xff
+            if (bb >= 'a' && bb <= 'z') key = (key << 8) | bb else ok = false
+            k += 1
+          }
+          if (ok && java.util.Arrays.binarySearch(table(l), key) >= 0) step = l
+          l -= 1
+        }
+        n += 1
+        i += step
+      }
+    }
+    n
+  }
+
+  def count(s: String): Long = count(UTF8String.fromString(s))
+
+  def apply(c: Column): Column = GraftShims.column(SubwordCount(GraftShims.expression(c)))
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */
@@ -1350,6 +1440,8 @@ object GraftFunctions {
       exprs => StrideSampleTokens(exprs(0), litInt(exprs(1), "stride_sample")), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_token_count",
       exprs => BpeTokenCount(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("subword_count",
+      exprs => SubwordCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_trigrams",
       exprs => CharTrigrams(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("repeat_stats",

@@ -427,7 +427,36 @@ object LlmQueries {
       ORDER BY doc_id""")
   }
 
+  /** l17 — PER-DOMAIN document cap, the standard curation step between
+    * quality scoring and mixing (C4/RefinedWeb-style source balancing):
+    * cap every source/domain at N documents, keeping its
+    * HIGHEST-QUALITY ones (t2's score, doc_id tie-break) — without it
+    * one over-crawled domain dominates the training distribution no
+    * matter what the mixer (l8) later does about token shares.
+    *
+    * Shape built for 100 TB: the score is a per-row scan expression
+    * (the shared t2 CTE — one spelling, no drift), and the per-source
+    * argtop-N runs through the custom TopKPerKey operator whose
+    * map-side partial pass cuts every partition to ≤ sources·N narrow
+    * candidate rows BEFORE the only exchange — never a row_number
+    * window sorting the corpus, and the wide text column never
+    * shuffles (the manifest is id + score; the cut job anti-joins it
+    * back by doc_id, the d5 pattern). N = 15 binds at every test SF
+    * (25–250 docs/source). */
+  def l17DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    val scored = spark.sql(
+      s"WITH ${TextQueries.qualityCteSpark} SELECT doc_id, source, score FROM scored")
+    graft.plans.TopK.perKey(scored, Seq(col("source")),
+      Seq(col("score").desc, col("doc_id")), k = 15)
+      .select(col("source"), col("doc_id"), col("score"))
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
     "l3_cosine_topk"   -> (l3CosineTopk _),
@@ -447,6 +476,17 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the row_number spelling of TopKPerKey(k=15) over the shared t2
+    // score CTE — same score arithmetic, same (score desc, doc_id)
+    // tie-break, so the kept set is deterministic on both engines
+    "l17_domain_cap" ->
+      s"""WITH ${TextQueries.qualityCteDuck},
+      ranked AS (SELECT source, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY score DESC, doc_id) AS rn
+        FROM scored)
+      SELECT source, doc_id, score FROM ranked WHERE rn <= 15
+      ORDER BY source, doc_id""",
     // same fingerprint (shared rolling-hash constants), same integer
     // sums; DuckDB's HUGEINT sums collapse back to BIGINT by CAST
     "l15_data_card" ->

@@ -376,6 +376,38 @@ object SqlSurfaceQueries {
       ORDER BY user_id""")
   }
 
+  /** x67 — WINDOW-DEDUP RANK / version-history trim: per
+    * (user_id, event_type) keep only the NEWEST 2 versions (ts,
+    * event_id recency order) with their recency rank — the retention
+    * step a changelog/table-format compaction runs ("keep the last k
+    * versions, expire the rest"), and the k>1 generalization of
+    * x46/x61's max_by(latest) compaction. Spark-native spelling: the
+    * trim runs through the custom TopKPerKey operator, whose map-side
+    * partial pass cuts every partition to ≤ keys·k candidate rows
+    * BEFORE the only exchange — never a row_number window sorting the
+    * whole changelog. The rank column is then a window over the
+    * TRIMMED manifest (keys × 2 rows — the ANSWER, not the corpus;
+    * the s10 argument), so the corpus-sized work stays windowless.
+    * The DuckDB twin is the classic row_number()-over-everything
+    * spelling — gating the heap-trim's equivalence to it. */
+  def x67WindowDedupRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    view(spark, dir, "events")
+    val rows = spark.sql(
+      "SELECT user_id, event_type, ts, event_id, round(value, 4) AS v FROM events")
+    val trimmed = graft.plans.TopK.perKey(rows,
+      Seq(col("user_id"), col("event_type")),
+      Seq(col("ts").desc, col("event_id").desc), k = 2)
+    trimmed.createOrReplaceTempView("x67_trimmed")
+    spark.sql("""
+      SELECT user_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rk,
+             event_id, v
+      FROM x67_trimmed
+      ORDER BY user_id, event_type, rk""")
+  }
+
   /** The x65 iteration chain, parameterized on the integer-division
     * operator (Spark `DIV`, DuckDB `//`) and the edge/degree relation
     * names — the damping arithmetic is shared text. Ranks live in
@@ -438,6 +470,7 @@ object SqlSurfaceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x65_pagerank"      -> (x65Pagerank _),
     "x61_snapshot_diff" -> (x61SnapshotDiff _),
+    "x67_window_dedup_rank" -> (x67WindowDedupRank _),
     "x69_upsert_apply"  -> (x69UpsertApply _),
     "x56_pit_join"      -> (x56PitJoin _),
     "x53_grouping_sets" -> (x53GroupingSets _),
@@ -460,6 +493,17 @@ object SqlSurfaceQueries {
       edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
       deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
       """ + pagerankIterSql("//", "edges", "deg")),
+    // the classic row_number()-over-the-whole-changelog spelling the
+    // heap-trim must equal: same recency order, same k=2 retention
+    "x67_window_dedup_rank" ->
+      """SELECT user_id, event_type, rk, event_id, v FROM (
+        SELECT user_id, event_type,
+               CAST(row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rk,
+               event_id, round(value, 4) AS v
+        FROM events) t
+      WHERE rk <= 2
+      ORDER BY user_id, event_type, rk""",
     // x61's row_number snapshot spelling per half, the same merge
     // rule: change row wins, base survives, provenance tagged
     "x69_upsert_apply" ->

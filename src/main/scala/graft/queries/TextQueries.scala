@@ -44,23 +44,47 @@ object TextQueries {
       ORDER BY doc_id""")
   }
 
+  /** The t2 quality-score computation as a shared CTE over
+    * `documents` — (doc_id, source, n_tokens, score), docs with
+    * n_tokens > 0. ONE spelling shared by t2 and l17's per-domain cap
+    * so the formula cannot drift between them; [[qualityCteDuck]] is
+    * its oracle twin under the same contract. */
+  private[queries] val qualityCteSpark: String = {
+    val w = "split(text, ' ')"
+    s"""scored AS (SELECT doc_id, source, n_tokens,
+          round(0.5 * stop_hits / n_tokens
+              + 0.3 * least(1.0, n_tokens / 100.0)
+              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS score
+        FROM (SELECT doc_id, source, n_chars,
+                CAST(size($w) AS BIGINT) AS n_tokens,
+                CAST(${stopHitsSpark(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
+                CAST(char_length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE) AS punct
+              FROM documents)
+        WHERE n_tokens > 0)"""
+  }
+
+  private[queries] val qualityCteDuck: String = {
+    val w = "string_split(text, ' ')"
+    s"""scored AS (SELECT doc_id, source, n_tokens,
+          round(0.5 * stop_hits / n_tokens
+              + 0.3 * least(1.0, n_tokens / 100.0)
+              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS score
+        FROM (SELECT doc_id, source, n_chars,
+                CAST(length($w) AS BIGINT) AS n_tokens,
+                CAST(${stopHitsDuck(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+              FROM documents)
+        WHERE n_tokens > 0)"""
+  }
+
   /** t2 — quality score: stopword ratio + length saturation + inverse
     * punctuation density, the classic cheap pre-filter stack for web
     * corpora; rounded to 6dp for cross-engine stability. */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
-    val w = "split(text, ' ')"
     spark.sql(s"""
-      SELECT doc_id, n_tokens,
-        round(0.5 * stop_hits / n_tokens
-            + 0.3 * least(1.0, n_tokens / 100.0)
-            + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS score
-      FROM (SELECT doc_id, n_chars,
-              CAST(size($w) AS BIGINT) AS n_tokens,
-              CAST(${stopHitsSpark(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
-              CAST(char_length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS DOUBLE) AS punct
-            FROM documents)
-      WHERE n_tokens > 0
+      WITH $qualityCteSpark
+      SELECT doc_id, n_tokens, score FROM scored
       ORDER BY doc_id""")
   }
 
@@ -220,7 +244,26 @@ object TextQueries {
       ORDER BY doc_id""")
   }
 
+  /** t10 — SUBWORD token counts: greedy longest-match over the fixed
+    * [[graft.functions.TextPrimitives.subwordVocab]] (the
+    * [[graft.functions.SubwordCount]] codegen kernel). t3 counts
+    * whitespace tokens and BPE-SHAPED pretokens; real packing and
+    * mixing budgets (l7/l12/l8) are in TOKENIZER tokens, and a
+    * whitespace count under-estimates them by the subword fan-out —
+    * this is the number a production pipeline actually budgets with.
+    * Pure per-row scan work (one fused byte pass per doc, inside
+    * whole-stage codegen); integer counts, so the DuckDB twin — the
+    * per-word recursive-CTE restatement of the same greedy rule over
+    * the same vocabulary literal — matches exactly. */
+  def t10SubwordTokens(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql("""
+      SELECT doc_id, subword_count(lower(text)) AS n_subword_tokens
+      FROM documents ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_subword_tokens" -> (t10SubwordTokens _),
     "t9_char_diversity" -> (t9CharDiversity _),
     "t1_lang_id"       -> (t1LangId _),
     "t8_normalize"     -> (t8Normalize _),
@@ -258,6 +301,35 @@ object TextQueries {
               FROM st)
         WHERE n_cp > 0
         ORDER BY doc_id""",
+      // the greedy longest-match rule restated per word as a recursive
+      // CTE: at each position the step is the LONGEST vocab piece
+      // matching the prefix (list_max over the shared vocabulary
+      // literal; the ELSE 1 is the one-code-point OOV fallback), each
+      // step is one token, recursion ends past the word's last char.
+      // Splitting on ' ' first is equivalent to the kernel's
+      // whole-text pass because no vocab piece contains a space.
+      // Every word reaches exactly one terminal row (pos > length),
+      // whose cnt is the word's token count.
+      "t10_subword_tokens" ->
+        s"""WITH RECURSIVE wrd AS (
+          SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS wi, unnest(w) AS wd
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        step AS (
+          SELECT doc_id, wi, wd, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM wrd
+          UNION ALL
+          SELECT doc_id, wi, wd,
+            pos + list_max(list_transform(${graft.functions.TextPrimitives.subwordVocabDuck},
+              v -> CASE WHEN substr(wd, CAST(pos AS INT), length(v)) = v
+                        THEN length(v) ELSE 1 END)),
+            cnt + 1
+          FROM step WHERE pos <= length(wd)),
+        fin AS (SELECT doc_id, wi, MAX(cnt) AS c
+                FROM step WHERE pos > length(wd) GROUP BY doc_id, wi)
+        SELECT d.doc_id, CAST(coalesce(f.s, 0) AS BIGINT) AS n_subword_tokens
+        FROM documents d LEFT JOIN
+          (SELECT doc_id, SUM(c) AS s FROM fin GROUP BY doc_id) f
+          ON d.doc_id = f.doc_id
+        ORDER BY d.doc_id""",
       "t1_lang_id" ->
         s"""SELECT doc_id, lang, CASE
             WHEN s_zh > 0 THEN 'zh'
@@ -270,16 +342,8 @@ object TextQueries {
               FROM documents)
         ORDER BY doc_id""",
       "t2_quality_score" ->
-        s"""SELECT doc_id, n_tokens,
-          round(0.5 * stop_hits / n_tokens
-              + 0.3 * least(1.0, n_tokens / 100.0)
-              + 0.2 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS score
-        FROM (SELECT doc_id, n_chars,
-                CAST(length($w) AS BIGINT) AS n_tokens,
-                CAST(${stopHitsDuck(w, stopwords("en"))} AS DOUBLE) AS stop_hits,
-                CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct
-              FROM documents)
-        WHERE n_tokens > 0
+        s"""WITH $qualityCteDuck
+        SELECT doc_id, n_tokens, score FROM scored
         ORDER BY doc_id""",
       "t3_token_count" ->
         s"""SELECT doc_id,

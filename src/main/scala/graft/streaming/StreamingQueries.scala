@@ -760,6 +760,81 @@ object StreamingQueries {
       .orderBy("wstart")
   }
 
+  /** x68's skewed key projection WITH the event time — x60's key rule
+    * (70 % of events on 5 hot keys, the rest on a per-user long tail)
+    * kept alongside ts so it can window. Shared by the stream side
+    * and the exact batch recount. */
+  def x68Keyed(df: DataFrame): DataFrame = df.select(col("ts"),
+    when(col("event_id") % 10 < 7, col("event_id") % 5)
+      .otherwise(col("user_id") + 1000L).cast("long").as("k"))
+
+  /** x68's streaming transform — hourly event-time windows, 30 s
+    * watermark, and the Misra–Gries sketch as the PER-WINDOW state
+    * value (x60 holds one global sketch; here state = live windows ×
+    * a fixed 64-entry buffer, and the watermark evicts closed
+    * windows). `n` rides along as denominator + UPDATE-mode version
+    * stamp, the x66 pattern. */
+  def x68Sketch(stream: DataFrame): DataFrame =
+    x68Keyed(stream).withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.MisraGries(col("k"), 64).as("ks"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("ks"), col("n"))
+
+  /** x68 — APPROXIMATE TOP-K PER WINDOW, live: "top event keys per
+    * hour, updating as events arrive" — x60's sketch-state story made
+    * WINDOWED. The 100 TB state argument compounds: exact per-window
+    * top-k holds every (window, key) pair in state (unbounded in the
+    * key cardinality), while here each live window holds a fixed
+    * MG(64) buffer and the watermark closes windows behind the
+    * event-time frontier. After the drain, the per-window candidate
+    * sets are recounted EXACTLY against the corpus (broadcast of
+    * windows×≤64 candidate pairs — x45/x60's recount shape),
+    * thresholded at cnt > n/20 and ranked top-3. Deterministic by the
+    * same containment argument as x60, now per window: an MG(64)
+    * survivor set always contains every key with freq > n/64
+    * regardless of merge order, and every key passing the n/20 gate
+    * clears n/64 — so micro-batch boundaries can never change the
+    * emitted set, which is exactly what the batch-restated oracle
+    * gates. The final rank is a row_number over the recounted
+    * manifest (windows × ≤64 rows — the ANSWER, not the corpus). */
+  def x68ApproxTopkStream(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 4) {
+    val feed = feedFor(spark, dir)
+    val tmp = Files.createTempDirectory("graft_x68").toString
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(feed)
+    val qname = "x68_state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = x68Sketch(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snap = spark.table(qname).groupBy("wstart")
+      .agg(max_by(col("ks"), col("n")).as("ks"), max(col("n")).as("n"))
+    val cand = snap.select(col("wstart"), col("n"), explode(col("ks")).as("k"))
+    val rec = x68Keyed(Tables.load(spark, dir, "events"))
+      .select(date_trunc("hour", col("ts")).as("wstart"), col("k"))
+      .join(broadcast(cand), Seq("wstart", "k"))
+      .groupBy("wstart", "n", "k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 20 > col("n"))
+    rec.createOrReplaceTempView("x68_rec")
+    spark.sql("""
+      SELECT wstart, rk, k, cnt FROM (
+        SELECT wstart, CAST(row_number() OVER (PARTITION BY wstart
+                 ORDER BY cnt DESC, k) AS BIGINT) AS rk, k, cnt
+        FROM x68_rec) t
+      WHERE rk <= 3
+      ORDER BY wstart, rk""")
+  }
+
   /** x51's watermark-bounded dedup transform — factored like
     * [[p2Transform]] so the chaos spec can drive this exact
     * definition through a restartable parquet sink. */
@@ -943,6 +1018,7 @@ object StreamingQueries {
     "x51_stream_throughput" -> (x51StreamThroughput _),
     "x60_stream_heavy_hitters" -> (x60StreamHeavyHitters _),
     "x66_stream_rolling_distinct" -> (x66StreamRollingDistinct _),
+    "x68_approx_topk_stream" -> (x68ApproxTopkStream _),
     "p2_stream_pipeline" -> (p2StreamPipeline _),
   )
 
@@ -971,6 +1047,25 @@ object StreamingQueries {
         COUNT(*) AS n
       FROM (SELECT ts, ${FunctionQueries.kmvHashDuck("user_id")} AS h FROM events)
       GROUP BY wstart ORDER BY wstart""",
+    // per-window exact counts thresholded at n/20 and ranked — the
+    // sketch never appears: the MG(64) candidate set provably contains
+    // every key above n/64 per window, so the emitted top-3 is
+    // batch-restatable (x60's determinism argument, windowed)
+    "x68_approx_topk_stream" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS wstart,
+               CASE WHEN event_id % 10 < 7 THEN event_id % 5
+                    ELSE user_id + 1000 END AS k
+             FROM events),
+      wn AS (SELECT wstart, COUNT(*) AS n FROM e GROUP BY wstart),
+      cnt AS (SELECT wstart, k, COUNT(*) AS cnt FROM e GROUP BY wstart, k),
+      top AS (SELECT c.wstart, c.k, c.cnt,
+                ROW_NUMBER() OVER (PARTITION BY c.wstart
+                  ORDER BY c.cnt DESC, c.k) AS rn
+              FROM cnt c JOIN wn ON wn.wstart = c.wstart
+              WHERE c.cnt * 20 > wn.n)
+      SELECT wstart, CAST(rn AS BIGINT) AS rk, k, cnt FROM top
+      WHERE rn <= 3
+      ORDER BY wstart, rk""",
     // the enrichment is stateless, so the streaming output is exactly
     // the batch star join over the same tables
     "x36_stream_static_join" ->

@@ -540,6 +540,44 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("SubwordCount == independent greedy reference on real documents + edges") {
+    GraftFunctions.register(spark)
+    // independent reference spelling: UTF-16 String walk, vocab tried
+    // longest-first (the kernel walks UTF-8 bytes with packed-int sets)
+    def ref(s: String): Long = {
+      val vocab = TextPrimitives.subwordVocab.sortBy(-_.length)
+      var i = 0; var n = 0L
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') i += 1
+        else vocab.find(v => s.regionMatches(i, v, 0, v.length)) match {
+          case Some(v) => n += 1; i += v.length
+          case None    => n += 1; i += Character.charCount(s.codePointAt(i))
+        }
+      }
+      n
+    }
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    import spark.implicits._
+    spark.sql("SELECT lower(text) AS t, subword_count(lower(text)) AS n FROM documents")
+      .as[(String, Long)].collect().foreach { case (t, n) =>
+        assert(n == ref(t), s"on '${t.take(60)}...'")
+      }
+    // edges: empty, spaces only, OOV run, greedy longest ('the' beats
+    // 'th'), multi-piece word, space separation, multi-byte OOV
+    val cases = Seq(
+      "" -> 0L, "   " -> 0L, "zzzz" -> 4L, "the" -> 1L, "theth" -> 2L,
+      "nation" -> 3L, // n + ati + on
+      "the the" -> 2L,
+      "héllo" -> 5L, // h + é + l + l + o: no piece crosses the OOV é
+      "日本語" -> 3L)
+    cases.foreach { case (s, expected) =>
+      val got = graft.functions.SubwordCount.count(s)
+      assert(got == expected, s"on '$s'")
+      assert(got == ref(s), s"kernel != reference on '$s'")
+    }
+  }
+
   test("CharTrigrams == builtin transform(sequence, substring(lower)) spelling") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -40,6 +40,28 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(2000))
   }
 
+  test("l17: per-domain cap is a heap trim (TopKPerKey), never a window over the corpus") {
+    val p = plan("l17_domain_cap")
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("x67: version trim is a heap (partial before the exchange); window only over the trimmed manifest") {
+    val p = plan("x67_window_dedup_rank")
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    // the one Window ranks the keys×2 trimmed rows, DOWNSTREAM of the
+    // TopKPerKey exchange — never the raw changelog. executedPlan
+    // prints root-first, so downstream = earlier in the string.
+    assert(p.indexOf("Window") >= 0 &&
+      p.indexOf("Window") < p.indexOf("TopKPerKeyPartial"), p.take(3000))
+  }
+
+  test("x68: recount joins broadcast window-candidate pairs; rank windows only the answer") {
+    val p = plan("x68_approx_topk_stream")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
