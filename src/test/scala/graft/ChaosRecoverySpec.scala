@@ -403,6 +403,54 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss corrupted cluster labels: ${got.size} rows vs clean ${clean.size}")
   }
 
+  test("p3/p4 batch pipelines survive executor SIGKILL; manifests byte-equal") {
+    // the composed BATCH pipelines (p3 curation, p4 release) are the
+    // artifacts a user ships, and unlike the streaming family they
+    // carry no checkpoint — recovery is pure task/stage retry +
+    // shuffle recompute. The runner kills one executor while p3's own
+    // stages have in-flight tasks on it.
+    val work = Files.createTempDirectory("chaos_p34").toString
+    val marker = s"$work/killed"
+    val outP3 = s"$work/out_p3"
+    val outP4 = s"$work/out_p4"
+    val sfDir = "/root/testdata/sf0.01"
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", cp, "graft.ChaosP34Runner",
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$work/driver.log"))
+    val p = pb.start()
+    val finished = p.waitFor(300, TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val log = new String(Files.readAllBytes(Paths.get(s"$work/driver.log")))
+    assert(finished, s"p3/p4 chaos run timed out; driver log tail:\n${log.takeRight(4000)}")
+    assert(p.exitValue() == 0,
+      s"p3/p4 chaos run exited ${p.exitValue()}; driver log tail:\n${log.takeRight(4000)}")
+    assert(Files.exists(Paths.get(marker)), "killer never fired — no executor was killed")
+    assert(log.contains("ExecutorLostFailure") || log.contains("Lost executor") ||
+      log.contains("exited with") || log.contains("WorkerLost"),
+      s"no evidence of executor loss in driver log:\n${log.takeRight(4000)}")
+    // byte-equal manifests vs the suite-shared session's clean runs
+    val gotP3 = spark.read.parquet(outP3).collect().map(_.toString).toSeq.sorted
+    val cleanP3 = graft.queries.PipelineQueries.p3CurationPipeline(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(cleanP3.nonEmpty)
+    assert(gotP3 == cleanP3,
+      s"executor loss corrupted p3 manifest: ${gotP3.size} rows vs clean ${cleanP3.size}")
+    val gotP4 = spark.read.parquet(outP4).collect().map(_.toString).toSeq.sorted
+    val cleanP4 = graft.queries.PipelineQueries.p4CorpusRelease(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(cleanP4.nonEmpty)
+    assert(gotP4 == cleanP4,
+      s"executor loss corrupted p4 manifest: ${gotP4.size} rows vs clean ${cleanP4.size}")
+  }
+
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {
     val work = Files.createTempDirectory("chaos_p2").toString
     val marker = s"$work/killed"

@@ -136,3 +136,65 @@ object ChaosP2Runner {
     spark.stop()
   }
 }
+
+/** Driver main for the p3/p4 BATCH-pipeline chaos scenario: runs the
+  * REAL composed curation (p3) and release (p4) pipelines — the
+  * artifacts a user actually ships — on `local-cluster[2,1,1024]` and
+  * SIGKILLs one executor JVM as soon as p3's first tasks are in
+  * flight. Unlike the d4 loop there is no driver-side iterative state
+  * and no checkpoint: the pipelines are fully declarative, so plain
+  * task/stage retry plus shuffle-output recompute must deliver
+  * byte-identical manifests on their own. Executor pids are harvested
+  * up front with a probe job (the ChaosD4Runner pattern); the kill
+  * trigger is the task-start listener so the victim dies while the
+  * pipeline's own stages hold in-flight tasks and freshly-written
+  * shuffle files on it. */
+object ChaosP34Runner {
+  def main(args: Array[String]): Unit = {
+    val Array(master, execCp, marker, sfDir, outP3, outP4) = args
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("chaos_p34")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.executor.extraClassPath", execCp)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val driverPid = ProcessHandle.current().pid
+    def probePids(): Array[Long] = spark.sparkContext.parallelize(1 to 16, 16)
+      .map(_ => ProcessHandle.current().pid)
+      .collect().distinct.filter(_ != driverPid)
+    var execPids = probePids()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (execPids.length < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      execPids = (execPids ++ probePids()).distinct
+    }
+    require(execPids.length >= 2, s"expected 2 executor JVMs, saw ${execPids.toSeq}")
+    @volatile var tasksStarted = 0
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(
+          ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        tasksStarted += 1
+    })
+    val probeTasks = tasksStarted
+    val killer = new Thread(() => {
+      // wait until the PIPELINE's own tasks are running (a few past the
+      // probe count so the victim holds live tasks + shuffle files)
+      while (tasksStarted < probeTasks + 4) Thread.sleep(5)
+      if (new java.io.File(marker).mkdir()) {
+        ProcessHandle.of(execPids.head).ifPresent(_.destroyForcibly())
+        System.err.println(s"[chaos_p34] SIGKILLed executor pid ${execPids.head}")
+      }
+    })
+    killer.setDaemon(true)
+    killer.start()
+    graft.functions.GraftFunctions.register(spark)
+    graft.queries.PipelineQueries.p3CurationPipeline(spark, sfDir)
+      .write.mode("overwrite").parquet(outP3)
+    graft.queries.PipelineQueries.p4CorpusRelease(spark, sfDir)
+      .write.mode("overwrite").parquet(outP4)
+    spark.stop()
+  }
+}
