@@ -116,4 +116,98 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
         f"$name wall-time grew ${ratio}%.1fx on 10x data — super-linear beyond the 1.5x envelope")
     }
   }
+
+  /** A deterministic sf1-EQUIVALENT slice (10× the sf0.1 rows),
+    * derived from sf0.1 with structure-preserving per-copy
+    * perturbations so densities — the thing join/candidate cost
+    * actually follows — replicate instead of compounding:
+    *
+    *  - documents: every token of copy c>0 gets a copy tag suffix, so
+    *    each copy's intra-copy shingle/near-dup structure replicates
+    *    EXACTLY while no shingle collides across copies (cross-copy
+    *    jaccard/containment = 0). A naive 10× tiling would give every
+    *    doc 9 byte-identical twins — pair counts ×100, a different
+    *    corpus, not a scaled one.
+    *  - embeddings: copy c's vectors are dimension-ROTATED by 7c mod
+    *    64 — intra-copy pairwise cosines are preserved exactly (both
+    *    sides rotate together) while a vector and its cross-copy
+    *    rotation decorrelate to background. (A plain copy keeps
+    *    cosine 1 — every vector gets 9 exact semantic twins.)
+    *
+    * n_chars is carried unchanged (the scaling queries never read it
+    * for mining). Built once under target/ (gitignored), ~15 MB. */
+  private lazy val sf1eq: String = {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("target/sf1eq").getAbsolutePath
+    val done = new java.io.File(s"$dir/_done")
+    if (!done.exists) {
+      val docs = spark.read.parquet(s"$big/documents.parquet")
+      (0 until 10).map { c =>
+        if (c == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$c"))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$big/embeddings.parquet")
+      (0 until 10).map { c =>
+        if (c == 0) emb
+        else {
+          val sh = (c * 7) % 64
+          emb.select(
+            (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+            expr(s"concat(slice(embedding, ${sh + 1}, ${64 - sh}), " +
+              s"slice(embedding, 1, $sh))").as("embedding"),
+            col("label"))
+        }
+      }.reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** The 100×-direction evidence the single-decade curve above cannot
+    * give: the heaviest dedup/iterative lines measured on a SECOND
+    * decade (sf0.1 → sf1-equivalent, 10× again), with the measured
+    * scaling exponent reported per line. The envelope is the same
+    * ≤ 15× wall on 10× data; a quadratic candidate blowup (the
+    * all-pairs failure mode the banding/prefix-filter exists to
+    * avoid) would show ~100×. s12's round count is data-dependent, so
+    * its ratio carries a rounds factor on top of the row factor —
+    * reported, and still far inside the envelope. */
+  test("heavy dedup/iterative lines scale near-linearly on the second decade (sf0.1 -> sf1eq)") {
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d1_minhash_lsh" -> (graft.queries.DedupQueries.d1MinhashLsh _),
+      "d13_containment" -> (graft.queries.DedupQueries.d13Containment _),
+      "d14_full_dedup" -> (graft.queries.DedupQueries.d14FullDedup _),
+      "s5_lsh_near_dup_prod" -> (graft.queries.AnnQueries.s5LshNearDupProd _),
+      "s12_kmeans_run" -> (graft.queries.AnnQueries.s12KmeansRun _),
+    )
+    val bigDir = sf1eq
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      releaseCaches()
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.foreach { case (_, fn) => run(fn, small) } // JIT warmup, untimed
+    val best = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (_ <- 1 to 2; (name, fn) <- queries; dir <- Seq(big, bigDir)) {
+      val t = run(fn, dir)
+      val k = (name, dir)
+      best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+    }
+    queries.foreach { case (name, _) =>
+      val ts = best((name, big))
+      val tb = best((name, bigDir))
+      val ratio = tb / ts
+      val exponent = math.log10(math.max(ratio, 1e-9))
+      info(f"$name%-22s sf0.1 $ts%6.2f s -> sf1eq $tb%6.2f s   wall ratio ${ratio}%5.2f   exponent ${exponent}%4.2f (data 10x)")
+      assert(ratio <= 15.0,
+        f"$name wall-time grew ${ratio}%.1fx on 10x data — super-linear beyond the envelope")
+    }
+  }
 }
