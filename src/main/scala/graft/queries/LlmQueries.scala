@@ -455,7 +455,33 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** l18 — sequence packing budgeted in SUBWORD tokens: l7's
+    * shard-then-greedy-pack bookkeeping with t10's tokenizer-accurate
+    * counter in place of the whitespace count. This is the number a
+    * real packing job budgets with — whitespace counts under-estimate
+    * sequence length by the subword fan-out (~1.3–2× on English), so
+    * a 2048-budget pack built on them overflows the model's context
+    * window at tokenize time. Same scale shape as l7: the counter is
+    * a per-row fused-kernel scan, the running offset is one window
+    * per hash shard (shards are independent — at 100 TB parallelism
+    * is the shard count, and no global sort or corpus-wide window
+    * exists anywhere). */
+  def l18SubwordPack(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "subword_count(lower(text)) AS n_tokens",
+        s"CAST(${FunctionQueries.kmvHashSpark("doc_id")} % 8 AS BIGINT) AS shard")
+      .selectExpr("shard", "doc_id", "n_tokens",
+        """CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           DIV 2048 AS BIGINT) AS pack_id""")
+      .orderBy("shard", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l18_subword_pack" -> (l18SubwordPack _),
     "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
     "l2_text_stats"    -> (l2TextStats _),
@@ -476,6 +502,19 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // l7's pack bookkeeping over the shared t10 subword-count CTE
+    // chain — same greedy rule, same vocabulary literal, same window
+    // arithmetic (// is DuckDB integer division; the CAST collapses
+    // its HUGEINT window sums to Spark's BIGINT)
+    "l18_subword_pack" ->
+      (s"""WITH RECURSIVE ${TextQueries.subwordCtesDuck},
+      t AS (SELECT doc_id, n_subword AS n_tokens,
+          CAST((""" + FunctionQueries.kmvHashDuck("doc_id") + """) % 8 AS BIGINT) AS shard
+        FROM swc)
+      SELECT shard, doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+      FROM t ORDER BY shard, doc_id"""),
     // the row_number spelling of TopKPerKey(k=15) over the shared t2
     // score CTE — same score arithmetic, same (score desc, doc_id)
     // tie-break, so the kept set is deterministic on both engines

@@ -262,6 +262,36 @@ object TextQueries {
       FROM documents ORDER BY doc_id""")
   }
 
+  /** The t10 greedy subword count restated as DuckDB CTEs ending in
+    * `swc(doc_id, n_subword)` — ONE spelling shared by t10's oracle
+    * and l18's packing twin (must appear inside WITH RECURSIVE). At
+    * each position the step is the LONGEST vocab piece matching the
+    * prefix (list_max over the shared vocabulary literal; the ELSE 1
+    * is the one-code-point OOV fallback), each step is one token,
+    * recursion ends past the word's last char. Splitting on ' ' first
+    * is equivalent to the kernel's whole-text pass because no vocab
+    * piece contains a space. Every word reaches exactly one terminal
+    * row (pos > length), whose cnt is the word's token count. */
+  private[queries] val subwordCtesDuck: String =
+    s"""wrd AS (
+      SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS wi, unnest(w) AS wd
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+    step AS (
+      SELECT doc_id, wi, wd, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM wrd
+      UNION ALL
+      SELECT doc_id, wi, wd,
+        pos + list_max(list_transform(${graft.functions.TextPrimitives.subwordVocabDuck},
+          v -> CASE WHEN substr(wd, CAST(pos AS INT), length(v)) = v
+                    THEN length(v) ELSE 1 END)),
+        cnt + 1
+      FROM step WHERE pos <= length(wd)),
+    fin AS (SELECT doc_id, wi, MAX(cnt) AS c
+            FROM step WHERE pos > length(wd) GROUP BY doc_id, wi),
+    swc AS (SELECT d.doc_id, CAST(coalesce(f.s, 0) AS BIGINT) AS n_subword
+            FROM documents d LEFT JOIN
+              (SELECT doc_id, SUM(c) AS s FROM fin GROUP BY doc_id) f
+              ON d.doc_id = f.doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_subword_tokens" -> (t10SubwordTokens _),
     "t9_char_diversity" -> (t9CharDiversity _),
@@ -302,34 +332,12 @@ object TextQueries {
         WHERE n_cp > 0
         ORDER BY doc_id""",
       // the greedy longest-match rule restated per word as a recursive
-      // CTE: at each position the step is the LONGEST vocab piece
-      // matching the prefix (list_max over the shared vocabulary
-      // literal; the ELSE 1 is the one-code-point OOV fallback), each
-      // step is one token, recursion ends past the word's last char.
-      // Splitting on ' ' first is equivalent to the kernel's
-      // whole-text pass because no vocab piece contains a space.
-      // Every word reaches exactly one terminal row (pos > length),
-      // whose cnt is the word's token count.
+      // CTE (the shared subwordCtesDuck chain — one spelling for t10
+      // and l18's packing twin)
       "t10_subword_tokens" ->
-        s"""WITH RECURSIVE wrd AS (
-          SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS wi, unnest(w) AS wd
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
-        step AS (
-          SELECT doc_id, wi, wd, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM wrd
-          UNION ALL
-          SELECT doc_id, wi, wd,
-            pos + list_max(list_transform(${graft.functions.TextPrimitives.subwordVocabDuck},
-              v -> CASE WHEN substr(wd, CAST(pos AS INT), length(v)) = v
-                        THEN length(v) ELSE 1 END)),
-            cnt + 1
-          FROM step WHERE pos <= length(wd)),
-        fin AS (SELECT doc_id, wi, MAX(cnt) AS c
-                FROM step WHERE pos > length(wd) GROUP BY doc_id, wi)
-        SELECT d.doc_id, CAST(coalesce(f.s, 0) AS BIGINT) AS n_subword_tokens
-        FROM documents d LEFT JOIN
-          (SELECT doc_id, SUM(c) AS s FROM fin GROUP BY doc_id) f
-          ON d.doc_id = f.doc_id
-        ORDER BY d.doc_id""",
+        s"""WITH RECURSIVE $subwordCtesDuck
+        SELECT doc_id, n_subword AS n_subword_tokens FROM swc
+        ORDER BY doc_id""",
       "t1_lang_id" ->
         s"""SELECT doc_id, lang, CASE
             WHEN s_zh > 0 THEN 'zh'

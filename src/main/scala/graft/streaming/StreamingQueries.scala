@@ -817,7 +817,16 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val snap = spark.table(qname).groupBy("wstart")
+    x68Finalize(spark, dir, spark.table(qname))
+  }
+
+  /** x68's post-drain step over the raw UPDATE-mode emission rows —
+    * factored so the chaos spec can drive the identical finalize over
+    * rows appended across a kill/restart boundary: per-window final
+    * snapshot (max_by n), exact broadcast recount of the sketch
+    * candidates, n/20 gate, top-3 rank over the answer. */
+  def x68Finalize(spark: SparkSession, dir: String, emitted: DataFrame): DataFrame = {
+    val snap = emitted.groupBy("wstart")
       .agg(max_by(col("ks"), col("n")).as("ks"), max(col("n")).as("n"))
     val cand = snap.select(col("wstart"), col("n"), explode(col("ks")).as("k"))
     val rec = x68Keyed(Tables.load(spark, dir, "events"))

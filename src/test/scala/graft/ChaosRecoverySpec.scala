@@ -358,6 +358,37 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     killRestartScenario("x66", start, snapshot)
   }
 
+  test("x68 windowed MG state killed mid-feed restores from checkpoint; top-k exact") {
+    // the x66 pattern for update mode: every emission row is APPENDED
+    // to one parquet dir across BOTH incarnations (a memory sink
+    // resets on restart and would lose windows finished pre-kill);
+    // replayed uncommitted batches append byte-identical rows, which
+    // the max-n-per-window snapshot inside x68Finalize absorbs. A
+    // window interrupted mid-accumulation re-emits with its MG buffer
+    // grown from RESTORED state — fresh state would under-count and
+    // break the final top-k equality.
+    import org.apache.spark.sql.DataFrame
+    val sfDir = "/root/testdata/sf0.01"
+    val feed = graft.streaming.StreamingQueries.feedFor(spark, sfDir)
+    val schema = spark.read.parquet(feed).schema
+    def start(out: String, ckpt: String, trigger: Trigger) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      graft.streaming.StreamingQueries.x68Sketch(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+    }
+    def snapshot(out: String): Seq[String] =
+      graft.streaming.StreamingQueries
+        .x68Finalize(spark, sfDir, spark.read.parquet(out))
+        .collect().map(_.toString).toSeq
+    killRestartScenario("x68", start, snapshot)
+  }
+
   test("d4 clustering survives executor SIGKILL with reliable checkpoints; labels exact") {
     // the one crack in the dedup-clustering 100 TB posture was that
     // localCheckpoint blocks die with their executor; this drives the
