@@ -408,6 +408,91 @@ object SqlSurfaceQueries {
       ORDER BY user_id, event_type, rk""")
   }
 
+  /** The x70 edge list (deterministic synthetic unipartite graph over
+    * lineitem — the x65 customer↔supplier graph is bipartite and
+    * therefore triangle-free by construction): node space 0..19999,
+    * canonical (a < b) distinct edges, self-loops dropped. One
+    * spelling parameterized on the integer-division operator so both
+    * engines derive the identical graph (~590 k edges, ~518 k
+    * triangles at sf0.1). */
+  private def triangleEdgesSql(idiv: String): String =
+    s"""raw AS (SELECT DISTINCT
+          least(l_partkey % 20000, (l_suppkey * 7919 + l_partkey $idiv 20000) % 20000) AS a,
+          greatest(l_partkey % 20000, (l_suppkey * 7919 + l_partkey $idiv 20000) % 20000) AS b
+        FROM lineitem
+        WHERE l_partkey % 20000 <> (l_suppkey * 7919 + l_partkey $idiv 20000) % 20000)"""
+
+  /** The x70 pipeline after the edge list, as three relation-
+    * parameterized fragments so the algorithm has ONE spelling: the
+    * oracle composes them as CTEs (DuckDB materializes reused CTEs),
+    * the Spark query composes them over PERSISTED temp views — the
+    * x65 lesson: Catalyst inlines CTEs per reference, so the distinct
+    * edge build and the oriented list would otherwise re-execute for
+    * every one of their 2–3 references. */
+  private def triangleDegSql(raw: String): String =
+    s"""SELECT node, COUNT(*) AS d FROM
+          (SELECT a AS node FROM $raw UNION ALL SELECT b FROM $raw) n
+        GROUP BY node"""
+
+  private def triangleOrientSql(raw: String, deg: String): String =
+    s"""SELECT
+          CASE WHEN da.d < db.d OR (da.d = db.d AND r.a < r.b)
+               THEN r.a ELSE r.b END AS u,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND r.a < r.b)
+               THEN r.b ELSE r.a END AS v
+        FROM $raw r JOIN $deg da ON da.node = r.a JOIN $deg db ON db.node = r.b"""
+
+  /** `corners` is the dialect-specific lateral explode of (x, y, z) —
+    * the one pass matters: a `UNION ALL of three SELECTs FROM tri`
+    * would inline (and re-run) the wedge JOIN three times under
+    * Catalyst's per-reference CTE expansion. */
+  private def triangleTopSql(oriented: String, corners: String): String =
+    s"""WITH tri AS (SELECT /*+ BROADCAST(e2), BROADCAST(e3) */
+                e1.u AS x, e1.v AS y, e2.v AS z
+            FROM $oriented e1
+            JOIN $oriented e2 ON e2.u = e1.v
+            JOIN $oriented e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT node, COUNT(*) AS n_tri FROM tri $corners
+    GROUP BY node ORDER BY n_tri DESC, node LIMIT 100"""
+
+  private val triangleCornersSpark = "LATERAL VIEW explode(array(x, y, z)) t AS node"
+  private val triangleCornersDuck = ", unnest([x, y, z]) t(node)"
+
+  /** x70 — TRIANGLE COUNTING (per-node participation, top-100): the
+    * third graph-analytics operator next to d4's connected components
+    * and x65's PageRank, and the canonical "joins explode if you're
+    * naive" workload — clustering-coefficient / community-density
+    * analytics over entity graphs. The plan is two hash equi-joins
+    * over a DEGREE-ORIENTED edge list (Suri & Vassilvitskii's MapReduce
+    * orientation): each edge points from its lower-(degree, id)
+    * endpoint to the higher, making the graph a DAG where every
+    * triangle is enumerated exactly once from its minimum-rank corner
+    * — and, the 100 TB point, the join's intermediate (per-node
+    * out-wedge count Σ outdeg²) is bounded by m^1.5 overall because
+    * no node's OUT-degree exceeds √(2m): a hub's million neighbors
+    * sit on its IN-side, so the naive Σ deg² blowup (hub² wedges)
+    * never materializes. Everything shuffles on 8-byte node keys; the
+    * top-100 is a TakeOrdered heap, never a global sort. Exact
+    * integer counts; the DuckDB twin runs the identical shared SQL. */
+  def x70TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    // ONE oriented-list materialization: the triangle join references
+    // it 3 times, and re-deriving edges+degrees+orientation per
+    // reference would run the fact-table scan and two aggregates 3×.
+    // The raw/deg stages deliberately stay INLINE CTEs — measured at
+    // sf0.1 persisting each stage cost MORE (8.1 s vs 6.7) than the
+    // one redundant cheap re-derivation it saves: persist is a full
+    // materialization barrier AQE can't plan across, the x65 knife
+    // cutting the other way at this stage count.
+    spark.sql(
+      s"""WITH ${triangleEdgesSql("DIV")},
+      deg AS (${triangleDegSql("raw")})
+      ${triangleOrientSql("raw", "deg")}""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("x70_oriented")
+    spark.sql(triangleTopSql("x70_oriented", triangleCornersSpark))
+  }
+
   /** The x65 iteration chain, parameterized on the integer-division
     * operator (Spark `DIV`, DuckDB `//`) and the edge/degree relation
     * names — the damping arithmetic is shared text. Ranks live in
@@ -472,6 +557,7 @@ object SqlSurfaceQueries {
     "x61_snapshot_diff" -> (x61SnapshotDiff _),
     "x67_window_dedup_rank" -> (x67WindowDedupRank _),
     "x69_upsert_apply"  -> (x69UpsertApply _),
+    "x70_triangle_count" -> (x70TriangleCount _),
     "x56_pit_join"      -> (x56PitJoin _),
     "x53_grouping_sets" -> (x53GroupingSets _),
     "x52_scd2"          -> (x52Scd2 _),
@@ -493,6 +579,13 @@ object SqlSurfaceQueries {
       edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
       deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
       """ + pagerankIterSql("//", "edges", "deg")),
+    // the identical shared algorithm fragments composed as CTEs (edge
+    // derivation swaps DIV for //); exact integer counts
+    "x70_triangle_count" ->
+      (s"""WITH ${triangleEdgesSql("//")},
+      deg AS (${triangleDegSql("raw")}),
+      oriented AS (${triangleOrientSql("raw", "deg")}),
+      """ + triangleTopSql("oriented", triangleCornersDuck).stripPrefix("WITH ")),
     // the classic row_number()-over-the-whole-changelog spelling the
     // heap-trim must equal: same recency order, same k=2 retention
     "x67_window_dedup_rank" ->

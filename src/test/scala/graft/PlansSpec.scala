@@ -62,6 +62,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
   }
 
+  test("x70: triangle join is hash joins over the oriented list; top-100 is a bounded heap") {
+    val p = plan("x70_triangle_count")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    // the wedge join runs ONCE: corners is a lateral explode of tri,
+    // never a 3-way UNION that would inline the join per branch
+    assert("Generate explode".r.findAllMatchIn(p).size == 1, p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
