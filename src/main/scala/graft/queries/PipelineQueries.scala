@@ -119,10 +119,55 @@ object PipelineQueries {
       ORDER BY shard, doc_id""")
   }
 
+  /** p5 — the PACK REFRESH pipeline, composing the round-8 operators
+    * as one job: normalized-exact dedup (d15's NFC→lower→collapse key
+    * — the cheap gate real pipelines run first) → quality scoring
+    * (the SHARED t2 CTE) → per-domain cap (l17's top-15-per-source
+    * rule through TopKPerKey) → subword-budget packing (l18's
+    * bookkeeping over t10's tokenizer-accurate counts) — emitting the
+    * (shard, pack, doc) manifest with real context-window budgets.
+    * "What a weekly corpus refresh actually ships."
+    *
+    * Composition keeps every stage's posture: dedup moves an 8-byte
+    * normalized-text hash + id; the score and the subword count are
+    * fused per-row kernels in ONE scan; the cap's heap collapses
+    * map-side before its only exchange (never a corpus window); the
+    * packing window is partition-local per hash shard. The wide text
+    * column is read once and never shuffles — every join in the
+    * composition carries ids. */
+  def p5RefreshPacks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    val scored = spark.sql(s"""
+      WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+              poly_hash(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' '))) AS k
+            FROM documents) GROUP BY k),
+      ${TextQueries.qualityCteSpark}
+      SELECT s.doc_id, s.source, s.score FROM scored s JOIN survivors USING (doc_id)""")
+    graft.plans.TopK.perKey(scored, Seq(col("source")),
+      Seq(col("score").desc, col("doc_id")), k = 15)
+      .select(col("doc_id"))
+      .createOrReplaceTempView("p5_kept")
+    spark.sql(s"""
+      SELECT shard, doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             DIV 2048 AS BIGINT) AS pack_id
+      FROM (SELECT d.doc_id,
+              subword_count(lower(d.text)) AS n_tokens,
+              CAST(${FunctionQueries.kmvHashSpark("d.doc_id")} % 8 AS BIGINT) AS shard
+            FROM documents d JOIN p5_kept USING (doc_id))
+      ORDER BY shard, doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_pipeline" -> (p1TrainingPipeline _),
     "p3_curation_pipeline" -> (p3CurationPipeline _),
     "p4_corpus_release" -> (p4CorpusRelease _),
+    "p5_refresh_packs" -> (p5RefreshPacks _),
   )
 
   val oracleSql: Map[String, String] = {
@@ -210,6 +255,29 @@ object PipelineQueries {
                 CAST((${FunctionQueries.kmvHashDuck("doc_id")}) % 8 AS BIGINT) AS shard
               FROM clean)
         ORDER BY shard, doc_id""",
+      // every round-8 stage restated from its own oracle spelling:
+      // d15's normalized key, the shared t2 score CTE, l17's
+      // row_number cap, t10's recursive subword-count chain, l7/l18's
+      // pack window arithmetic
+      "p5_refresh_packs" ->
+        (s"""WITH RECURSIVE ${TextQueries.subwordCtesDuck},
+        survivors AS (SELECT MIN(doc_id) AS doc_id FROM (
+              SELECT doc_id,
+                ${rollingHashDuck("trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))")} AS k
+              FROM documents) GROUP BY k),
+        ${TextQueries.qualityCteDuck},
+        ranked AS (SELECT s.doc_id, s.source, s.score,
+            ROW_NUMBER() OVER (PARTITION BY s.source
+              ORDER BY s.score DESC, s.doc_id) AS rn
+          FROM scored s JOIN survivors USING (doc_id)),
+        kept AS (SELECT doc_id FROM ranked WHERE rn <= 15),
+        t AS (SELECT w.doc_id, w.n_subword AS n_tokens,
+            CAST((${FunctionQueries.kmvHashDuck("w.doc_id")}) % 8 AS BIGINT) AS shard
+          FROM swc w JOIN kept USING (doc_id))
+        SELECT shard, doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+        FROM t ORDER BY shard, doc_id"""),
     )
   }
 }

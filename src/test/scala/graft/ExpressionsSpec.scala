@@ -578,6 +578,41 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("SubwordCount property: kernel == UTF-16 reference on adversarial random strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // fragments biased toward the hard cases: vocab pieces (whole and
+    // truncated), piece CONCATENATIONS (greedy boundaries), spaces,
+    // multi-byte code points (2/3/4-byte UTF-8), and raw ASCII noise
+    val piece = Gen.oneOf(TextPrimitives.subwordVocab)
+    val frag = Gen.frequency(
+      4 -> piece,
+      2 -> (for { p <- piece; q <- piece } yield p + q),
+      2 -> piece.map(_.dropRight(1)),
+      3 -> Gen.stringOfN(3, Gen.alphaLowerChar),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ß", "日", "𝕏", "а"), // incl. a 4-byte surrogate pair
+      1 -> Gen.stringOfN(2, Gen.asciiPrintableChar.map(c => if (c == ' ') 'x' else c)))
+    val text = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString)
+    def ref(s: String): Long = {
+      val vocab = TextPrimitives.subwordVocab.sortBy(-_.length)
+      var i = 0; var n = 0L
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') i += 1
+        else vocab.find(v => s.regionMatches(i, v, 0, v.length)) match {
+          case Some(v) => n += 1; i += v.length
+          case None    => n += 1; i += Character.charCount(s.codePointAt(i))
+        }
+      }
+      n
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params,
+      Prop.forAll(text)(s => graft.functions.SubwordCount.count(s) == ref(s)))
+    assert(res.passed, res.status.toString)
+  }
+
   test("CharTrigrams == builtin transform(sequence, substring(lower)) spelling") {
     GraftFunctions.register(spark)
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
