@@ -615,7 +615,69 @@ object AnnQueries {
       .orderBy("vec_id")
   }
 
+  /** The s13 query terms and its BM25 arithmetic, shared between the
+    * Spark spelling and the DuckDB twin so they cannot diverge. The
+    * score is the RATIONAL Robertson/Sparck-Jones form — idf as the
+    * ratio (N − df + 0.5)/(df + 0.5), NO log() — because +,−,×,÷ are
+    * IEEE-correctly-rounded in both engines while ln is only
+    * faithfully rounded (libm-dependent): with identical inputs and
+    * identical expression order the raw doubles are BIT-identical
+    * cross-engine, so the top-20 cut itself is deterministic, not just
+    * the rounded display values. log is monotone, so the rational idf
+    * preserves BM25's ranking behavior per term; k1 = 1.2 (tf
+    * saturation), b = 0.75 (length normalization) are the standard
+    * constants and parse to the same doubles in both engines. */
+  private val bm25Terms = Seq("spark", "vector", "merge")
+
+  private def bm25ScoreSql: String =
+    bm25Terms.map { t =>
+      s"""(((n_docs - df_$t) + 0.5) / (df_$t + 0.5)) *
+         ((CAST(tf_$t AS DOUBLE) * 2.2) /
+          (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))"""
+    }.mkString("(", " + ", ")")
+
+  private def bm25StatsSql: String =
+    (Seq("CAST(COUNT(*) AS DOUBLE) AS n_docs", "CAST(SUM(dl) AS DOUBLE) AS sum_dl") ++
+      bm25Terms.map(t => s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t"))
+      .mkString(", ")
+
+  /** s13 — BM25 ranked retrieval: the top-20 documents for a fixed
+    * 3-term query, scored by Okapi BM25 — the lexical half of hybrid
+    * retrieval (the dense half is s2–s9) and the scorer behind
+    * retrieval-based decontamination and quality-classifier features.
+    * l11 extracts each doc's own top terms; s13 answers a QUERY against
+    * the corpus — the inverse direction, and the one a search endpoint
+    * serves.
+    *
+    * Shuffle story at 100 TB: the text column never shuffles — tf per
+    * query term and dl are fused per-row kernels (the StopHits codegen
+    * walk + split) inside the scan; the corpus-level stats (N, Σdl, df
+    * per term) are ONE scalar-aggregate row broadcast back via a
+    * nested-loop join (1-row side); and the top-20 is a
+    * TakeOrderedAndProject bounded heap (partial per partition, final
+    * merge of 20-row heaps) — never a global sort. Two scans of the
+    * projected (doc_id, text) pair total: one for stats, one for
+    * scoring. A production endpoint at 100 TB serves this from an
+    * inverted index (the l11/df side persisted keyed by term); the
+    * scan-and-score spelling here is the batch baseline that builds
+    * and validates that index. */
+  def s13Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    val w = "split(text, ' ')"
+    val tfs = bm25Terms.map(t =>
+      s"CAST(${graft.functions.TextPrimitives.stopHitsSpark(w, Seq(t))} AS BIGINT) AS tf_$t").mkString(", ")
+    spark.sql(s"""
+      WITH t AS (SELECT doc_id, CAST(size($w) AS BIGINT) AS dl, $tfs FROM documents),
+      stats AS (SELECT $bm25StatsSql FROM t)
+      SELECT doc_id, dl, ${bm25Terms.map("tf_" + _).mkString(", ")},
+             round($bm25ScoreSql, 6) AS score
+      FROM t CROSS JOIN stats
+      ORDER BY score DESC, doc_id LIMIT 20""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_bm25_topk" -> (s13Bm25TopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s8_range_search" -> (s8RangeSearch _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
@@ -881,6 +943,21 @@ object AnnQueries {
         JOIN probes p ON p.plabel = s.clabel
         WHERE a.vec_id = 0 AND b.vec_id <> 0
         ORDER BY sim DESC, b.vec_id LIMIT 5""",
+      // BM25 twin: same tokenization convention as l15 (space split),
+      // same stats CTE and the SAME rational score text — only the
+      // list-function dialect differs, so a raw-double divergence is
+      // structurally impossible (see bm25ScoreSql)
+      "s13_bm25_topk" -> {
+        val w = "string_split(text, ' ')"
+        val tfs = bm25Terms.map(t =>
+          s"CAST(${graft.functions.TextPrimitives.stopHitsDuck(w, Seq(t))} AS BIGINT) AS tf_$t").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, CAST(length($w) AS BIGINT) AS dl, $tfs FROM documents),
+        stats AS (SELECT $bm25StatsSql FROM t)
+        SELECT doc_id, dl, ${bm25Terms.map("tf_" + _).mkString(", ")},
+               round($bm25ScoreSql, 6) AS score
+        FROM t CROSS JOIN stats
+        ORDER BY score DESC, doc_id LIMIT 20"""
+      },
     )
   }
 }

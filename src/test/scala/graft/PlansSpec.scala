@@ -71,6 +71,16 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("Generate explode".r.findAllMatchIn(p).size == 1, p.take(4000))
   }
 
+  test("s13: BM25 stats broadcast as one row; top-20 is a bounded heap, no window") {
+    val p = plan("s13_bm25_topk")
+    // the corpus-level stats (N, Σdl, per-term df) are a single
+    // scalar-aggregate row joined back by a broadcast nested loop —
+    // never a shuffle keyed on anything corpus-sized
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
