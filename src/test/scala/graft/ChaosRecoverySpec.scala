@@ -434,23 +434,24 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss corrupted cluster labels: ${got.size} rows vs clean ${clean.size}")
   }
 
-  test("p3/p4 batch pipelines survive executor SIGKILL; manifests byte-equal") {
-    // the composed BATCH pipelines (p3 curation, p4 release) are the
-    // artifacts a user ships, and unlike the streaming family they
-    // carry no checkpoint — recovery is pure task/stage retry +
-    // shuffle recompute. The runner kills one executor while p3's own
-    // stages have in-flight tasks on it.
+  test("p3/p4/p5 batch pipelines survive executor SIGKILL; manifests byte-equal") {
+    // the composed BATCH pipelines (p3 curation, p4 release, p5
+    // refresh) are the artifacts a user ships, and unlike the
+    // streaming family they carry no checkpoint — recovery is pure
+    // task/stage retry + shuffle recompute. The runner kills one
+    // executor while p3's own stages have in-flight tasks on it.
     val work = Files.createTempDirectory("chaos_p34").toString
     val marker = s"$work/killed"
     val outP3 = s"$work/out_p3"
     val outP4 = s"$work/out_p4"
+    val outP5 = s"$work/out_p5"
     val sfDir = "/root/testdata/sf0.01"
     val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
     val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
     val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
     val cmd = Seq("java") ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", cp, "graft.ChaosP34Runner",
-      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4)
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_HOME", "/opt/spark")
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
@@ -480,6 +481,12 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(cleanP4.nonEmpty)
     assert(gotP4 == cleanP4,
       s"executor loss corrupted p4 manifest: ${gotP4.size} rows vs clean ${cleanP4.size}")
+    val gotP5 = spark.read.parquet(outP5).collect().map(_.toString).toSeq.sorted
+    val cleanP5 = graft.queries.PipelineQueries.p5RefreshPacks(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(cleanP5.nonEmpty)
+    assert(gotP5 == cleanP5,
+      s"executor loss corrupted p5 manifest: ${gotP5.size} rows vs clean ${cleanP5.size}")
   }
 
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {

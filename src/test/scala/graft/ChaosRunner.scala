@@ -151,7 +151,7 @@ object ChaosP2Runner {
   * shuffle files on it. */
 object ChaosP34Runner {
   def main(args: Array[String]): Unit = {
-    val Array(master, execCp, marker, sfDir, outP3, outP4) = args
+    val Array(master, execCp, marker, sfDir, outP3, outP4, outP5) = args
     val spark = SparkSession.builder()
       .master(master)
       .appName("chaos_p34")
@@ -195,6 +195,8 @@ object ChaosP34Runner {
       .write.mode("overwrite").parquet(outP3)
     graft.queries.PipelineQueries.p4CorpusRelease(spark, sfDir)
       .write.mode("overwrite").parquet(outP4)
+    graft.queries.PipelineQueries.p5RefreshPacks(spark, sfDir)
+      .write.mode("overwrite").parquet(outP5)
     spark.stop()
   }
 }
