@@ -25,7 +25,7 @@ used to collapse. Two hardenings replicate that behavior:
     — the s10/s11 miss). The Scala-side twin of this rule is
     OutputContractSpec.
 """
-import json, sys, math
+import glob, json, sys, math
 import duckdb
 import pyarrow as pa
 
@@ -80,7 +80,7 @@ def main(sf_dir, out_dir):
     for t in tables:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         try:
             # subset runs (graft.Verify with trailing query names) dump
@@ -88,11 +88,13 @@ def main(sf_dir, out_dir):
             # rest, BEFORE running it: some oracles are expensive by
             # design (s12's 25-round unroll at sf0.1 runs ~10 min) and
             # running all of them to compare three dumps made subset
-            # iteration useless
-            import glob as _glob
-            if not _glob.glob(f"{out_dir}/{name}/*.parquet"):
+            # iteration useless. Counted SEPARATELY from failures: a
+            # full-board run must end "N pass, 0 fail, 0 skipped" —
+            # a skip there means a query crashed inside Verify and
+            # never dumped, which must not read as subset noise.
+            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
                 print(f"SKIP {name}: not in dump")
-                n_fail += 1
+                n_skip += 1
                 continue
             want = con.execute(sql).fetch_arrow_table()
             got = con.execute(
@@ -142,7 +144,7 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {e}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skipped")
     return 1 if n_fail else 0
 
 

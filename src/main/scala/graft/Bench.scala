@@ -142,13 +142,16 @@ object Bench {
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the metric line out of that window — a single 141-entry map line
     // (~4.3 KB) can never survive it, and the r6/r7 rotations only
-    // chose WHICH families were lost. So the map is emitted as small
-    // per-family chunk lines first (no family is systematically lost:
-    // each line is window-sized, and all values also live in
-    // target/bench_full.json), and the LAST line — the driver's parse
-    // target, the only one carrying "metric" — is compact by
-    // construction: total + per-family sums + the slowest individual
-    // lines, guaranteed to fit the window whole.
+    // chose WHICH families were lost. The per-family chunk lines below
+    // are BEST-EFFORT context for a human reading the raw log: the
+    // window keeps the TAIL of all stdout, so on capture everything
+    // before the final line is truncated anyway (and the x-family
+    // chunk alone already exceeds ~2 KB). target/bench_full.json is
+    // the ONLY complete per-query source. What the contract actually
+    // guarantees is the LAST line — the driver's parse target, the
+    // only one carrying "metric" — compact by construction: total +
+    // per-family sums + the slowest individual lines, sized to fit
+    // the window whole.
     val byFam = results.groupBy(_._1.head).toSeq.sortBy(_._1)
     byFam.foreach { case (fam, rs) =>
       println(s"""{"bench_chunk":"$fam","queries":${jsonMap(rs.sortBy(_._1).map(r => (r._1, r._2)), 3)}}""")

@@ -277,10 +277,15 @@ object DedupQueries {
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // evict entries for STOPPED sessions so a long-lived process that
+    // cycles sessions (or tests over many temp dirs) can't pin dead
+    // sessions and their plans in this static map forever
+    labelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir)
     val cached = labelsMemo.get(key)
     if (cached != null && scala.util.Try(cached.take(1)).isSuccess) cached
     else {
+      labelsMemo.remove(key) // drop a swept-cache (guard-failed) entry
       val pairs = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
       val labels = graft.operators.ConnectedComponents.run(docs, pairs)

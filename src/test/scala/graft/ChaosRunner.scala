@@ -2,6 +2,59 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Shared scaffolding for the chaos driver mains below — ONE spelling
+  * of the cluster session, the executor-pid harvest, and the
+  * marker-guarded SIGKILL so a fix to the probe race or kill protocol
+  * lands in every scenario at once. */
+private[graft] object ChaosHarness {
+  def session(master: String, execCp: String, appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.executor.extraClassPath", execCp)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Pids of BOTH executor JVMs. The probe job can run entirely on
+    * whichever executor registers first (standalone's
+    * minRegisteredResourcesRatio defaults low and 16 trivial tasks
+    * drain in ms) — retry until both have been observed, don't abort
+    * the scenario on a launch race. */
+  def harvestExecutorPids(spark: SparkSession): Array[Long] = {
+    val driverPid = ProcessHandle.current().pid
+    def probe(): Array[Long] = spark.sparkContext.parallelize(1 to 16, 16)
+      .map(_ => ProcessHandle.current().pid)
+      .collect().distinct.filter(_ != driverPid)
+    var pids = probe()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (pids.length < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      pids = (pids ++ probe()).distinct
+    }
+    require(pids.length >= 2, s"expected 2 executor JVMs, saw ${pids.toSeq}")
+    pids
+  }
+
+  /** Daemon thread that waits for `armed` then SIGKILLs `victim` —
+    * exactly once across relaunches, guarded by the marker dir. */
+  def killWhen(victim: Long, marker: String, tag: String)(armed: () => Boolean): Unit = {
+    val killer = new Thread(() => {
+      while (!armed()) Thread.sleep(5)
+      if (new java.io.File(marker).mkdir()) {
+        ProcessHandle.of(victim).ifPresent(_.destroyForcibly())
+        System.err.println(s"[$tag] SIGKILLed executor pid $victim")
+      }
+    })
+    killer.setDaemon(true)
+    killer.start()
+  }
+}
+
 /** Driver main for [[ChaosRecoverySpec]], launched in its OWN JVM so
   * the kill-an-executor run cannot touch the suite-shared local[4]
   * SparkContext. Runs a RainStorm streaming job (`exec:` UDx op1 →
@@ -12,15 +65,7 @@ import org.apache.spark.sql.SparkSession
 object ChaosRunner {
   def main(args: Array[String]): Unit = {
     val Array(master, execCp, script, srcDir, dest, ckpt) = args
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName("chaos_recovery")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ChaosHarness.session(master, execCp, "chaos_recovery")
     val q = graft.streaming.RainStormJob.runStreaming(
       spark, s"exec:$script", "count:1", srcDir, dest, ckpt)
     q.awaitTermination()
@@ -38,57 +83,26 @@ object ChaosRunner {
   * checkpoints those blocks die with the executor and the job fails
   * (lineage is truncated — nothing to recompute from); the reliable
   * path must instead fall back to the checkpoint FILES and finish with
-  * exact labels. Executor pids are harvested up front with a probe job
-  * (one ProcessHandle.pid per task, spread over both executors). */
+  * exact labels. */
 object ChaosD4Runner {
   def main(args: Array[String]): Unit = {
     val Array(master, execCp, marker, sfDir, out, ckpt) = args
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName("chaos_d4")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val driverPid = ProcessHandle.current().pid
-    // the probe job can run entirely on whichever executor registers
-    // first (standalone's minRegisteredResourcesRatio defaults low and
-    // 16 trivial tasks drain in ms) — retry until BOTH executor JVMs
-    // have been observed, don't abort the scenario on a launch race
-    def probePids(): Array[Long] = spark.sparkContext.parallelize(1 to 16, 16)
-      .map(_ => ProcessHandle.current().pid)
-      .collect().distinct.filter(_ != driverPid)
-    var execPids = probePids()
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while (execPids.length < 2 && System.nanoTime() < deadline) {
-      Thread.sleep(200)
-      execPids = (execPids ++ probePids()).distinct
-    }
-    require(execPids.length >= 2, s"expected 2 executor JVMs, saw ${execPids.toSeq}")
+    val spark = ChaosHarness.session(master, execCp, "chaos_d4")
+    val execPids = ChaosHarness.harvestExecutorPids(spark)
     spark.sparkContext.setCheckpointDir(ckpt)
     spark.conf.set("spark.graft.checkpoint.reliable", "true")
-    val killer = new Thread(() => {
-      // the checkpoint dir is being actively written (temp part files
-      // renamed into place) — a file vanishing between list and stat
-      // throws from Files.walk; treat any IO race as "not yet" instead
-      // of letting the daemon thread die silently with no kill fired
-      def roundSnapshotExists: Boolean =
-        try {
-          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-          try s.anyMatch(p => p.getFileName != null &&
-            p.getFileName.toString.startsWith("rdd-"))
-          finally s.close()
-        } catch { case _: Exception => false }
-      while (!roundSnapshotExists) Thread.sleep(20)
-      if (new java.io.File(marker).mkdir()) {
-        ProcessHandle.of(execPids.head).ifPresent(_.destroyForcibly())
-        System.err.println(s"[chaos_d4] SIGKILLed executor pid ${execPids.head}")
-      }
-    })
-    killer.setDaemon(true)
-    killer.start()
+    // the checkpoint dir is being actively written (temp part files
+    // renamed into place) — a file vanishing between list and stat
+    // throws from Files.walk; treat any IO race as "not yet" instead
+    // of letting the daemon thread die silently with no kill fired
+    def roundSnapshotExists(): Boolean =
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try s.anyMatch(p => p.getFileName != null &&
+          p.getFileName.toString.startsWith("rdd-"))
+        finally s.close()
+      } catch { case _: Exception => false }
+    ChaosHarness.killWhen(execPids.head, marker, "chaos_d4")(() => roundSnapshotExists())
     graft.queries.DedupQueries.d4DedupClusters(spark, sfDir)
       .write.mode("overwrite").parquet(out)
     spark.stop()
@@ -105,15 +119,7 @@ object ChaosD4Runner {
 object ChaosP2Runner {
   def main(args: Array[String]): Unit = {
     val Array(master, execCp, marker, feed, out, ckpt) = args
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName("chaos_p2")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ChaosHarness.session(master, execCp, "chaos_p2")
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{col, udf}
     val kill = udf { (_: Long) =>
@@ -137,41 +143,22 @@ object ChaosP2Runner {
   }
 }
 
-/** Driver main for the p3/p4 BATCH-pipeline chaos scenario: runs the
-  * REAL composed curation (p3) and release (p4) pipelines — the
-  * artifacts a user actually ships — on `local-cluster[2,1,1024]` and
-  * SIGKILLs one executor JVM as soon as p3's first tasks are in
-  * flight. Unlike the d4 loop there is no driver-side iterative state
-  * and no checkpoint: the pipelines are fully declarative, so plain
-  * task/stage retry plus shuffle-output recompute must deliver
-  * byte-identical manifests on their own. Executor pids are harvested
-  * up front with a probe job (the ChaosD4Runner pattern); the kill
-  * trigger is the task-start listener so the victim dies while the
-  * pipeline's own stages hold in-flight tasks and freshly-written
+/** Driver main for the p3/p4/p5 BATCH-pipeline chaos scenario: runs the
+  * REAL composed curation (p3), release (p4) and refresh (p5)
+  * pipelines — the artifacts a user actually ships — on
+  * `local-cluster[2,1,1024]` and SIGKILLs one executor JVM as soon as
+  * p3's first tasks are in flight. Unlike the d4 loop there is no
+  * driver-side iterative state and no checkpoint: the pipelines are
+  * fully declarative, so plain task/stage retry plus shuffle-output
+  * recompute must deliver byte-identical manifests on their own. The
+  * kill trigger is the task-start listener so the victim dies while
+  * the pipeline's own stages hold in-flight tasks and freshly-written
   * shuffle files on it. */
 object ChaosP34Runner {
   def main(args: Array[String]): Unit = {
     val Array(master, execCp, marker, sfDir, outP3, outP4, outP5) = args
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName("chaos_p34")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val driverPid = ProcessHandle.current().pid
-    def probePids(): Array[Long] = spark.sparkContext.parallelize(1 to 16, 16)
-      .map(_ => ProcessHandle.current().pid)
-      .collect().distinct.filter(_ != driverPid)
-    var execPids = probePids()
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while (execPids.length < 2 && System.nanoTime() < deadline) {
-      Thread.sleep(200)
-      execPids = (execPids ++ probePids()).distinct
-    }
-    require(execPids.length >= 2, s"expected 2 executor JVMs, saw ${execPids.toSeq}")
+    val spark = ChaosHarness.session(master, execCp, "chaos_p34")
+    val execPids = ChaosHarness.harvestExecutorPids(spark)
     @volatile var tasksStarted = 0
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskStart(
@@ -179,17 +166,10 @@ object ChaosP34Runner {
         tasksStarted += 1
     })
     val probeTasks = tasksStarted
-    val killer = new Thread(() => {
-      // wait until the PIPELINE's own tasks are running (a few past the
-      // probe count so the victim holds live tasks + shuffle files)
-      while (tasksStarted < probeTasks + 4) Thread.sleep(5)
-      if (new java.io.File(marker).mkdir()) {
-        ProcessHandle.of(execPids.head).ifPresent(_.destroyForcibly())
-        System.err.println(s"[chaos_p34] SIGKILLed executor pid ${execPids.head}")
-      }
-    })
-    killer.setDaemon(true)
-    killer.start()
+    // wait until the PIPELINE's own tasks are running (a few past the
+    // probe count so the victim holds live tasks + shuffle files)
+    ChaosHarness.killWhen(execPids.head, marker, "chaos_p34")(
+      () => tasksStarted >= probeTasks + 4)
     graft.functions.GraftFunctions.register(spark)
     graft.queries.PipelineQueries.p3CurationPipeline(spark, sfDir)
       .write.mode("overwrite").parquet(outP3)

@@ -540,28 +540,31 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // independent SubwordCount reference: UTF-16 String walk, vocab tried
+  // longest-first (the kernel walks UTF-8 bytes with packed-int sets).
+  // ONE definition shared by the corpus test and the ScalaCheck
+  // property so the reference rule cannot drift between them.
+  private def subwordRef(s: String): Long = {
+    val vocab = TextPrimitives.subwordVocab.sortBy(-_.length)
+    var i = 0; var n = 0L
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') i += 1
+      else vocab.find(v => s.regionMatches(i, v, 0, v.length)) match {
+        case Some(v) => n += 1; i += v.length
+        case None    => n += 1; i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    n
+  }
+
   test("SubwordCount == independent greedy reference on real documents + edges") {
     GraftFunctions.register(spark)
-    // independent reference spelling: UTF-16 String walk, vocab tried
-    // longest-first (the kernel walks UTF-8 bytes with packed-int sets)
-    def ref(s: String): Long = {
-      val vocab = TextPrimitives.subwordVocab.sortBy(-_.length)
-      var i = 0; var n = 0L
-      while (i < s.length) {
-        if (s.charAt(i) == ' ') i += 1
-        else vocab.find(v => s.regionMatches(i, v, 0, v.length)) match {
-          case Some(v) => n += 1; i += v.length
-          case None    => n += 1; i += Character.charCount(s.codePointAt(i))
-        }
-      }
-      n
-    }
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .createOrReplaceTempView("documents")
     import spark.implicits._
     spark.sql("SELECT lower(text) AS t, subword_count(lower(text)) AS n FROM documents")
       .as[(String, Long)].collect().foreach { case (t, n) =>
-        assert(n == ref(t), s"on '${t.take(60)}...'")
+        assert(n == subwordRef(t), s"on '${t.take(60)}...'")
       }
     // edges: empty, spaces only, OOV run, greedy longest ('the' beats
     // 'th'), multi-piece word, space separation, multi-byte OOV
@@ -574,7 +577,7 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     cases.foreach { case (s, expected) =>
       val got = graft.functions.SubwordCount.count(s)
       assert(got == expected, s"on '$s'")
-      assert(got == ref(s), s"kernel != reference on '$s'")
+      assert(got == subwordRef(s), s"kernel != reference on '$s'")
     }
   }
 
@@ -593,23 +596,11 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
       1 -> Gen.oneOf("é", "ß", "日", "𝕏", "а"), // incl. a 4-byte surrogate pair
       1 -> Gen.stringOfN(2, Gen.asciiPrintableChar.map(c => if (c == ' ') 'x' else c)))
     val text = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString)
-    def ref(s: String): Long = {
-      val vocab = TextPrimitives.subwordVocab.sortBy(-_.length)
-      var i = 0; var n = 0L
-      while (i < s.length) {
-        if (s.charAt(i) == ' ') i += 1
-        else vocab.find(v => s.regionMatches(i, v, 0, v.length)) match {
-          case Some(v) => n += 1; i += v.length
-          case None    => n += 1; i += Character.charCount(s.codePointAt(i))
-        }
-      }
-      n
-    }
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(500)
       .withInitialSeed(org.scalacheck.rng.Seed(42L))
     val res = SCTest.check(params,
-      Prop.forAll(text)(s => graft.functions.SubwordCount.count(s) == ref(s)))
+      Prop.forAll(text)(s => graft.functions.SubwordCount.count(s) == subwordRef(s)))
     assert(res.passed, res.status.toString)
   }
 
