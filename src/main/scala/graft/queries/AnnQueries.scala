@@ -676,8 +676,63 @@ object AnnQueries {
       ORDER BY score DESC, doc_id LIMIT 20""")
   }
 
+  /** s14 — hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et
+    * al. SIGIR'09) of the lexical BM25 top-20 (s13's scorer, shared
+    * text) and the dense cosine top-20 (l3's brute-force baseline,
+    * vec_id 0's embedding standing in for the encoded query — the
+    * doc_id/vec_id domains are aligned by construction). This is the
+    * fusion step every production retrieval stack runs: two
+    * independently-ranked candidate lists merged by
+    * Σ 1/(60 + rank) — rank-only, so no score calibration between
+    * the lexical and dense scales is needed.
+    *
+    * Cross-engine determinism: the RRF score is pure +,÷ on small
+    * exact integers (IEEE-correctly-rounded in both engines, identical
+    * expression order → bit-identical doubles); ranks come from the
+    * bit-identical rational BM25 doubles (see bm25ScoreSql) and the
+    * round-9 cosine, each tiebroken by doc_id.
+    *
+    * Shuffle story at 100 TB: each half is its own bounded
+    * TakeOrderedAndProject heap (the corpus-sized text/embedding
+    * columns never shuffle — s13's fused-kernel scan, l3's broadcast
+    * probe); the row_number windows and the full-outer fusion join
+    * then run over ≤ 20-row lists — driver-trivial regardless of
+    * corpus size. */
+  def s14HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val w = "split(text, ' ')"
+    val tfs = bm25Terms.map(t =>
+      s"CAST(${graft.functions.TextPrimitives.stopHitsSpark(w, Seq(t))} AS BIGINT) AS tf_$t").mkString(", ")
+    spark.sql(s"""
+      WITH t AS (SELECT doc_id, CAST(size($w) AS BIGINT) AS dl, $tfs FROM documents),
+      stats AS (SELECT $bm25StatsSql FROM t),
+      lex AS (SELECT doc_id, $bm25ScoreSql AS score
+              FROM t CROSS JOIN stats
+              ORDER BY score DESC, doc_id LIMIT 20),
+      dense AS (SELECT e.vec_id AS doc_id,
+                       round(cosine_similarity(e.embedding, q.embedding), 9) AS sim
+                FROM embeddings e CROSS JOIN
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+                ORDER BY sim DESC, doc_id LIMIT 20),
+      lexr AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+               FROM lex),
+      denser AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_dense
+                 FROM dense)
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, rank_lex, rank_dense,
+             coalesce(CAST(1 AS DOUBLE) / (60 + rank_lex), CAST(0 AS DOUBLE)) +
+             coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), CAST(0 AS DOUBLE)) AS rrf
+      FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 10""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_bm25_topk" -> (s13Bm25TopK _),
+    "s14_hybrid_rrf" -> (s14HybridRrf _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s8_range_search" -> (s8RangeSearch _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
@@ -957,6 +1012,35 @@ object AnnQueries {
                round($bm25ScoreSql, 6) AS score
         FROM t CROSS JOIN stats
         ORDER BY score DESC, doc_id LIMIT 20"""
+      },
+      // RRF twin: the lex half is the s13 twin verbatim (shared score
+      // text), the dense half the l3/s2 list-cosine convention; the
+      // fusion arithmetic is the SAME +,÷-only text as the Spark
+      // spelling so the fused doubles are bit-identical
+      "s14_hybrid_rrf" -> {
+        val w = "string_split(text, ' ')"
+        val tfs = bm25Terms.map(t =>
+          s"CAST(${graft.functions.TextPrimitives.stopHitsDuck(w, Seq(t))} AS BIGINT) AS tf_$t").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, CAST(length($w) AS BIGINT) AS dl, $tfs FROM documents),
+        stats AS (SELECT $bm25StatsSql FROM t),
+        lex AS (SELECT doc_id, $bm25ScoreSql AS score
+                FROM t CROSS JOIN stats
+                ORDER BY score DESC, doc_id LIMIT 20),
+        dense AS (SELECT b.vec_id AS doc_id, ROUND($cos, 9) AS sim
+                  FROM embeddings a JOIN embeddings b
+                    ON a.vec_id = 0 AND b.vec_id <> 0
+                  ORDER BY sim DESC, doc_id LIMIT 20),
+        lexr AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+                 FROM lex),
+        denser AS (SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_dense
+                   FROM dense)
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, rank_lex, rank_dense,
+               coalesce(CAST(1 AS DOUBLE) / (60 + rank_lex), CAST(0 AS DOUBLE)) +
+               coalesce(CAST(1 AS DOUBLE) / (60 + rank_dense), CAST(0 AS DOUBLE)) AS rrf
+        FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10"""
       },
     )
   }

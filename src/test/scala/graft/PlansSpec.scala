@@ -81,6 +81,19 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("s14: both retrieval halves are bounded heaps; windows only rank the 20-row lists") {
+    val p = plan("s14_hybrid_rrf")
+    // lexical top-20, dense top-20, fused top-10 — three bounded heaps;
+    // the corpus-sized text/embedding columns never reach a sort
+    assert("TakeOrderedAndProject".r.findAllMatchIn(p).size >= 3, p.take(4000))
+    // corpus stats joined back as ONE broadcast row (s13's shape)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the row_number windows rank the ≤20-row lists — they sit
+    // DOWNSTREAM of (earlier in the root-first string than) the last
+    // bounded heap, never over the corpus scan
+    assert(p.lastIndexOf("Window") < p.lastIndexOf("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
