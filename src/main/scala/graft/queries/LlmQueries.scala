@@ -480,7 +480,96 @@ object LlmQueries {
       .orderBy("shard", "doc_id")
   }
 
+  /** Rounds of BPE merge learning in l19 — enough to exercise
+    * multi-char symbol formation (merged symbols re-enter later pair
+    * counts) while keeping the unrolled DuckDB twin readable. */
+  private[queries] val bpeRounds = 8
+
+  /** ONE spelling of the greedy leftmost-non-overlapping merge fold,
+    * shared between the Spark lambda and the DuckDB twin so the
+    * application semantics cannot diverge. `acc` is the space-joined
+    * output symbols so far, `s` the incoming symbol, `ml`/`mr` the
+    * round's winning pair (captured row columns, so no literal
+    * escaping is ever needed). Greedy correctness: a merge fires iff
+    * the LAST emitted symbol is exactly `ml` (symbols never contain
+    * spaces, so the `acc = ml OR ends_with(acc, ' ' || ml)` test is an
+    * exact last-symbol match) — and a just-merged symbol `ml || mr`
+    * can never equal `ml` (mr is non-empty), so consumed positions
+    * never re-merge: this IS Sennrich's left-to-right scan. */
+  private def bpeMergeFold(endsWith: String, ml: String = "ml", mr: String = "mr"): String =
+    s"""CASE WHEN (acc = $ml OR $endsWith(acc, ' ' || $ml)) AND s = $mr
+       THEN substring(acc, 1, length(acc) - length($ml)) || $ml || $mr
+       ELSE acc || ' ' || s END"""
+
+  /** The Spark spelling of one merge application over the symbol
+    * string `w` given the 1-row pair columns (ml, mr): seed the fold
+    * with the first symbol and fold the rest — the exact semantics of
+    * DuckDB's binary list_reduce, so the shared CASE text behaves
+    * identically on both engines. Exposed for the BpeTrainSpec edge
+    * cases (overlap runs, no re-merge of just-created symbols). */
+  private[graft] def bpeApplySpark: String =
+    s"""aggregate(slice(split(w, ' '), 2, size(split(w, ' ')) - 1),
+                  element_at(split(w, ' '), 1),
+                  (acc, s) -> ${bpeMergeFold("endswith")})"""
+
+  /** l19 — BPE tokenizer TRAINING: learn the first [[bpeRounds]] merge
+    * rules from the corpus (Sennrich et al. 2016) — the job that
+    * produces the vocabulary t10/l18 then tokenize with. Emits one row
+    * per learned merge: (merge_round, left_sym, right_sym, cnt).
+    *
+    * Scale shape — the reason industrial trainers (SentencePiece,
+    * HuggingFace tokenizers) are structured exactly this way: the
+    * corpus is scanned ONCE, into a word-frequency table (Heaps' law:
+    * vocabulary grows ~√corpus, so at 100 TB this is a few hundred
+    * million short rows — cluster-trivial); every subsequent round
+    * touches only that table: one pair-explode + SUM shuffle keyed on
+    * (l, r) symbol pairs, an argmax head(1) (the driver state is the
+    * merge table itself — k pairs, the trained ARTIFACT, the s12
+    * pattern), and a broadcast-literal map applying the merge via a
+    * per-row fold. localCheckpoint truncates the per-round lineage the
+    * same way s12's centroid loop does — without it round k's plan
+    * re-executes all k−1 predecessors per reference (the x65/x70 CTE
+    * lesson). Tie-break on (cnt DESC, l, r) makes the learned
+    * vocabulary deterministic across engines and cluster sizes. */
+  def l19BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var w = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", split(col("word"), "")).as("w"), col("n"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= bpeRounds && !exhausted) {
+      val top = w.select(col("n"), split(col("w"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+                      slice(syms, 2, size(syms) - 1),
+                      (a, b) -> struct(a AS l, b AS r))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        val m = Seq((l, r)).toDF("ml", "mr")
+        w = w.crossJoin(broadcast(m))
+          .select(expr(bpeApplySpark).as("w"), col("n"))
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    merges.result().toDF("merge_round", "left_sym", "right_sym", "cnt")
+      .orderBy("merge_round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l19_bpe_train"    -> (l19BpeTrain _),
     "l18_subword_pack" -> (l18SubwordPack _),
     "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
@@ -501,7 +590,48 @@ object LlmQueries {
     "l14_lm_score"       -> (l14LmScore _),
   )
 
+  /** The l19 twin: the same train loop UNROLLED as a MATERIALIZED CTE
+    * chain (the s12 k-means-unroll pattern). MATERIALIZED is load-
+    * bearing: w_i is referenced twice per round (pair counts + merge
+    * application), so inlined CTEs would re-run the corpus scan 2^k
+    * times. The merge application is [[bpeMergeFold]] verbatim — the
+    * only dialect differences are list-function names and that
+    * DuckDB's binary list_reduce seeds from the first element, which
+    * the Spark spelling reproduces exactly via
+    * aggregate(slice(syms, 2, ...), element_at(syms, 1), ...). */
+  private def bpeTrainDuck: String = {
+    val roundCtes = (0 until bpeRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT u.p.l AS l, u.p.r AS r, CAST(SUM(u.n) AS BIGINT) AS cnt
+        FROM (SELECT n, unnest(list_transform(range(1, len(syms)), j ->
+                struct_pack(l := syms[j], r := syms[j + 1]))) AS p
+              FROM (SELECT n, string_split(w, ' ') AS syms FROM w$i) s
+              WHERE len(syms) >= 2) u
+        GROUP BY u.p.l, u.p.r),
+      m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      w${i + 1} AS MATERIALIZED (
+        SELECT list_reduce(string_split(t.w, ' '), (acc, s) ->
+                 ${bpeMergeFold("ends_with", "m.l", "m.r")}) AS w,
+               t.n
+        FROM w$i t CROSS JOIN m$i m)"""
+    }.mkString(",\n")
+    val unions = (0 until bpeRounds).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_round, l AS left_sym, r AS right_sym, cnt FROM m$i"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(word, ''), ' ') AS w,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      WHERE word <> ''
+      GROUP BY word),
+    $roundCtes
+    SELECT * FROM (
+      $unions
+    ) ORDER BY merge_round"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "l19_bpe_train" -> bpeTrainDuck,
     // l7's pack bookkeeping over the shared t10 subword-count CTE
     // chain — same greedy rule, same vocabulary literal, same window
     // arithmetic (// is DuckDB integer division; the CAST collapses
