@@ -292,7 +292,61 @@ object TextQueries {
               (SELECT doc_id, SUM(c) AS s FROM fin GROUP BY doc_id) f
               ON d.doc_id = f.doc_id)"""
 
+  /** t11 — fuzzy (edit-distance) similarity JOIN: all document pairs
+    * whose 16-char text prefix is within Levenshtein distance 2, via
+    * the SymSpell deletion-neighborhood blocking scheme (Garbe):
+    * dist(s,t) ≤ k ⟹ the k-deletion neighborhoods D_k(s), D_k(t)
+    * intersect, so candidates are EXACTLY the pairs sharing a deletion
+    * variant — an equi-join, with recall 1 by construction (the
+    * brute-force oracle gates the scheme itself, the d13 convention).
+    * This is the string-similarity join modality the dedup family
+    * lacks: d1/d3 are set-overlap on shingles, t11 is character-level
+    * edit distance — the right tool for short keys (titles, URLs,
+    * names) where a single typo is one edit but shifts every shingle.
+    *
+    * Scale shape at 100 TB: variant generation is a per-row explode of
+    * ~L²/2 16-char strings (L=16 ⇒ 137 variants — the classic SymSpell
+    * space-for-equi-join trade), immediately hashed to 8-byte keys so
+    * the shuffle carries (hash, doc_id) only; the candidate self-join
+    * and pair-distinct are keyed equi-shuffles; the exact levenshtein
+    * verify runs once per CANDIDATE pair, never per pair of documents.
+    * A variant bucket of size m costs m² candidates — buckets are
+    * true near-dup groups, so the quadratic term is inherent output
+    * cost, not a planning accident (hot-key salting applies if a
+    * pathological corpus concentrates one prefix). */
+  /** All single-deletion variants of string column/lambda-var `s` —
+    * the SymSpell neighborhood generator, exposed for FuzzyJoinSpec's
+    * crafted-edge pins. sequence(1, length) is safe here because t11
+    * only ever applies it to non-empty prefixes (documents are ≥ 44
+    * chars at every SF; Spark's sequence(1, 0) would yield [1, 0]). */
+  private[graft] def deletions1(s: String): String =
+    s"transform(sequence(1, length($s)), i -> concat(substring($s, 1, i - 1), substring($s, i + 1, 1000)))"
+
+  def t11FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr("substring(text, 1, 16)").as("p"))
+    val cand = d
+      .select(col("doc_id"), col("p"), expr(deletions1("p")).as("d1"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(concat(array(p), d1, flatten(transform(d1, v -> ${deletions1("v")}))))"""))
+        .as("v"))
+      .select(xxhash64(col("v")).as("h"), col("doc_id"))
+    val pairs = cand.as("a")
+      .join(cand.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val pa = d.select(col("doc_id").as("doc_id_a"), col("p").as("pa"))
+    val pb = d.select(col("doc_id").as("doc_id_b"), col("p").as("pb"))
+    pairs.join(pa, "doc_id_a").join(pb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_fuzzy_join"     -> (t11FuzzyJoin _),
     "t10_subword_tokens" -> (t10SubwordTokens _),
     "t9_char_diversity" -> (t9CharDiversity _),
     "t1_lang_id"       -> (t1LangId _),
@@ -310,6 +364,17 @@ object TextQueries {
     val scoresDuck = Seq("en", "de", "es", "fr")
       .map(l => s"${stopHitsDuck(w, stopwords(l))} AS s_$l").mkString(", ")
     Map(
+      // brute-force all-pairs ground truth (the l4/d13 convention):
+      // because SymSpell candidates have recall 1 by construction, the
+      // exact twin gates the BLOCKING SCHEME itself, not just the
+      // per-pair verify arithmetic
+      "t11_fuzzy_join" ->
+        """WITH d AS (SELECT doc_id, substring(text, 1, 16) AS p FROM documents)
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 2
+        ORDER BY doc_id_a, doc_id_b""",
       // the explode-per-character spelling the fused kernel must equal:
       // DuckDB's 1-based string indexing enumerates code points, the
       // same unit char_stats counts

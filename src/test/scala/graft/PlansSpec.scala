@@ -94,6 +94,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.lastIndexOf("Window") < p.lastIndexOf("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("t11: fuzzy join candidates are a hash equi-join on variant hashes, never all-pairs") {
+    val p = plan("t11_fuzzy_join")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the shuffle payload is (hash, doc_id) — the scan reads only the
+    // two columns the prefix needs
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
