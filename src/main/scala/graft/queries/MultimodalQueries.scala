@@ -316,7 +316,61 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Scene-cut threshold for m11: from the measured frame-difference
+    * distribution the corpus is bimodal — intra-scene |Δsum| sits at
+    * ~50–360 (p10–p50) while content transitions (including the
+    * residual last frame) sit at ≥ ~6000 (p75+) — so 2000 separates
+    * the modes with an order of magnitude on each side. */
+  private val sceneCutThreshold = 2000L
+
+  /** m11 — SCENE-CUT detection: the temporal-segmentation pass a video
+    * pipeline runs before sampling (m8/m9 sample blindly every k-th
+    * frame; m11 finds the boundaries worth sampling AT). The payload
+    * becomes a real multi-frame GIF (the lossless m9 container), every
+    * frame is decoded to its pixel sum, and a cut is a frame whose
+    * absolute intensity jump |sum_f − sum_{f−1}| exceeds
+    * [[sceneCutThreshold]] — the classic frame-difference detector
+    * (histogram-L1 collapses to the sum for a 1-bin histogram; the
+    * kernel seam extends to per-bin histograms without touching the
+    * plumbing). Lossless palette ⇒ the per-frame sums, and therefore
+    * the cut POSITIONS, are oracle-exact from the source bytes.
+    *
+    * Scale shape: one mapPartitions decode pass, per-row state is one
+    * Long per frame, output is 5 scalars per document — no shuffle
+    * until the presentation sort. A real pipeline swaps encodeGif for
+    * the demuxer of the stored container; detection cost stays
+    * decode-bound, which is why production detectors run exactly this
+    * one-pass-per-asset shape. */
+  def m11SceneCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val sums = MultimodalKernels.decodeGifFrameSums(
+            MultimodalKernels.encodeGif(bytes))
+          var cuts = 0L
+          var maxDiff = 0L
+          var firstCut = -1L
+          var k = 1
+          while (k < sums.length) {
+            val d = math.abs(sums(k) - sums(k - 1))
+            if (d > sceneCutThreshold) {
+              cuts += 1
+              if (firstCut < 0) firstCut = k
+            }
+            if (d > maxDiff) maxDiff = d
+            k += 1
+          }
+          (id, sums.length.toLong, cuts, maxDiff, firstCut)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "max_diff", "first_cut")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_scene_cut"        -> (m11SceneCut _),
     "m9_gif_frames"        -> (m9GifFrames _),
     "m1_multimodal_decode" -> (m1MultimodalDecode _),
     "m2_feature_extract"   -> (m2FeatureExtract _),
@@ -330,6 +384,30 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // m11: the lossless-GIF pixel contract (see m9) makes every
+    // per-frame sum exact — frame f covers source chars
+    // [f*128+1, min((f+1)*128, len)], zero padding adds nothing — so
+    // the cut POSITIONS are pure integer arithmetic on the text,
+    // restated with the same 2000 threshold literal
+    "m11_scene_cut" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+               CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nf
+             FROM documents),
+      fr AS (SELECT doc_id, unnest(range(0, nf)) AS f, text, len, nf FROM d),
+      fs AS (SELECT doc_id, nf, f,
+               CAST(list_sum(list_transform(
+                 range(CAST(f * 128 + 1 AS INT), CAST(least((f + 1) * 128, len) + 1 AS INT)),
+                 i -> ord(text[i]))) AS BIGINT) AS s
+             FROM fr),
+      df AS (SELECT doc_id, nf, f,
+               abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f)) AS diff
+             FROM fs)
+      SELECT doc_id, nf AS n_frames,
+             CAST(coalesce(SUM(CASE WHEN diff > $sceneCutThreshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+             CAST(coalesce(MAX(diff), 0) AS BIGINT) AS max_diff,
+             CAST(coalesce(MIN(CASE WHEN diff > $sceneCutThreshold THEN f END), -1) AS BIGINT) AS first_cut
+      FROM df GROUP BY doc_id, nf
+      ORDER BY doc_id""",
     // m8's demux geometry plus the LOSSLESS pixel gate: frame f covers
     // source chars [f*128+1, (f+1)*128]; chars of even frames (the
     // sampled ones) contribute their code point to px_sum, zero
@@ -677,6 +755,43 @@ object MultimodalKernels {
         k += 1
       }
       (n.toLong, sampled, hSum, pxSum)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** GIF → per-frame pixel sums over ALL frames (no sampling, no
+    * modulus — a frame is ≤ 128 pixels of ≤ 255, so the sum fits a
+    * Long with ten orders of magnitude to spare). Same reader
+    * discipline as [[decodeGifFrames]]: multi-image API, pixels via
+    * `getRGB & 0xff` because palette order is not a contract. Feeds
+    * m11's temporal frame-difference analysis. */
+  def decodeGifFrameSums(gif: Array[Byte]): Array[Long] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val sums = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        val img = reader.read(k)
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += (img.getRGB(x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(k) = s
+        k += 1
+      }
+      sums
     } finally {
       reader.dispose()
       iis.close()

@@ -139,6 +139,27 @@ class MultimodalKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("m11 per-frame pixel sums equal the source chunk byte sums exactly") {
+    payloads.filter(_.nonEmpty).foreach { bytes =>
+      val sums = MultimodalKernels.decodeGifFrameSums(
+        MultimodalKernels.encodeGif(bytes))
+      val expected = bytes.grouped(128).map(_.foldLeft(0L)((s, b) => s + (b & 0xff))).toSeq
+      assert(sums.toSeq == expected,
+        s"frame sums ${sums.toSeq} != chunk sums $expected (len ${bytes.length})")
+    }
+  }
+
+  test("m11 detects a planted scene boundary and nothing inside flat scenes") {
+    // two flat 128-byte scenes of very different intensity: exactly one
+    // jump, between frames 1 and 2
+    val planted = Array.fill(256)(10.toByte) ++ Array.fill(128)(200.toByte)
+    val sums = MultimodalKernels.decodeGifFrameSums(
+      MultimodalKernels.encodeGif(planted))
+    assert(sums.length == 3)
+    assert(sums(1) - sums(0) == 0L, "flat scene produced a difference")
+    assert(sums(2) - sums(1) == 128L * 190, "planted boundary magnitude wrong")
+  }
+
   test("FOREIGN payloads decode to pinned values (encoder-independent)") {
     // Roundtrip tests can't catch a SYMMETRIC encode/decode bug (both
     // sides agreeing on a wrong stride, color model, or byte order).
