@@ -526,19 +526,27 @@ object LlmQueries {
     * (l, r) symbol pairs, an argmax head(1) (the driver state is the
     * merge table itself — k pairs, the trained ARTIFACT, the s12
     * pattern), and a broadcast-literal map applying the merge via a
-    * per-row fold. localCheckpoint truncates the per-round lineage the
-    * same way s12's centroid loop does — without it round k's plan
-    * re-executes all k−1 predecessors per reference (the x65/x70 CTE
-    * lesson). Tie-break on (cnt DESC, l, r) makes the learned
+    * per-row fold. Each round's table is lineage-truncated through the
+    * releasable-checkpoint seam — without it round k's plan re-executes
+    * all k−1 predecessors per reference (the x65/x70 CTE lesson), and
+    * through it the reliable-checkpoint flag buys executor-churn
+    * tolerance for free. Tie-break on (cnt DESC, l, r) makes the learned
     * vocabulary deterministic across engines and cluster sizes. */
   def l19BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var w = Tables.load(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(concat_ws(" ", split(col("word"), "")).as("w"), col("n"))
-      .localCheckpoint(false)
+    // per-round snapshots go through the same releasable-checkpoint
+    // seam as the CC loop: local by default, fault-tolerant storage
+    // under spark.graft.checkpoint.reliable=true (+ setCheckpointDir)
+    // for cluster runs with expected executor churn — exercised by the
+    // l19 ChaosRecoverySpec scenario. Superseded rounds release as
+    // soon as their successor is on disk, so peak footprint is two
+    // vocab-table snapshots.
+    var (w, held) = org.apache.spark.sql.GraftShims.checkpointReleasable(
+      Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(concat_ws(" ", split(col("word"), "")).as("w"), col("n")))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -558,12 +566,16 @@ object LlmQueries {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round.toLong, l, r, cnt))
         val m = Seq((l, r)).toDF("ml", "mr")
-        w = w.crossJoin(broadcast(m))
-          .select(expr(bpeApplySpark).as("w"), col("n"))
-          .localCheckpoint(false)
+        val (wNext, rNext) = org.apache.spark.sql.GraftShims.checkpointReleasable(
+          w.crossJoin(broadcast(m))
+            .select(expr(bpeApplySpark).as("w"), col("n")))
+        held.unpersist(false)
+        w = wNext
+        held = rNext
         round += 1
       }
     }
+    held.unpersist(false)
     merges.result().toDF("merge_round", "left_sym", "right_sym", "cnt")
       .orderBy("merge_round")
   }

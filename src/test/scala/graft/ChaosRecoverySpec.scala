@@ -434,6 +434,47 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss corrupted cluster labels: ${got.size} rows vs clean ${clean.size}")
   }
 
+  test("l19 BPE train survives executor SIGKILL with reliable checkpoints; merges exact") {
+    // l19's loop state is its per-round word-frequency snapshot — the
+    // same lineage-truncation crack d4 had; the runner kills one
+    // executor as soon as the first round snapshot lands, so the rest
+    // of the train must run from the reliable checkpoint files
+    val work = Files.createTempDirectory("chaos_l19").toString
+    val marker = s"$work/killed"
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val sfDir = "/root/testdata/sf0.01"
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", cp, "graft.ChaosL19Runner",
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, out, ckpt)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$work/driver.log"))
+    val p = pb.start()
+    val finished = p.waitFor(300, TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val log = new String(Files.readAllBytes(Paths.get(s"$work/driver.log")))
+    assert(finished, s"l19 chaos run timed out; driver log tail:\n${log.takeRight(4000)}")
+    assert(p.exitValue() == 0,
+      s"l19 chaos run exited ${p.exitValue()}; driver log tail:\n${log.takeRight(4000)}")
+    assert(Files.exists(Paths.get(marker)), "killer never fired — no executor was killed")
+    assert(log.contains("ExecutorLostFailure") || log.contains("Lost executor") ||
+      log.contains("exited with") || log.contains("WorkerLost"),
+      s"no evidence of executor loss in driver log:\n${log.takeRight(4000)}")
+    val got = spark.read.parquet(out).orderBy("merge_round")
+      .collect().map(_.toString).toSeq
+    val clean = graft.queries.LlmQueries.l19BpeTrain(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(clean.nonEmpty)
+    assert(got == clean,
+      s"executor loss corrupted the merge table: $got vs clean $clean")
+  }
+
   test("p3/p4/p5 batch pipelines survive executor SIGKILL; manifests byte-equal") {
     // the composed BATCH pipelines (p3 curation, p4 release, p5
     // refresh) are the artifacts a user ships, and unlike the

@@ -109,6 +109,33 @@ object ChaosD4Runner {
   }
 }
 
+/** Driver main for the l19 reliable-checkpoint chaos scenario: the BPE
+  * train loop's working state is its per-round word-frequency snapshot
+  * — exactly the d4 crack, in a different loop. Same protocol: reliable
+  * checkpoints on, SIGKILL one executor the moment the first round
+  * snapshot lands, and the remaining rounds must finish from the
+  * checkpoint FILES with the exact same merge table. */
+object ChaosL19Runner {
+  def main(args: Array[String]): Unit = {
+    val Array(master, execCp, marker, sfDir, out, ckpt) = args
+    val spark = ChaosHarness.session(master, execCp, "chaos_l19")
+    val execPids = ChaosHarness.harvestExecutorPids(spark)
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    def roundSnapshotExists(): Boolean =
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try s.anyMatch(p => p.getFileName != null &&
+          p.getFileName.toString.startsWith("rdd-"))
+        finally s.close()
+      } catch { case _: Exception => false }
+    ChaosHarness.killWhen(execPids.head, marker, "chaos_l19")(() => roundSnapshotExists())
+    graft.queries.LlmQueries.l19BpeTrain(spark, sfDir)
+      .write.mode("overwrite").parquet(out)
+    spark.stop()
+  }
+}
+
 /** Driver main for the p2 chaos scenario: runs the REAL
   * [[graft.streaming.StreamingQueries.p2Transform]] curation pipeline
   * over a document feed on `local-cluster[2,1,1024]`, writing the
