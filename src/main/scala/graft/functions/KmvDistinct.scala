@@ -30,6 +30,7 @@ case class KmvDistinct(
     child: Expression,
     k: Int,
     hashSpace: Long = KmvDistinct.P,
+    emitValues: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -37,7 +38,13 @@ case class KmvDistinct(
 
   require(k >= 2, s"kmv needs k >= 2, got $k")
 
-  override def dataType: DataType = LongType
+  // emitValues=true returns the SKETCH (the ≤k smallest distinct
+  // hashes, ascending) instead of the estimate — the mergeable form
+  // set-algebra consumers (x71's intersection estimator) operate on.
+  // Estimates stay the default so x20/x50/x66 are unchanged.
+  override def dataType: DataType =
+    if (emitValues) org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    else LongType
   override def nullable: Boolean = false
 
   // SQL-registered (GraftFunctions): a wrong argument type must be an
@@ -73,7 +80,12 @@ case class KmvDistinct(
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
+    if (emitValues) {
+      val arr = new Array[Long](buf.size)
+      var i = 0
+      buf.forEach { h => arr(i) = h; i += 1 } // TreeSet iterates ascending
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    } else if (buf.size < k) buf.size.toLong
     // Inputs are contracted to lie in (0, hashSpace); kmv_distinct is
     // SQL-registered over arbitrary expressions though, so clamp the
     // divisor — a 0 or negative k-th value (out-of-contract input)
@@ -113,4 +125,10 @@ object KmvDistinct {
   def apply(c: Column, k: Int): Column =
     GraftShims.column(
       KmvDistinct(GraftShims.expression(c), k).toAggregateExpression())
+
+  /** The sketch itself (≤k smallest distinct hashes, ascending) as a
+    * Column aggregate — the mergeable form for sketch set algebra. */
+  def values(c: Column, k: Int): Column =
+    GraftShims.column(
+      KmvDistinct(GraftShims.expression(c), k, emitValues = true).toAggregateExpression())
 }

@@ -109,6 +109,49 @@ object FunctionQueries {
       .orderBy("l_returnflag")
   }
 
+  /** x71 — SKETCH SET ALGEBRA: estimate the overlap |A∩B| of two user
+    * populations (high-value clickers vs high-value purchasers —
+    * genuinely partial overlap, neither containing the other) from their KMV
+    * sketches alone — the question a 100 TB pipeline answers WITHOUT
+    * re-scanning either side, because k-minimum-values sketches are
+    * mergeable and closed under union (Beyer et al., SIGMOD'07): the k
+    * smallest of KMV(A) ∪ KMV(B) IS KMV(A∪B), and the match fraction
+    * ρ = |{h ∈ KMV(A∪B) : h ∈ both sketches}| / |KMV(A∪B)| estimates
+    * the Jaccard coefficient, so |A∩B| ≈ ρ · est|A∪B|. Each side is
+    * one map-side-mergeable aggregate (k longs per partition — the x20
+    * scale story); the set algebra then runs on two ≤64-entry arrays
+    * in a broadcast 1-row×1-row join. All arithmetic is integer
+    * (counts + the (k−1)·P div h_k estimate), so the DuckDB twin —
+    * same hash, same sketches via ORDER BY h LIMIT k, same list
+    * algebra — reproduces every output bit. When a side is
+    * unsaturated (< k distinct) its sketch is the exact hash set and
+    * the estimator degrades gracefully to exact values — sf0.001
+    * exercises that branch, sf0.1 the saturated one. */
+  def x71SketchIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    def sketch(pred: org.apache.spark.sql.Column, est: String, sk: String) = ev.filter(pred)
+      .selectExpr(FunctionQueries.kmvHashSpark("user_id") + " AS h")
+      .agg(graft.functions.KmvDistinct(col("h"), 64).as(est),
+        graft.functions.KmvDistinct.values(col("h"), 64).as(sk))
+    val a = sketch(col("event_type") === "click" && col("value") > 99, "est_a", "ska")
+    val b = sketch(col("event_type") === "purchase" && col("value") > 99, "est_b", "skb")
+    a.crossJoin(b)
+      .selectExpr(
+        "est_a", "est_b",
+        "slice(array_sort(array_distinct(concat(ska, skb))), 1, 64) AS uk",
+        "size(array_distinct(concat(ska, skb))) AS usz", "ska", "skb")
+      .selectExpr(
+        "est_a", "est_b",
+        """CASE WHEN usz < 64 THEN CAST(usz AS BIGINT)
+                ELSE CAST(63 AS BIGINT) * 1000000007 DIV element_at(uk, 64) END AS est_union""",
+        """CAST(size(filter(uk, x -> array_contains(ska, x) AND array_contains(skb, x)))
+           AS BIGINT) AS n_match""",
+        "CAST(least(usz, 64) AS BIGINT) AS denom")
+      .selectExpr("est_a", "est_b", "est_union", "n_match",
+        "n_match * est_union DIV denom AS est_intersect")
+  }
+
   /** The KMV input hash, Spark dialect (`^` = xor). */
   private[graft] def kmvHashSpark(x: String): String = {
     val h1 = s"((48271 * $x + 11) % 1000000007)"
@@ -342,6 +385,7 @@ object FunctionQueries {
     "x48_histogram_quantile" -> (x48HistogramQuantile _),
     "x45_heavy_hitters" -> (x45HeavyHitters _),
     "x20_kmv_distinct" -> (x20KmvDistinct _),
+    "x71_sketch_intersect" -> (x71SketchIntersect _),
     "x21_salted_agg"   -> (x21SaltedAgg _),
     "x30_skew_join"    -> (x30SkewJoin _),
     "x18_percentile"   -> (x18Percentile _),
@@ -394,6 +438,33 @@ object FunctionQueries {
       GROUP BY k
       HAVING COUNT(*) * 20 > (SELECT COUNT(*) FROM events)
       ORDER BY k""",
+    // x71: same hash, same ≤64-entry sketches (ORDER BY h LIMIT 64 ==
+    // the k smallest distinct hashes), same union/match/estimate
+    // integer algebra — every output column is exact integer
+    // arithmetic on the sketch contents, so the twin is bit-identical
+    "x71_sketch_intersect" ->
+      (s"""WITH ha AS (SELECT DISTINCT ${kmvHashDuck("user_id")} AS h
+             FROM events WHERE event_type = 'click' AND value > 99),
+      hb AS (SELECT DISTINCT ${kmvHashDuck("user_id")} AS h
+             FROM events WHERE event_type = 'purchase' AND value > 99),
+      s AS (SELECT
+        (SELECT list(h ORDER BY h) FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t) AS ska,
+        (SELECT list(h ORDER BY h) FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t) AS skb,
+        (SELECT COUNT(*) FROM ha) AS ca, (SELECT COUNT(*) FROM hb) AS cb),
+      u AS (SELECT ska, skb, ca, cb,
+              list_sort(list_distinct(list_concat(ska, skb))) AS ud FROM s),
+      v AS (SELECT ska, skb, ca, cb, ud[1:64] AS uk, len(ud) AS usz FROM u)
+      SELECT
+        CASE WHEN ca < 64 THEN ca ELSE CAST(63 AS BIGINT) * 1000000007 // ska[64] END AS est_a,
+        CASE WHEN cb < 64 THEN cb ELSE CAST(63 AS BIGINT) * 1000000007 // skb[64] END AS est_b,
+        est_union, n_match, n_match * est_union // denom AS est_intersect
+      FROM (SELECT ca, cb,
+              CASE WHEN usz < 64 THEN CAST(usz AS BIGINT)
+                   ELSE CAST(63 AS BIGINT) * 1000000007 // uk[64] END AS est_union,
+              CAST(len(list_filter(uk, x -> list_contains(ska, x) AND list_contains(skb, x)))
+                AS BIGINT) AS n_match,
+              CAST(least(usz, 64) AS BIGINT) AS denom, ska, skb
+            FROM v) w"""),
     // same mixed hash, same k-th smallest distinct hash, same integer
     // estimate arithmetic -> bit-identical to the Spark sketch
     "x20_kmv_distinct" ->

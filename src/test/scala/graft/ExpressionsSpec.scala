@@ -271,6 +271,45 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(small.head._2 == 40L)
   }
 
+  test("KmvDistinct.values: sketch is the k smallest distinct hashes, merge-invariant") {
+    import graft.functions.KmvDistinct
+    val hashed = spark.range(100000L)
+      .selectExpr(graft.queries.FunctionQueries.kmvHashSpark("(id % 7919)") + " AS h")
+    def run(parts: Int): Seq[Long] =
+      hashed.repartition(parts)
+        .agg(KmvDistinct.values($"h", 64).as("sk"))
+        .as[Seq[Long]].head()
+    val sk = run(1)
+    assert(sk == run(32), "sketch values not partitioning-invariant")
+    // exactly the 64 smallest distinct hashes, ascending
+    val expected = hashed.selectExpr("h").distinct()
+      .orderBy("h").limit(64).as[Long].collect().toSeq
+    assert(sk == expected)
+    // below k: the full distinct hash set
+    val small = spark.range(40L)
+      .selectExpr(graft.queries.FunctionQueries.kmvHashSpark("id") + " AS h")
+      .agg(KmvDistinct.values($"h", 64).as("sk")).as[Seq[Long]].head()
+    assert(small.length == 40 && small == small.sorted)
+  }
+
+  test("x71 intersection estimate lands within KMV error of the exact overlap") {
+    // the estimator's real regime: both sketches saturated, genuinely
+    // partial overlap. Exact |A∩B| from the same predicates; the
+    // sketch estimate must land within ~4 sigma of ρ-estimation error
+    // (k=64 ⇒ ~12.6% per sketch; 0.5 is a conservative composite).
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.queries.FunctionQueries.x71SketchIntersect(spark, dir)
+      .select("est_intersect").as[Long].head()
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val a = ev.filter($"event_type" === "click" && $"value" > 99)
+      .select("user_id").distinct()
+    val b = ev.filter($"event_type" === "purchase" && $"value" > 99)
+      .select("user_id").distinct()
+    val exact = a.join(b, "user_id").count()
+    assert(exact > 64, s"overlap $exact too small to exercise the saturated regime")
+    assert(math.abs(est - exact.toDouble) / exact < 0.5, s"est $est vs exact $exact")
+  }
+
   test("KmvDistinct: relative error bounded across random cardinalities (ScalaCheck)") {
     import graft.functions.KmvDistinct
     import org.scalacheck.{Gen, Prop, Test => SCTest}

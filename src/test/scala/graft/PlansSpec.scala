@@ -103,6 +103,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
 
+  test("x71: sketch sides are partial+final aggregates; set algebra joins 1-row sketches") {
+    val p = plan("x71_sketch_intersect")
+    // each side's sketch builds map-side and merges (the mergeability
+    // that makes it k-longs-per-partition at 100 TB)
+    assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 4, p.take(4000))
+    // the cross join is 1-row × 1-row — broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
