@@ -92,6 +92,21 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // row factor — still far inside the envelope, and the round
       // count is part of the measured claim
       "s12_kmeans_run" -> (graft.queries.AnnQueries.s12KmeansRun _),
+      // round-8 additions —
+      // t11: SymSpell candidates follow the (variant-bucket)² product;
+      // on this bounded-entropy corpus the true pair count grows ~55×
+      // on 10× docs, so a near-linear WALL curve shows the fixed
+      // explode + hashed equi-join dominating — the quadratic term is
+      // real output (2304 pairs at sf0.1), not planning
+      "t11_fuzzy_join" -> (graft.queries.TextQueries.t11FuzzyJoin _),
+      // l19: one corpus scan into the vocab table + 8 rounds of
+      // vocab-sized work — wall must track the scan, and the round
+      // count is FIXED by construction (unlike s12's data-dependent
+      // rounds)
+      "l19_bpe_train" -> (graft.queries.LlmQueries.l19BpeTrain _),
+      // m11: a pure decode pass (one GIF encode+decode per doc, 5
+      // scalars out) — the media suite's scan-speed claim, measured
+      "m11_scene_cut" -> (graft.queries.MultimodalQueries.m11SceneCut _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
