@@ -455,6 +455,41 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** l20 — WEIGHT-PROPORTIONAL sampling without replacement, per
+    * source: Duffield/Lund/Thorup PRIORITY SAMPLING (JACM 2007) —
+    * priority q_i = w_i / u_i with u_i uniform on (0,1], keep the k
+    * largest priorities per group. Higher-quality documents are
+    * proportionally more likely to be drawn (the "sample good docs
+    * harder" curation step between l5's uniform and l17's hard cap),
+    * and the published estimator makes any subset-sum over the sample
+    * unbiased. Completes the sampling family: l5 uniform, l6
+    * stratified-rate, l16 curriculum, l20 weight-proportional.
+    *
+    * Determinism: u_i = (h(doc_id)+1)/P from the shared KMV hash (a
+    * pure function of the key — reproducible across runs, cluster
+    * sizes and partitionings, like every sampler here), w_i = the
+    * shared t2 score (6dp-stable) floored at 1e-6; the priority is one
+    * division of identical doubles, so the CUT is bit-identical
+    * cross-engine — and the emitted columns carry no new rounding at
+    * all. Scale shape = l17's: a TopKPerKey heap per source (partial
+    * heaps before the exchange), never a corpus-wide window; the text
+    * column never shuffles. */
+  def l20WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    val prioritized = spark.sql(s"""
+      WITH ${TextQueries.qualityCteSpark}
+      SELECT doc_id, source, score,
+             greatest(score, 0.000001) /
+               (CAST((${FunctionQueries.kmvHashSpark("doc_id")}) + 1 AS DOUBLE) / 1000000007) AS pr
+      FROM scored""")
+    graft.plans.TopK.perKey(prioritized, Seq(col("source")),
+      Seq(col("pr").desc, col("doc_id")), k = 10)
+      .select(col("source"), col("doc_id"), col("score"))
+      .orderBy("source", "doc_id")
+  }
+
   /** l18 — sequence packing budgeted in SUBWORD tokens: l7's
     * shard-then-greedy-pack bookkeeping with t10's tokenizer-accurate
     * counter in place of the whitespace count. This is the number a
@@ -582,6 +617,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l19_bpe_train"    -> (l19BpeTrain _),
+    "l20_weighted_sample" -> (l20WeightedSample _),
     "l18_subword_pack" -> (l18SubwordPack _),
     "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
@@ -644,6 +680,20 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "l19_bpe_train" -> bpeTrainDuck,
+    // the row_number spelling of the same priority cut — shared t2
+    // score CTE, shared hash, the SAME single-division priority text,
+    // so the kept set is bit-identical
+    "l20_weighted_sample" ->
+      s"""WITH ${TextQueries.qualityCteDuck},
+      pri AS (SELECT doc_id, source, score,
+                greatest(score, 0.000001) /
+                  (CAST((${FunctionQueries.kmvHashDuck("doc_id")}) + 1 AS DOUBLE) / 1000000007) AS pr
+              FROM scored),
+      ranked AS (SELECT source, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) AS rn
+                 FROM pri)
+      SELECT source, doc_id, score FROM ranked WHERE rn <= 10
+      ORDER BY source, doc_id""",
     // l7's pack bookkeeping over the shared t10 subword-count CTE
     // chain — same greedy rule, same vocabulary literal, same window
     // arithmetic (// is DuckDB integer division; the CAST collapses

@@ -112,6 +112,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("l20: priority sample is a heap trim (TopKPerKey), never a window over the corpus") {
+    val p = plan("l20_weighted_sample")
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))

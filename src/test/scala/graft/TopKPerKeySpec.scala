@@ -32,6 +32,20 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSuite {
     assert(got == ref)
   }
 
+  test("l20 priority sample over-represents high-weight documents (the bias IS the spec)") {
+    // weight-proportional sampling must pull the sample's mean quality
+    // ABOVE the corpus mean per source — a uniform sampler (l5's
+    // regime) would match it in expectation. Deterministic data +
+    // deterministic sampler ⇒ this is a fixed fact, not a flaky draw.
+    val dir = "/root/testdata/sf0.01"
+    val sample = graft.queries.LlmQueries.l20WeightedSample(spark, dir)
+    val sMean = sample.agg(avg("score")).head().getDouble(0)
+    val cMean = graft.queries.TextQueries.t2QualityScore(spark, dir)
+      .agg(avg("score")).head().getDouble(0)
+    assert(sMean > cMean,
+      f"sample mean $sMean%.4f not above corpus mean $cMean%.4f — no weight bias")
+  }
+
   test("plans as TopKPerKeyExec with a planner-inserted shuffle, no SortExec") {
     val dir = "/root/testdata/sf0.001"
     val df = TopK.perKey(Tables.load(spark, dir, "orders"),
