@@ -760,31 +760,35 @@ object AnnQueries {
       s"CASE WHEN $planeDot > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
   }
 
+  /** The l2² distance spelling shared by the s4/d8 twins AND p6's
+    * index-build twin — ONE spelling so they cannot diverge. */
+  private[queries] def l2sqDuck(c: String, e: String): String =
+    s"list_sum(list_transform(range(1, $dims + 1), k -> " +
+      s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
+
+  /** The coarse-quantizer centroid CTEs shared by every twin that uses
+    * it (s4/s7/s11/d8/s12's seed, p6's cluster manifest) — ONE spelling
+    * so they cannot diverge, restating centroids()'s arithmetic
+    * exactly: quantized integer component sums (VectorSumAgg) + the
+    * half-away-from-zero integer mean division (meanMicro). Replaces
+    * the ROUND(AVG(x), 6) spelling, which was summation-order dependent
+    * and cross-engine divergent on exact .5 micro boundaries. */
+  private[queries] val centCtesDuck: String =
+    s"""qc AS (SELECT label, k,
+            CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          FROM embeddings, range(1, ${dims + 1}) t(k)),
+      sc AS (SELECT label, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+          FROM qc GROUP BY label, k),
+      cent AS (SELECT label, list(${meanMicroDuck("sq", "n")} ORDER BY k) AS centroid
+          FROM sc GROUP BY label)"""
+
   val oracleSql: Map[String, String] = {
     def cosDot(x: String, y: String) =
       s"list_sum(list_transform(range(1, length($x.embedding) + 1), " +
         s"k -> CAST($x.embedding[k] AS DOUBLE) * CAST($y.embedding[k] AS DOUBLE)))"
     val cos = s"${cosDot("a", "b")} / sqrt(${cosDot("a", "a")}) / sqrt(${cosDot("b", "b")})"
-    // shared by the s4 and d8 twins — ONE spelling of the centroid
-    // distance so the two oracles can't silently diverge
-    def l2sq(c: String, e: String) =
-      s"list_sum(list_transform(range(1, $dims + 1), k -> " +
-        s"($c[k] - CAST($e[k] AS DOUBLE)) * ($c[k] - CAST($e[k] AS DOUBLE))))"
-    // the coarse-quantizer centroid CTEs shared by every twin that uses
-    // it (s4/s7/s11/d8/s12's seed) — ONE spelling so they cannot
-    // diverge, restating centroids()'s arithmetic exactly: quantized
-    // integer component sums (VectorSumAgg) + the half-away-from-zero
-    // integer mean division (meanMicro). Replaces the ROUND(AVG(x), 6)
-    // spelling, which was summation-order dependent and cross-engine
-    // divergent on exact .5 micro boundaries.
-    val centCtes =
-      s"""qc AS (SELECT label, k,
-              CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-            FROM embeddings, range(1, ${dims + 1}) t(k)),
-        sc AS (SELECT label, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
-            FROM qc GROUP BY label, k),
-        cent AS (SELECT label, list(${meanMicroDuck("sq", "n")} ORDER BY k) AS centroid
-            FROM sc GROUP BY label)"""
+    def l2sq(c: String, e: String) = l2sqDuck(c, e)
+    val centCtes = centCtesDuck
     Map(
       "s8_range_search" ->
         s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)

@@ -163,7 +163,60 @@ object PipelineQueries {
       ORDER BY shard, doc_id""")
   }
 
+  /** p6 — the INDEX BUILD pipeline: the job that produces the
+    * artifacts the retrieval queries SERVE from — s13/s14 score
+    * against corpus stats and an inverted index; s2–s9 probe an IVF
+    * layout; this is the batch job that builds both. One manifest in
+    * one scalar shape (kind, key, n1, n2):
+    *
+    *  - `term` rows — the postings skeleton: document frequency +
+    *    collection frequency for the top-20 terms by df (the head of
+    *    the inverted index; the full index is the same aggregate
+    *    without the cut);
+    *  - `cluster` rows — vectors per IVF cell under the shared coarse
+    *    quantizer (s4's centroids + min_by argmin assignment): the
+    *    cell-size table an ANN planner uses to pick nprobe;
+    *  - `corpus` rows — N and Σdl, BM25's length-normalization pair.
+    *
+    * Scale shape: term stats are two keyed aggregates over (id, term)
+    * pairs (text never shuffles); the assignment is the broadcast-
+    * centroid map + partial+final argmin aggregate s4 pins (no
+    * window); the manifest rows are trivially small. At 100 TB this
+    * is one corpus scan + one embedding scan — the index build IS the
+    * bottleneck-shaped job the posture arguments exist for. */
+  def p6HybridIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val topTerms = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+      .select(lit("term").as("kind"), col("term").as("key"),
+        col("df").as("n1"), col("cf").as("n2"))
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = AnnQueries.centroids(e)
+    val clusters = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label").as("clabel"),
+        graft.functions.L2SquaredDistance(col("centroid"), col("embedding")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
+      .groupBy("clabel").agg(count(lit(1)).as("n1"))
+      .select(lit("cluster").as("kind"), col("clabel").cast("string").as("key"),
+        col("n1"), lit(0L).as("n2"))
+    val corpus = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n1"), sum("dl").as("n2"))
+      .select(lit("corpus").as("kind"), lit("all").as("key"), col("n1"), col("n2"))
+    topTerms.unionByName(clusters).unionByName(corpus)
+      .orderBy("kind", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_hybrid_index" -> (p6HybridIndex _),
     "p1_training_pipeline" -> (p1TrainingPipeline _),
     "p3_curation_pipeline" -> (p3CurationPipeline _),
     "p4_corpus_release" -> (p4CorpusRelease _),
@@ -173,6 +226,30 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = {
     val w = "string_split(text, ' ')"
     Map(
+      // p6: the shared centroid CTEs + the s11 row_number assignment
+      // spelling for the cluster rows; term/corpus rows are plain
+      // integer aggregates — every output cell is exact
+      "p6_hybrid_index" ->
+        s"""WITH ${AnnQueries.centCtesDuck},
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest($w) AS term FROM documents) t
+               WHERE term <> '' GROUP BY doc_id, term),
+        topt AS (SELECT 'term' AS kind, term AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(tf) AS BIGINT) AS n2
+                 FROM tf GROUP BY term ORDER BY n1 DESC, term LIMIT 20),
+        asg AS (SELECT vec_id, clabel FROM (
+                 SELECT e.vec_id, c.label AS clabel,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${AnnQueries.l2sqDuck("c.centroid", "e.embedding")}, c.label) AS rn
+                 FROM embeddings e, cent c) WHERE rn = 1),
+        cl AS (SELECT 'cluster' AS kind, CAST(clabel AS VARCHAR) AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2
+               FROM asg GROUP BY clabel),
+        co AS (SELECT 'corpus' AS kind, 'all' AS key, CAST(COUNT(*) AS BIGINT) AS n1,
+                 CAST(SUM(length($w)) AS BIGINT) AS n2 FROM documents)
+        SELECT * FROM (SELECT * FROM topt UNION ALL SELECT * FROM cl
+                       UNION ALL SELECT * FROM co)
+        ORDER BY kind, key""",
       "p1_training_pipeline" ->
         s"""WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
         d AS (SELECT documents.* FROM documents JOIN survivors USING (doc_id)),

@@ -118,6 +118,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("p6: index build has no per-vector window; centroids broadcast; top terms a heap") {
+    val p = plan("p6_hybrid_index")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("min_by"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
