@@ -475,8 +475,8 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss corrupted the merge table: $got vs clean $clean")
   }
 
-  test("p3/p4/p5 batch pipelines survive executor SIGKILL; manifests byte-equal") {
-    // the composed BATCH pipelines (p3 curation, p4 release, p5
+  test("p3/p4/p5/p6 batch pipelines survive executor SIGKILL; manifests byte-equal") {
+    // the composed BATCH pipelines (p3 curation, p4 release, p5/p6
     // refresh) are the artifacts a user ships, and unlike the
     // streaming family they carry no checkpoint — recovery is pure
     // task/stage retry + shuffle recompute. The runner kills one
@@ -486,13 +486,14 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     val outP3 = s"$work/out_p3"
     val outP4 = s"$work/out_p4"
     val outP5 = s"$work/out_p5"
+    val outP6 = s"$work/out_p6"
     val sfDir = "/root/testdata/sf0.01"
     val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
     val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
     val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
     val cmd = Seq("java") ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", cp, "graft.ChaosP34Runner",
-      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5)
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5, outP6)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_HOME", "/opt/spark")
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
@@ -528,6 +529,12 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(cleanP5.nonEmpty)
     assert(gotP5 == cleanP5,
       s"executor loss corrupted p5 manifest: ${gotP5.size} rows vs clean ${cleanP5.size}")
+    val gotP6 = spark.read.parquet(outP6).collect().map(_.toString).toSeq.sorted
+    val cleanP6 = graft.queries.PipelineQueries.p6HybridIndex(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(cleanP6.nonEmpty)
+    assert(gotP6 == cleanP6,
+      s"executor loss corrupted p6 manifest: ${gotP6.size} rows vs clean ${cleanP6.size}")
   }
 
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {

@@ -170,7 +170,7 @@ object ChaosP2Runner {
   }
 }
 
-/** Driver main for the p3/p4/p5 BATCH-pipeline chaos scenario: runs the
+/** Driver main for the p3/p4/p5/p6 BATCH-pipeline chaos scenario: runs the
   * REAL composed curation (p3), release (p4) and refresh (p5)
   * pipelines — the artifacts a user actually ships — on
   * `local-cluster[2,1,1024]` and SIGKILLs one executor JVM as soon as
@@ -183,7 +183,7 @@ object ChaosP2Runner {
   * shuffle files on it. */
 object ChaosP34Runner {
   def main(args: Array[String]): Unit = {
-    val Array(master, execCp, marker, sfDir, outP3, outP4, outP5) = args
+    val Array(master, execCp, marker, sfDir, outP3, outP4, outP5, outP6) = args
     val spark = ChaosHarness.session(master, execCp, "chaos_p34")
     val execPids = ChaosHarness.harvestExecutorPids(spark)
     @volatile var tasksStarted = 0
@@ -204,6 +204,8 @@ object ChaosP34Runner {
       .write.mode("overwrite").parquet(outP4)
     graft.queries.PipelineQueries.p5RefreshPacks(spark, sfDir)
       .write.mode("overwrite").parquet(outP5)
+    graft.queries.PipelineQueries.p6HybridIndex(spark, sfDir)
+      .write.mode("overwrite").parquet(outP6)
     spark.stop()
   }
 }
