@@ -369,8 +369,54 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Energy threshold for m12: window energies on this corpus span
+    * ~50k (residual/short windows) to ~540k (full active windows),
+    * median ~423k — 300000 sits between the p25 and p50 so every SF
+    * exercises both active and inactive windows. */
+  private val activityThreshold = 300000L
+
+  /** m12 — AUDIO ACTIVITY segmentation: the voice-activity-detection
+    * pass an audio pipeline runs before transcription or sampling —
+    * m11's temporal segmentation, audio modality. The payload becomes
+    * a real RIFF/WAVE container (m6's lossless 8-bit PCM path), every
+    * 256-sample window is reduced to its signal energy Σ(s−128)²
+    * (the classic short-time-energy VAD; the kernel seam extends to
+    * zero-crossing or spectral features without touching the
+    * plumbing), and a window is ACTIVE above [[activityThreshold]].
+    * Losslessness makes window energies — and therefore the active
+    * SET — exact integer arithmetic on the source bytes. Same scale
+    * shape as m11: one decode pass, 5 scalars per doc, no shuffle
+    * before the presentation sort. */
+  def m12AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val energies = MultimodalKernels.decodeWavWindowEnergies(
+            MultimodalKernels.encodeWav(bytes))
+          var active = 0L
+          var maxE = 0L
+          var firstActive = -1L
+          var k = 0
+          while (k < energies.length) {
+            if (energies(k) > activityThreshold) {
+              active += 1
+              if (firstActive < 0) firstActive = k
+            }
+            if (energies(k) > maxE) maxE = energies(k)
+            k += 1
+          }
+          (id, energies.length.toLong, active, maxE, firstActive)
+        }
+      }
+    }.toDF("doc_id", "n_windows", "n_active", "max_energy", "first_active")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m11_scene_cut"        -> (m11SceneCut _),
+    "m12_audio_segments"   -> (m12AudioSegments _),
     "m9_gif_frames"        -> (m9GifFrames _),
     "m1_multimodal_decode" -> (m1MultimodalDecode _),
     "m2_feature_extract"   -> (m2FeatureExtract _),
@@ -384,6 +430,26 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // m12: the lossless 8-bit PCM contract (see m6) — sample i IS
+    // source char i, window f covers chars [f*256+1, min((f+1)*256,
+    // len)] — so window energies are pure integer arithmetic on the
+    // text, restated with the same 300000 threshold literal
+    "m12_audio_segments" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+               CAST(greatest(1, ceil(length(text) / 256.0)) AS BIGINT) AS nw
+             FROM documents),
+      fr AS (SELECT doc_id, unnest(range(0, nw)) AS f, text, len, nw FROM d),
+      fs AS (SELECT doc_id, nw, f,
+               CAST(coalesce(list_sum(list_transform(
+                 range(CAST(f * 256 + 1 AS INT), CAST(least((f + 1) * 256, len) + 1 AS INT)),
+                 i -> (ord(text[i]) - 128) * (ord(text[i]) - 128))), 0) AS BIGINT) AS e
+             FROM fr)
+      SELECT doc_id, nw AS n_windows,
+             CAST(coalesce(SUM(CASE WHEN e > $activityThreshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_active,
+             CAST(coalesce(MAX(e), 0) AS BIGINT) AS max_energy,
+             CAST(coalesce(MIN(CASE WHEN e > $activityThreshold THEN f END), -1) AS BIGINT) AS first_active
+      FROM fs GROUP BY doc_id, nw
+      ORDER BY doc_id""",
     // m11: the lossless-GIF pixel contract (see m9) makes every
     // per-frame sum exact — frame f covers source chars
     // [f*128+1, min((f+1)*128, len)], zero padding adds nothing — so
@@ -796,6 +862,26 @@ object MultimodalKernels {
       reader.dispose()
       iis.close()
     }
+  }
+
+  /** WAV → per-window signal energy over ALL 256-sample windows:
+    * Σ (s−128)² per window (8-bit PCM is unsigned with midpoint 128 =
+    * silence; a full window tops out at 256·128² ≈ 4.2M — ten orders
+    * inside Long). Same parsed-stream discipline as [[decodeWav]].
+    * Feeds m12's activity segmentation. */
+  def decodeWavWindowEnergies(wav: Array[Byte], win: Int = 256): Array[Long] = {
+    val in = waveReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val data = in.readAllBytes()
+    val n = math.max(1, (data.length + win - 1) / win)
+    val energies = new Array[Long](n)
+    var i = 0
+    while (i < data.length) {
+      val d = (data(i) & 0xff) - 128
+      energies(i / win) += d.toLong * d
+      i += 1
+    }
+    energies
   }
 
   /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.

@@ -160,6 +160,28 @@ class MultimodalKernelSpec extends AnyFunSuite {
     assert(sums(2) - sums(1) == 128L * 190, "planted boundary magnitude wrong")
   }
 
+  test("m12 per-window energies equal the source byte energies exactly") {
+    payloads.filter(_.nonEmpty).foreach { bytes =>
+      val energies = MultimodalKernels.decodeWavWindowEnergies(
+        MultimodalKernels.encodeWav(bytes))
+      val expected = bytes.grouped(256).map(_.foldLeft(0L) { (s, b) =>
+        val d = (b & 0xff) - 128; s + d.toLong * d
+      }).toSeq
+      assert(energies.toSeq == expected,
+        s"window energies ${energies.toSeq} != $expected (len ${bytes.length})")
+    }
+  }
+
+  test("m12 separates a planted silence window from a planted loud window") {
+    // silence = midpoint samples (zero energy); loud = full-swing
+    val planted = Array.fill(256)(128.toByte) ++ Array.fill(256)(0.toByte)
+    val e = MultimodalKernels.decodeWavWindowEnergies(
+      MultimodalKernels.encodeWav(planted))
+    assert(e.length == 2)
+    assert(e(0) == 0L, "silence window has nonzero energy")
+    assert(e(1) == 256L * 128 * 128, "full-swing window energy wrong")
+  }
+
   test("FOREIGN payloads decode to pinned values (encoder-independent)") {
     // Roundtrip tests can't catch a SYMMETRIC encode/decode bug (both
     // sides agreeing on a wrong stride, color model, or byte order).
