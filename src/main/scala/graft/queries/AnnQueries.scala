@@ -730,9 +730,72 @@ object AnnQueries {
       ORDER BY rrf DESC, doc_id LIMIT 10""")
   }
 
+  /** s15 — ANN INDEX EVALUATION: recall@3 of the IVF(nprobe=2) index
+    * against the exact kNN baseline for the s6 probe set — the
+    * measurement job every ANN deployment runs before shipping an
+    * index (an index with unmeasured recall is a bug generator, which
+    * is why FAISS/ScaNN docs lead with exactly this eval). Emits one
+    * (probe_id, n_hit, n_total) row per probe plus the -1 total row —
+    * the report a recall dashboard ingests.
+    *
+    * Both sides reuse the family's pinned shapes: exact = s6's
+    * broadcast-probe scan + TopKPerKey heap; ANN = the shared coarse
+    * quantizer (broadcast centroids + min_by argmin, no window) with
+    * each probe scoring only its 2 nearest cells. The recall join then
+    * touches ≤ probes×k id pairs. At 100 TB the exact side is the
+    * expensive arm — which is the point: the eval runs ONCE to
+    * validate the index that then serves every query from the cheap
+    * arm, and both arms here are the already-scale-argued s6/s4
+    * plans. */
+  def s15AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = centroids(e)
+    val probes = e.filter(col("vec_id") % 20 === 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    val scored = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+    val exact = graft.plans.TopK.perKey(scored, Seq(col("probe_id")),
+      Seq(col("sim").desc, col("vec_id")), k = 3)
+      .select("probe_id", "vec_id")
+    val assigned = e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label").as("clabel"),
+        L2SquaredDistance(col("centroid"), col("embedding")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
+    val cells = graft.plans.TopK.perKey(
+      probes.crossJoin(broadcast(cent))
+        .select(col("probe_id"), col("label").as("plabel"),
+          L2SquaredDistance(col("centroid"), col("q_emb")).as("qd")),
+      Seq(col("probe_id")), Seq(col("qd"), col("plabel")), k = 2)
+      .select("probe_id", "plabel")
+    val annScored = assigned
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(cells), col("clabel") === col("plabel"))
+      .join(broadcast(probes), "probe_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+    val ann = graft.plans.TopK.perKey(annScored, Seq(col("probe_id")),
+      Seq(col("sim").desc, col("vec_id")), k = 3)
+      .select("probe_id", "vec_id")
+    val hits = exact.join(ann, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    val perProbe = probes.select("probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(3L).as("n_total"))
+    val total = perProbe
+      .agg(sum("n_hit").as("n_hit"), sum("n_total").as("n_total"))
+      .select(lit(-1L).as("probe_id"), col("n_hit"), col("n_total"))
+    perProbe.unionByName(total).orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_bm25_topk" -> (s13Bm25TopK _),
     "s14_hybrid_rrf" -> (s14HybridRrf _),
+    "s15_ann_recall" -> (s15AnnRecall _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s8_range_search" -> (s8RangeSearch _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
@@ -922,6 +985,55 @@ object AnnQueries {
       // kNN join restated as the window spelling; both engines rank by
       // the 9dp-ROUNDED cosine with vec_id tie-break, so the kept set is
       // deterministic even when true sims differ below the round
+      // s15: exact arm = the s6 spelling; ANN arm = the s4 assignment
+      // + per-probe nearest-2 cells; recall join + totals are exact
+      // integer counts. The probe-cell match lives in WHERE (not ON)
+      // because the comma-joined probe alias is not visible to the
+      // JOIN tree's ON clauses.
+      "s15_ann_recall" ->
+        s"""WITH $centCtes,
+        exact AS (SELECT probe_id, vec_id FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ROUND($cos, 9) DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 20 = 3 AND b.vec_id <> a.vec_id) t
+          WHERE rn <= 3),
+        assigned AS (SELECT vec_id, clabel FROM (
+            SELECT e.vec_id, c.label AS clabel,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        cells AS (SELECT probe_id, plabel FROM (
+            SELECT a.vec_id AS probe_id, c.label AS plabel,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ${l2sq("c.centroid", "a.embedding")}, c.label) AS rn
+            FROM embeddings a, cent c WHERE a.vec_id % 20 = 3) t WHERE rn <= 2),
+        ann AS (SELECT probe_id, vec_id FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ROUND($cos, 9) DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            JOIN assigned s ON s.vec_id = b.vec_id
+            JOIN cells p ON p.plabel = s.clabel
+            WHERE a.vec_id % 20 = 3 AND p.probe_id = a.vec_id
+              AND b.vec_id <> a.vec_id) t
+          WHERE rn <= 3),
+        hits AS (SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+                 FROM exact e JOIN ann n
+                   ON e.probe_id = n.probe_id AND e.vec_id = n.vec_id
+                 GROUP BY e.probe_id),
+        per AS (SELECT p.probe_id,
+                  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                  CAST(3 AS BIGINT) AS n_total
+                FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 20 = 3) p
+                LEFT JOIN hits h ON h.probe_id = p.probe_id)
+        SELECT * FROM (
+          SELECT probe_id, n_hit, n_total FROM per
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT), CAST(SUM(n_hit) AS BIGINT),
+                 CAST(SUM(n_total) AS BIGINT) FROM per)
+        ORDER BY probe_id""",
       "s6_knn_join" ->
         s"""SELECT probe_id, vec_id, sim FROM (
           SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, ROUND($cos, 9) AS sim,

@@ -125,6 +125,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("s15: both eval arms are heaps + argmin aggregates; no per-vector window") {
+    val p = plan("s15_ann_recall")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("min_by"), p.take(4000))
+    assert("TopKPerKeyPartial".r.findAllMatchIn(p).size >= 3, p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
