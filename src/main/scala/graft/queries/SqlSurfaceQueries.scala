@@ -552,7 +552,43 @@ object SqlSurfaceQueries {
     spark.sql(s"WITH ${pagerankIterSql("DIV", "pr_edges", "pr_deg")}")
   }
 
+  /** x72 — INCREMENTAL VIEW MAINTENANCE: merge a materialized
+    * aggregate with a delta batch's PARTIAL aggregates instead of
+    * recomputing from scratch — the algebra every streaming
+    * materialized view and warehouse incremental model (dbt
+    * incremental, Materialize, Spark's own partial aggregation)
+    * rests on: (cnt, Σ, min, max) are mergeable, so
+    * merge(agg(base), agg(delta)) ≡ agg(base ∪ delta). The query runs
+    * both arms from the table (base = events before Jan 25, delta =
+    * the rest) and emits the MERGED view; the oracle recomputes from
+    * scratch, gating the merge algebra itself — a wrong merge (e.g.
+    * max of counts, sum of mins) cannot pass.
+    *
+    * Determinism: sums quantize value to integer micro-units first
+    * (the VectorSumAgg convention — double Σ is summation-order
+    * dependent, integer Σ is exact and mergeable); min/max select
+    * stored values bit-for-bit. At 100 TB this is THE pattern that
+    * turns a daily full recompute into a delta-sized job: the base
+    * side is k rows per group, only the delta scans. */
+  def x72IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    def arm(p: org.apache.spark.sql.Column) = ev.filter(p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    arm(col("ts") < cut).unionByName(arm(col("ts") >= cut))
+      .groupBy("event_type")
+      .agg(sum("cnt").as("cnt"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_incremental_agg" -> (x72IncrementalAgg _),
     "x65_pagerank"      -> (x65Pagerank _),
     "x61_snapshot_diff" -> (x61SnapshotDiff _),
     "x67_window_dedup_rank" -> (x67WindowDedupRank _),
@@ -571,6 +607,14 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x72's oracle is the FULL recompute — if the merge algebra were
+    // wrong in any slot, the merged view could not match it
+    "x72_incremental_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v,
+        CAST(MIN(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS min_v,
+        CAST(MAX(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // identical iteration text bar DuckDB's // integer division; the
     // oracle keeps edges/deg as CTEs (DuckDB materializes reused CTEs)
     "x65_pagerank" ->
