@@ -490,6 +490,41 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** l21 — SEMANTIC decontamination: flag training documents whose
+    * embedding is suspiciously close to any eval-set embedding — the
+    * paraphrase-robust complement of l9's exact 13-gram overlap (a
+    * reworded eval question shares no n-grams but keeps its
+    * embedding; production pipelines run BOTH gates). Same eval-set
+    * convention as l9 (doc_id ≡ 0 mod 97; embeddings are id-aligned);
+    * emits the contamination report: each flagged doc's single
+    * closest eval item at cosine ≥ 0.35 (on this synthetic corpus the
+    * natural top ~2% tail — the threshold is the deployment's
+    * calibration knob; the GATE arithmetic is what the oracle checks).
+    *
+    * Scale shape: the eval set is small by construction, so it
+    * broadcasts whole and the train side is ONE map-only scan with
+    * the fused cosine kernel — no shuffle until the per-doc argmax,
+    * which is a TopKPerKey(k=1) heap over already-thresholded rows.
+    * The 100 TB path swaps the brute-force probe for the s2 LSH index
+    * at the same report shape. */
+  def l21SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, dir, "embeddings")
+    val ev = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev_emb"))
+    val tr = Tables.spread(spark,
+      e.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+    val scored = tr.crossJoin(broadcast(ev))
+      .select(col("doc_id"), col("eval_id"),
+        round(Vectors.cosine(col("embedding"), col("ev_emb")), 9).as("sim"))
+      .filter(col("sim") >= 0.35)
+    graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+      Seq(col("sim").desc, col("eval_id")), k = 1)
+      .select("doc_id", "eval_id", "sim")
+      .orderBy("doc_id")
+  }
+
   /** l18 — sequence packing budgeted in SUBWORD tokens: l7's
     * shard-then-greedy-pack bookkeeping with t10's tokenizer-accurate
     * counter in place of the whitespace count. This is the number a
@@ -618,6 +653,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l19_bpe_train"    -> (l19BpeTrain _),
     "l20_weighted_sample" -> (l20WeightedSample _),
+    "l21_semantic_decon" -> (l21SemanticDecon _),
     "l18_subword_pack" -> (l18SubwordPack _),
     "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
@@ -754,6 +790,18 @@ object LlmQueries {
     // would NOT hash-match. Both sides then round to 9dp: the two
     // engines' fold orders can differ by 1 ULP (~1e-16), far below the
     // rounding grain.
+    // l21: same list-cosine spelling as l3/l4, per-doc argmax as the
+    // row_number spelling, same 0.35 threshold literal
+    "l21_semantic_decon" ->
+      ("""SELECT doc_id, eval_id, sim FROM (
+        SELECT a.vec_id AS doc_id, b.vec_id AS eval_id,
+          ROUND(""" + cosSql("a", "b") + """, 9) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY ROUND(""" + cosSql("a", "b") + """, 9) DESC, b.vec_id) AS rn
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+          AND ROUND(""" + cosSql("a", "b") + """, 9) >= 0.35) t
+      WHERE rn = 1 ORDER BY doc_id"""),
     "l3_cosine_topk" ->
       ("SELECT b.vec_id, ROUND(" + cosSql("a", "b") + ", 9) AS sim " +
         "FROM embeddings a, embeddings b WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
