@@ -253,24 +253,31 @@ object AnnQueries {
         expr("transform(slice(cs, 2, size(cs) - 1), s -> " +
           meanMicroLambda("s", "cs[0]") + ")").as("centroid"))
 
+  /** Coarse-quantizer cell assignment: nearest centroid per vector
+    * (the vector side must not carry its own label column — the
+    * quantizer must not peek at it, and it would collide with the
+    * centroid table's). Broadcast centroids + a partial+final min_by
+    * argmin over (dist, clabel) — no WindowExec: the row_number()
+    * spelling sorts every vector's centroid rows, a per-vector sort
+    * the aggregate avoids entirely. ONE Spark spelling shared by
+    * s4/s15/p6 so a tie-break or distance tweak cannot diverge per
+    * query (the DuckDB side is [[centCtesDuck]] + the shared
+    * row_number restatement; d8's variant additionally carries the
+    * embedding payload). */
+  private[graft] def assignCells(vectors: DataFrame, cent: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label").as("clabel"),
+        L2SquaredDistance(col("centroid"), col("embedding")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
+
   def s4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     val cent = centroids(e)
     // codegen kernel; the interpreted aggregate(zip_with(...)) spelling
     // it replaces is pinned as the spec in ExpressionsSpec
     def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
-    // assignment: nearest centroid per vector (vector side drops its own
-    // label column — the quantizer must not peek at it, and it would
-    // collide with the centroid table's label). Argmin via min_by over
-    // (dist, clabel) — a partial+final hash aggregate, no WindowExec:
-    // the row_number() spelling sorts every vector's centroid rows,
-    // a per-vector sort the aggregate avoids entirely.
-    val assigned =
-      e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label").as("clabel"),
-          l2sq(col("centroid"), col("embedding")).as("dist"))
-        .groupBy("vec_id")
-        .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
+    val assigned = assignCells(e.select(col("vec_id"), col("embedding")), cent)
     // query probes its 2 nearest centroid lists
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val probes = cent.crossJoin(broadcast(q))
@@ -759,11 +766,7 @@ object AnnQueries {
     val exact = graft.plans.TopK.perKey(scored, Seq(col("probe_id")),
       Seq(col("sim").desc, col("vec_id")), k = 3)
       .select("probe_id", "vec_id")
-    val assigned = e.select(col("vec_id"), col("embedding")).crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label").as("clabel"),
-        L2SquaredDistance(col("centroid"), col("embedding")).as("dist"))
-      .groupBy("vec_id")
-      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
+    val assigned = assignCells(e.select(col("vec_id"), col("embedding")), cent)
     val cells = graft.plans.TopK.perKey(
       probes.crossJoin(broadcast(cent))
         .select(col("probe_id"), col("label").as("plabel"),

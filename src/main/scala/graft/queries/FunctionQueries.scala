@@ -147,7 +147,11 @@ object FunctionQueries {
                 ELSE CAST(63 AS BIGINT) * 1000000007 DIV element_at(uk, 64) END AS est_union""",
         """CAST(size(filter(uk, x -> array_contains(ska, x) AND array_contains(skb, x)))
            AS BIGINT) AS n_match""",
-        "CAST(least(usz, 64) AS BIGINT) AS denom")
+        // greatest(…, 1): both populations empty ⇒ usz = 0 and the
+        // final division would be 0 DIV 0 (ANSI mode throws); the
+        // same divisor clamp KmvDistinct.eval applies. n_match is 0
+        // there, so the estimate is the correct 0.
+        "CAST(greatest(least(usz, 64), 1) AS BIGINT) AS denom")
       .selectExpr("est_a", "est_b", "est_union", "n_match",
         "n_match * est_union DIV denom AS est_intersect")
   }
@@ -448,8 +452,11 @@ object FunctionQueries {
       hb AS (SELECT DISTINCT ${kmvHashDuck("user_id")} AS h
              FROM events WHERE event_type = 'purchase' AND value > 99),
       s AS (SELECT
-        (SELECT list(h ORDER BY h) FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t) AS ska,
-        (SELECT list(h ORDER BY h) FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t) AS skb,
+        -- coalesce to []: DuckDB's list() over zero rows is NULL, but
+        -- the Spark sketch aggregate yields an EMPTY array — without
+        -- this the empty-side edge diverges engine-to-engine
+        coalesce((SELECT list(h ORDER BY h) FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t), []) AS ska,
+        coalesce((SELECT list(h ORDER BY h) FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t), []) AS skb,
         (SELECT COUNT(*) FROM ha) AS ca, (SELECT COUNT(*) FROM hb) AS cb),
       u AS (SELECT ska, skb, ca, cb,
               list_sort(list_distinct(list_concat(ska, skb))) AS ud FROM s),
@@ -463,7 +470,7 @@ object FunctionQueries {
                    ELSE CAST(63 AS BIGINT) * 1000000007 // uk[64] END AS est_union,
               CAST(len(list_filter(uk, x -> list_contains(ska, x) AND list_contains(skb, x)))
                 AS BIGINT) AS n_match,
-              CAST(least(usz, 64) AS BIGINT) AS denom, ska, skb
+              CAST(greatest(least(usz, 64), 1) AS BIGINT) AS denom, ska, skb
             FROM v) w"""),
     // same mixed hash, same k-th smallest distinct hash, same integer
     // estimate arithmetic -> bit-identical to the Spark sketch

@@ -635,13 +635,20 @@ object LlmQueries {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round.toLong, l, r, cnt))
-        val m = Seq((l, r)).toDF("ml", "mr")
-        val (wNext, rNext) = org.apache.spark.sql.GraftShims.checkpointReleasable(
-          w.crossJoin(broadcast(m))
-            .select(expr(bpeApplySpark).as("w"), col("n")))
-        held.unpersist(false)
-        w = wNext
-        held = rNext
+        // the final round's merge is learned but never APPLIED — the
+        // post-application vocab table would only feed a round that
+        // doesn't run, and checkpointReleasable materializes eagerly,
+        // so applying it would spend a full (if vocab-sized) pass +
+        // a reliable-checkpoint write on dead work
+        if (round < bpeRounds) {
+          val m = Seq((l, r)).toDF("ml", "mr")
+          val (wNext, rNext) = org.apache.spark.sql.GraftShims.checkpointReleasable(
+            w.crossJoin(broadcast(m))
+              .select(expr(bpeApplySpark).as("w"), col("n")))
+          held.unpersist(false)
+          w = wNext
+          held = rNext
+        }
         round += 1
       }
     }

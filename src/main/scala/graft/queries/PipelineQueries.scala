@@ -198,12 +198,8 @@ object PipelineQueries {
         col("df").as("n1"), col("cf").as("n2"))
     val e = Tables.load(spark, dir, "embeddings")
     val cent = AnnQueries.centroids(e)
-    val clusters = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label").as("clabel"),
-        graft.functions.L2SquaredDistance(col("centroid"), col("embedding")).as("dist"))
-      .groupBy("vec_id")
-      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("clabel"))
+    val clusters = AnnQueries
+      .assignCells(e.select(col("vec_id"), col("embedding")), cent)
       .groupBy("clabel").agg(count(lit(1)).as("n1"))
       .select(lit("cluster").as("kind"), col("clabel").cast("string").as("key"),
         col("n1"), lit(0L).as("n2"))

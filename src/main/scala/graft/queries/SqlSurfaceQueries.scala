@@ -580,7 +580,11 @@ object SqlSurfaceQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
         min("v").as("min_v"), max("v").as("max_v"))
-    arm(col("ts") < cut).unionByName(arm(col("ts") >= cut))
+    // the two arms must PARTITION the table — a bare ts >= cut would
+    // silently drop NULL-timestamp rows that the full-recompute
+    // oracle counts (none exist in the test data, but the IVM
+    // algebra's whole point is agg(base ∪ delta), not agg(most of it)
+    arm(col("ts") < cut).unionByName(arm(col("ts") >= cut || col("ts").isNull))
       .groupBy("event_type")
       .agg(sum("cnt").as("cnt"), sum("sum_v").as("sum_v"),
         min("min_v").as("min_v"), max("max_v").as("max_v"))

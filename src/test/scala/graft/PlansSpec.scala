@@ -132,6 +132,23 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("TopKPerKeyPartial".r.findAllMatchIn(p).size >= 3, p.take(4000))
   }
 
+  test("l21: eval set broadcasts; per-doc argmax is a heap, never a corpus window") {
+    val p = plan("l21_semantic_decon")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(4000))
+    assert(p.contains("TopKPerKeyPartial"), p.take(4000))
+  }
+
+  test("x72: both IVM arms aggregate partial+final; the ts split reaches the scan") {
+    val p = plan("x72_incremental_agg")
+    // two arms × partial+final plus the merge layer
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 4, p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    // the base arm's cut predicate is pushed into its parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
