@@ -455,6 +455,60 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** The Spark spelling of one merge application to the space-joined
+    * symbol string in column `c`, with the pair in columns (ml, mr) —
+    * [[bpeApplySpark]] generalized to arbitrary column names so l22
+    * can chain 8 layers off one broadcast merge row. */
+  private def bpeApplyLayer(c: String, ml: String, mr: String): String =
+    s"""aggregate(slice(split($c, ' '), 2, size(split($c, ' ')) - 1),
+                  element_at(split($c, ' '), 1),
+                  (acc, s) -> ${bpeMergeFold("endswith", ml, mr)})"""
+
+  /** l22 — BPE TOKENIZER APPLY: tokenize the corpus with the merge
+    * table l19 just learned — the train→apply round trip a tokenizer
+    * pipeline ships (l19 produces the artifact; l22 is the job that
+    * consumes it at corpus scale). Each document's words are split to
+    * characters and the 8 learned merges are applied IN TRAINING
+    * ORDER (BPE apply is order-sensitive — each layer is the same
+    * greedy fold as training, so train and apply cannot disagree on
+    * merge semantics); emitted counts are the resulting symbols per
+    * doc — the sequence length a model trained on this vocabulary
+    * would see.
+    *
+    * Scale shape: training runs once (vocab-table loop, see l19), its
+    * 8-pair result rides ONE broadcast row, and application is a pure
+    * per-row expression chain inside the scan — text never shuffles,
+    * no join keyed on anything corpus-sized. The oracle reuses the
+    * l19 twin's m0–m7 CTEs (same MATERIALIZED chain) and applies the
+    * SAME fold text per layer, so a train/apply divergence is
+    * structurally impossible to hide. */
+  def l22BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = l19BpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cols = merges.indices.flatMap(i => Seq(s"m${i}l", s"m${i}r"))
+    val m = spark.createDataFrame(Seq(Tuple1(0))).toDF("z")
+      .select(merges.flatMap { case (l, r) => Seq(l, r) }.zip(cols)
+        .map { case (v, c) => lit(v).as(c) }: _*)
+    // c_i = one space-joined symbol string PER WORD (an array column):
+    // merges stay word-scoped exactly as in training — a flat joined
+    // string would let a merge fire across a word boundary
+    var out = Tables.loadSpread(spark, dir, "documents")
+      .crossJoin(broadcast(m))
+      .selectExpr(Seq("doc_id",
+        """transform(filter(split(text, ' '), w -> w <> ''),
+                     wd -> concat_ws(' ', split(wd, ''))) AS c0""") ++ cols: _*)
+    for (i <- merges.indices) {
+      out = out.selectExpr(Seq("doc_id",
+        s"transform(c$i, wd -> ${bpeApplyLayer("wd", s"m${i}l", s"m${i}r")}) AS c${i + 1}")
+        ++ cols: _*)
+    }
+    out.selectExpr("doc_id",
+      s"""CAST(aggregate(c${merges.length}, CAST(0 AS BIGINT),
+           (a, wd) -> a + size(split(wd, ' '))) AS BIGINT) AS n_trained_tokens""")
+      .orderBy("doc_id")
+  }
+
   /** l20 — WEIGHT-PROPORTIONAL sampling without replacement, per
     * source: Duffield/Lund/Thorup PRIORITY SAMPLING (JACM 2007) —
     * priority q_i = w_i / u_i with u_i uniform on (0,1], keep the k
@@ -661,6 +715,7 @@ object LlmQueries {
     "l19_bpe_train"    -> (l19BpeTrain _),
     "l20_weighted_sample" -> (l20WeightedSample _),
     "l21_semantic_decon" -> (l21SemanticDecon _),
+    "l22_bpe_apply"    -> (l22BpeApply _),
     "l18_subword_pack" -> (l18SubwordPack _),
     "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
@@ -690,7 +745,11 @@ object LlmQueries {
     * DuckDB's binary list_reduce seeds from the first element, which
     * the Spark spelling reproduces exactly via
     * aggregate(slice(syms, 2, ...), element_at(syms, 1), ...). */
-  private def bpeTrainDuck: String = {
+  /** The training CTE chain (w0, p_i, m_i, w_{i+1}) without a final
+    * SELECT — shared by the l19 twin (reads the m_i merge rows) and
+    * the l22 twin (joins the same m_i into its apply layers, so the
+    * applied merges are definitionally the learned ones). */
+  private def bpeCtesDuck: String = {
     val roundCtes = (0 until bpeRounds).map { i =>
       s"""p$i AS MATERIALIZED (
         SELECT u.p.l AS l, u.p.r AS r, CAST(SUM(u.n) AS BIGINT) AS cnt
@@ -706,23 +765,57 @@ object LlmQueries {
                t.n
         FROM w$i t CROSS JOIN m$i m)"""
     }.mkString(",\n")
-    val unions = (0 until bpeRounds).map { i =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_round, l AS left_sym, r AS right_sym, cnt FROM m$i"
-    }.mkString("\n        UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
       SELECT array_to_string(string_split(word, ''), ' ') AS w,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
       WHERE word <> ''
       GROUP BY word),
-    $roundCtes
+    $roundCtes"""
+  }
+
+  private def bpeTrainDuck: String = {
+    val unions = (0 until bpeRounds).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_round, l AS left_sym, r AS right_sym, cnt FROM m$i"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH $bpeCtesDuck
     SELECT * FROM (
       $unions
     ) ORDER BY merge_round"""
   }
 
+  /** The l22 twin: per-document apply of the SAME m0–m7 the training
+    * chain learned, one nested-fold layer per merge in training
+    * order — the fold text is [[bpeMergeFold]] again, word-scoped via
+    * list_transform exactly like the Spark spelling. */
+  private def bpeApplyDuck: String = {
+    val mJoins = (0 until bpeRounds).map(i =>
+      s"CROSS JOIN (SELECT l AS m${i}l, r AS m${i}r FROM m$i) a$i").mkString(" ")
+    val allCols = (0 until bpeRounds).flatMap(i => Seq(s"m${i}l", s"m${i}r"))
+    var inner = s"""SELECT doc_id,
+        list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+          wd -> array_to_string(string_split(wd, ''), ' ')) AS c0,
+        ${allCols.mkString(", ")}
+      FROM documents $mJoins"""
+    for (i <- 0 until bpeRounds) {
+      val keep = ((i + 1) until bpeRounds).flatMap(j => Seq(s"m${j}l", s"m${j}r"))
+      inner = s"""SELECT doc_id,
+          list_transform(c$i, wd -> list_reduce(string_split(wd, ' '), (acc, s) ->
+            ${bpeMergeFold("ends_with", s"m${i}l", s"m${i}r")})) AS c${i + 1}
+          ${if (keep.nonEmpty) ", " + keep.mkString(", ") else ""}
+        FROM ($inner)"""
+    }
+    s"""WITH $bpeCtesDuck
+    SELECT doc_id,
+      CAST(coalesce(list_sum(list_transform(c$bpeRounds,
+        wd -> len(string_split(wd, ' ')))), 0) AS BIGINT) AS n_trained_tokens
+    FROM ($inner)
+    ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "l19_bpe_train" -> bpeTrainDuck,
+    "l22_bpe_apply" -> bpeApplyDuck,
     // the row_number spelling of the same priority cut — shared t2
     // score CTE, shared hash, the SAME single-division priority text,
     // so the kept set is bit-identical

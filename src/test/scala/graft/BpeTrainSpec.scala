@@ -47,6 +47,28 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
     assert(apply1("m er g e", "m", "er") == "mer g e")
   }
 
+  test("apply compresses: trained-token counts sit between word and char counts") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val applied = LlmQueries.l22BpeApply(spark, dir)
+    val base = graft.core.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "size(filter(split(text, ' '), w -> w <> '')) AS n_words",
+        "length(replace(text, ' ', '')) AS n_chars")
+    val joined = applied.join(base, "doc_id")
+      .selectExpr("doc_id", "n_trained_tokens", "n_words", "n_chars")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, t, w, c) =>
+      // merges only ever shrink a word (never below 1 symbol), so the
+      // count is bounded by chars above and words below
+      assert(t <= c, s"doc $id: $t trained tokens > $c chars")
+      assert(t >= w, s"doc $id: $t trained tokens < $w words")
+    }
+    // and the 8 merges actually fire: strict compression in aggregate
+    assert(joined.map(_._2).sum < joined.map(_._4.toLong).sum)
+  }
+
   test("train is deterministic and emits monotone rounds with non-increasing counts") {
     val out = LlmQueries.l19BpeTrain(spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.getLong(0)).toSeq == (1L to out.length.toLong))
