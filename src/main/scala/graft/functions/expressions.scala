@@ -1398,6 +1398,97 @@ object SubwordCount {
   def apply(c: Column): Column = GraftShims.column(SubwordCount(GraftShims.expression(c)))
 }
 
+/** l22's fused BPE-apply kernel: tokenize `child` with a LEARNED merge
+  * table (constructor parameter — driver-collected from l19's train,
+  * so no SQL-literal injection surface) and return the resulting
+  * symbol count. Semantics are EXACTLY the layered greedy fold chain
+  * it replaces (pinned as the spec in ExpressionsSpec): words split on
+  * ' ' (empties skipped), symbols start as code points, and each merge
+  * in training order does one greedy left-to-right non-overlapping
+  * pass per word. The chain spelling runs ~8 interpreted lambda
+  * invocations per SYMBOL per row (measured 14.9× wall on the second
+  * scaling decade — the m3 lesson again); this kernel is one JVM call
+  * per row. */
+case class BpeApplyCount(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply_count needs a string argument, got ${child.dataType}")
+
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeApplyCount.count(input.asInstanceOf[UTF8String].toString, mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.BpeApplyCount.count($c.toString(), $ref);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyCount =
+    copy(child = newChild)
+}
+
+object BpeApplyCount {
+  def apply(c: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpeApplyCount(GraftShims.expression(c), merges))
+
+  /** One greedy left-to-right pass per merge per word, in merge order.
+    * In-place on a reusable symbol buffer: `m` is the live symbol
+    * count; a fired merge writes l+r at the left slot and compacts the
+    * tail by one. */
+  def count(text: String, merges: Array[(String, String)]): Long = {
+    var total = 0L
+    val syms = new java.util.ArrayList[String](64)
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        // word boundary: apply the merges to the buffered word
+        if (!syms.isEmpty) {
+          var k = 0
+          while (k < merges.length) {
+            val l = merges(k)._1
+            val r = merges(k)._2
+            // the fold's greedy rule verbatim: merge the incoming
+            // symbol into the LAST OUTPUT when the pair matches; a
+            // just-merged l+r can never equal l (r non-empty), so
+            // consumed positions never re-merge — Sennrich's scan
+            var w = 0 // write cursor (live output count)
+            var rd = 0 // read cursor
+            while (rd < syms.size) {
+              if (w > 0 && syms.get(w - 1) == l && syms.get(rd) == r) {
+                syms.set(w - 1, l + r)
+              } else {
+                if (w < rd) syms.set(w, syms.get(rd))
+                w += 1
+              }
+              rd += 1
+            }
+            // trim the tail
+            while (syms.size > w) syms.remove(syms.size - 1)
+            k += 1
+          }
+          total += syms.size
+          syms.clear()
+        }
+      } else {
+        // symbols start as code points (match split(wd, '') semantics)
+        val cp = text.codePointAt(i)
+        val len = Character.charCount(cp)
+        syms.add(text.substring(i, i + len))
+        i += len - 1
+      }
+      i += 1
+    }
+    total
+  }
+}
+
 /** SQL registration so the spark.sql-built queries can call the codegen
   * expressions by name. Idempotent; call before any spark.sql text that
   * references them. */

@@ -457,9 +457,13 @@ object LlmQueries {
 
   /** The Spark spelling of one merge application to the space-joined
     * symbol string in column `c`, with the pair in columns (ml, mr) —
-    * [[bpeApplySpark]] generalized to arbitrary column names so l22
-    * can chain 8 layers off one broadcast merge row. */
-  private def bpeApplyLayer(c: String, ml: String, mr: String): String =
+    * [[bpeApplySpark]] generalized to arbitrary column names. The
+    * layered chain built from this IS l22's semantics; since the
+    * chain's interpreted lambdas measured 14.9× wall on the second
+    * scaling decade, production l22 runs the fused
+    * [[graft.functions.BpeApplyCount]] kernel and ExpressionsSpec
+    * pins kernel ≡ chain on real corpus data. */
+  private[graft] def bpeApplyLayer(c: String, ml: String, mr: String): String =
     s"""aggregate(slice(split($c, ' '), 2, size(split($c, ' ')) - 1),
                   element_at(split($c, ' '), 1),
                   (acc, s) -> ${bpeMergeFold("endswith", ml, mr)})"""
@@ -483,29 +487,15 @@ object LlmQueries {
     * SAME fold text per layer, so a train/apply divergence is
     * structurally impossible to hide. */
   def l22BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val merges = l19BpeTrain(spark, dir).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val cols = merges.indices.flatMap(i => Seq(s"m${i}l", s"m${i}r"))
-    val m = spark.createDataFrame(Seq(Tuple1(0))).toDF("z")
-      .select(merges.flatMap { case (l, r) => Seq(l, r) }.zip(cols)
-        .map { case (v, c) => lit(v).as(c) }: _*)
-    // c_i = one space-joined symbol string PER WORD (an array column):
-    // merges stay word-scoped exactly as in training — a flat joined
-    // string would let a merge fire across a word boundary
-    var out = Tables.loadSpread(spark, dir, "documents")
-      .crossJoin(broadcast(m))
-      .selectExpr(Seq("doc_id",
-        """transform(filter(split(text, ' '), w -> w <> ''),
-                     wd -> concat_ws(' ', split(wd, ''))) AS c0""") ++ cols: _*)
-    for (i <- merges.indices) {
-      out = out.selectExpr(Seq("doc_id",
-        s"transform(c$i, wd -> ${bpeApplyLayer("wd", s"m${i}l", s"m${i}r")}) AS c${i + 1}")
-        ++ cols: _*)
-    }
-    out.selectExpr("doc_id",
-      s"""CAST(aggregate(c${merges.length}, CAST(0 AS BIGINT),
-           (a, wd) -> a + size(split(wd, ' '))) AS BIGINT) AS n_trained_tokens""")
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // application is ONE fused-kernel call per row inside the scan —
+    // the learned pairs are constructor parameters (no SQL-literal
+    // injection surface, no crossJoin needed); the layered fold-chain
+    // spelling this replaces is pinned as its spec in ExpressionsSpec
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.BpeApplyCount(col("text"), merges).as("n_trained_tokens"))
       .orderBy("doc_id")
   }
 

@@ -310,6 +310,57 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(est - exact.toDouble) / exact < 0.5, s"est $est vs exact $exact")
   }
 
+  test("BpeApplyCount kernel equals the layered greedy-fold chain on real corpus data") {
+    // the fold chain IS l22's semantics (and the shape the DuckDB twin
+    // restates); the fused kernel must reproduce it row-for-row. Run
+    // both over sf0.001 with the merges l19 actually learns there.
+    val dir = "/root/testdata/sf0.001"
+    val merges = graft.queries.LlmQueries.l19BpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val kernel = docs.select($"doc_id",
+      graft.functions.BpeApplyCount($"text", merges).as("n"))
+    val cols = merges.indices.flatMap(i => Seq(s"m${i}l", s"m${i}r"))
+    val m = Seq(Tuple1(0)).toDF("z").select(
+      merges.flatMap { case (l, r) => Seq(l, r) }.zip(cols)
+        .map { case (v, c) => lit(v).as(c) }: _*)
+    var chain = docs.crossJoin(broadcast(m))
+      .selectExpr(Seq("doc_id",
+        """transform(filter(split(text, ' '), w -> w <> ''),
+                     wd -> concat_ws(' ', split(wd, ''))) AS c0""") ++ cols: _*)
+    for (i <- merges.indices)
+      chain = chain.selectExpr(Seq("doc_id",
+        s"transform(c$i, wd -> ${graft.queries.LlmQueries.bpeApplyLayer("wd", s"m${i}l", s"m${i}r")}) AS c${i + 1}")
+        ++ cols: _*)
+    val spec = chain.selectExpr("doc_id",
+      s"""CAST(aggregate(c${merges.length}, CAST(0 AS BIGINT),
+           (a, wd) -> a + size(split(wd, ' '))) AS BIGINT) AS n""")
+    val diff = kernel.as("k").join(spec.as("s"), "doc_id")
+      .filter($"k.n" =!= $"s.n")
+    assert(diff.isEmpty, diff.limit(5).collect().mkString(", "))
+    // crafted edges the corpus may not hit: overlap runs + chained
+    // multi-char merges + multi-byte code points
+    val crafted = Seq("aaa bab ab", "merge merge", "éa aé", "x")
+    crafted.foreach { t =>
+      val viaKernel = graft.functions.BpeApplyCount.count(t,
+        Array(("a", "a"), ("aa", "a"), ("m", "e")))
+      val explicit = t.split(" ").filter(_.nonEmpty).map { wd =>
+        var syms = wd.map(_.toString).toList
+        for ((l, r) <- Seq(("a", "a"), ("aa", "a"), ("m", "e"))) {
+          val out = scala.collection.mutable.ListBuffer[String]()
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == l && s == r)
+              out(out.length - 1) = l + r
+            else out += s
+          }
+          syms = out.toList
+        }
+        syms.length
+      }.sum
+      assert(viaKernel == explicit, s"'$t': kernel $viaKernel != reference $explicit")
+    }
+  }
+
   test("KmvDistinct: relative error bounded across random cardinalities (ScalaCheck)") {
     import graft.functions.KmvDistinct
     import org.scalacheck.{Gen, Prop, Test => SCTest}

@@ -200,6 +200,14 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       "d14_full_dedup" -> (graft.queries.DedupQueries.d14FullDedup _),
       "s5_lsh_near_dup_prod" -> (graft.queries.AnnQueries.s5LshNearDupProd _),
       "s12_kmeans_run" -> (graft.queries.AnnQueries.s12KmeansRun _),
+      // round-8: the new join modality and the heaviest new scan line.
+      // t11's per-copy token suffixes change every 16-char prefix, so
+      // cross-copy candidates stay near zero — the quadratic term must
+      // track per-copy structure, not corpus size². l22 trains over a
+      // 10×-vocab word table then applies 8 fold layers per row — both
+      // stages must follow corpus size.
+      "t11_fuzzy_join" -> (graft.queries.TextQueries.t11FuzzyJoin _),
+      "l22_bpe_apply" -> (graft.queries.LlmQueries.l22BpeApply _),
     )
     val bigDir = sf1eq
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
