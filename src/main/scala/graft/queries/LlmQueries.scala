@@ -621,10 +621,7 @@ object LlmQueries {
     * DuckDB's binary list_reduce, so the shared CASE text behaves
     * identically on both engines. Exposed for the BpeTrainSpec edge
     * cases (overlap runs, no re-merge of just-created symbols). */
-  private[graft] def bpeApplySpark: String =
-    s"""aggregate(slice(split(w, ' '), 2, size(split(w, ' ')) - 1),
-                  element_at(split(w, ' '), 1),
-                  (acc, s) -> ${bpeMergeFold("endswith")})"""
+  private[graft] def bpeApplySpark: String = bpeApplyLayer("w", "ml", "mr")
 
   /** l19 — BPE tokenizer TRAINING: learn the first [[bpeRounds]] merge
     * rules from the corpus (Sennrich et al. 2016) — the job that
@@ -779,8 +776,16 @@ object LlmQueries {
     * order — the fold text is [[bpeMergeFold]] again, word-scoped via
     * list_transform exactly like the Spark spelling. */
   private def bpeApplyDuck: String = {
+    // scalar-subquery + coalesce('') per merge: if training exhausts
+    // before round i (m_i empty — the l19 exhaustion edge), a bare
+    // CROSS JOIN m_i would annihilate the whole documents relation;
+    // the ('','') fallback is a guaranteed NO-OP merge instead (acc is
+    // never '' — it seeds from a non-empty symbol — and no symbol
+    // equals ''), so the twin applies exactly the k real merges the
+    // Spark side learned
     val mJoins = (0 until bpeRounds).map(i =>
-      s"CROSS JOIN (SELECT l AS m${i}l, r AS m${i}r FROM m$i) a$i").mkString(" ")
+      s"""CROSS JOIN (SELECT coalesce((SELECT l FROM m$i), '') AS m${i}l,
+                             coalesce((SELECT r FROM m$i), '') AS m${i}r) a$i""").mkString(" ")
     val allCols = (0 until bpeRounds).flatMap(i => Seq(s"m${i}l", s"m${i}r"))
     var inner = s"""SELECT doc_id,
         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
@@ -797,8 +802,12 @@ object LlmQueries {
     }
     s"""WITH $bpeCtesDuck
     SELECT doc_id,
-      CAST(coalesce(list_sum(list_transform(c$bpeRounds,
-        wd -> len(string_split(wd, ' ')))), 0) AS BIGINT) AS n_trained_tokens
+      -- c_N is NULL iff text was NULL (an empty doc yields [], not
+      -- NULL): restate Spark's null propagation, and coalesce ONLY
+      -- the empty-list case to 0
+      CASE WHEN c$bpeRounds IS NULL THEN NULL
+           ELSE CAST(coalesce(list_sum(list_transform(c$bpeRounds,
+                  wd -> len(string_split(wd, ' ')))), 0) AS BIGINT) END AS n_trained_tokens
     FROM ($inner)
     ORDER BY doc_id"""
   }

@@ -335,9 +335,9 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     val spec = chain.selectExpr("doc_id",
       s"""CAST(aggregate(c${merges.length}, CAST(0 AS BIGINT),
            (a, wd) -> a + size(split(wd, ' '))) AS BIGINT) AS n""")
-    val diff = kernel.as("k").join(spec.as("s"), "doc_id")
-      .filter($"k.n" =!= $"s.n")
-    assert(diff.isEmpty, diff.limit(5).collect().mkString(", "))
+    val bad = kernel.as("k").join(spec.as("s"), "doc_id")
+      .filter($"k.n" =!= $"s.n").limit(5).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
     // crafted edges the corpus may not hit: overlap runs + chained
     // multi-char merges + multi-byte code points
     val crafted = Seq("aaa bab ab", "merge merge", "éa aé", "x")

@@ -149,6 +149,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p.take(4000))
   }
 
+  test("l22: trained-tokenizer apply is the fused kernel inside the scan — no join, no window") {
+    val p = plan("l22_bpe_apply")
+    assert(p.toLowerCase.contains("bpeapplycount"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
