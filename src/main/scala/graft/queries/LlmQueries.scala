@@ -499,6 +499,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** l23 — REPETITION REMOVAL: collapse runs of consecutive identical
+    * tokens — the cleanup transform t7 only MEASURES (its repeat
+    * fraction flags docs; l23 repairs the simplest, most common class
+    * in place — stutter artifacts from scraped markup and template
+    * expansion; higher n-gram-run collapse composes the same shape).
+    * Emits before/after counts plus the cleaned text's rolling-hash
+    * fingerprint (the t4 convention), so the transform's OUTPUT — not
+    * just its bookkeeping — is oracle-gated without shipping wide
+    * strings through the driver's sorter.
+    *
+    * Pure scan shape: the keep rule is a per-row indexed filter
+    * (token i survives iff i = 0 or token ≠ its predecessor), the
+    * fingerprint a fused kernel — no shuffle before the presentation
+    * sort; at 100 TB this runs at scan speed like t1–t9. */
+  def l23RepeatCollapse(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH t AS (SELECT doc_id, filter(split(text, ' '), w -> w <> '') AS w FROM documents),
+      c AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS n_before,
+              filter(w, (x, i) -> i = 0 OR x <> element_at(w, i)) AS cw
+            FROM t)
+      SELECT doc_id, n_before, CAST(size(cw) AS BIGINT) AS n_after,
+             ${graft.functions.TextPrimitives.rollingHashSpark("array_join(cw, ' ')")} AS fp
+      FROM c ORDER BY doc_id""")
+  }
+
   /** l20 — WEIGHT-PROPORTIONAL sampling without replacement, per
     * source: Duffield/Lund/Thorup PRIORITY SAMPLING (JACM 2007) —
     * priority q_i = w_i / u_i with u_i uniform on (0,1], keep the k
@@ -703,6 +730,7 @@ object LlmQueries {
     "l20_weighted_sample" -> (l20WeightedSample _),
     "l21_semantic_decon" -> (l21SemanticDecon _),
     "l22_bpe_apply"    -> (l22BpeApply _),
+    "l23_repeat_collapse" -> (l23RepeatCollapse _),
     "l18_subword_pack" -> (l18SubwordPack _),
     "l17_domain_cap"   -> (l17DomainCap _),
     "l1_exact_dedup"   -> (l1ExactDedup _),
@@ -815,6 +843,19 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "l19_bpe_train" -> bpeTrainDuck,
     "l22_bpe_apply" -> bpeApplyDuck,
+    // l23: same keep rule with DuckDB's 1-BASED lambda index (Spark's
+    // is 0-based — the two guards i=0 / i=1 and predecessors
+    // element_at(w, i) / w[i-1] address the SAME neighbor), same
+    // rolling-hash constants over the same rebuilt string
+    "l23_repeat_collapse" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+             FROM documents),
+      c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_before,
+              list_filter(w, (x, i) -> i = 1 OR x <> w[i - 1]) AS cw
+            FROM t)
+      SELECT doc_id, n_before, CAST(len(cw) AS BIGINT) AS n_after,
+             ${graft.functions.TextPrimitives.rollingHashDuck("array_to_string(cw, ' ')")} AS fp
+      FROM c ORDER BY doc_id""",
     // the row_number spelling of the same priority cut — shared t2
     // score CTE, shared hash, the SAME single-division priority text,
     // so the kept set is bit-identical

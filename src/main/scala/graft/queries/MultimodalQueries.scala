@@ -414,9 +414,41 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m13 — MODALITY ROUTER over a MIXED media column: the lake
+    * reality m1–m12 idealize away — one binary column holding four
+    * different container formats (each doc encoded per doc_id mod 4:
+    * PNG / WAV / JPEG / GIF), where the reader must SNIFF each row's
+    * format from magic bytes and dispatch to the right decoder. The
+    * kernel ([[MultimodalKernels.routeDecode]]) sees only bytes; the
+    * oracle reconstructs kind + geometry + lossless pixel checks
+    * INDEPENDENTLY from the encoding assignment, so a wrong sniff,
+    * a magic collision, or a mis-dispatch all fail the gate. Same
+    * batched mapPartitions seam and scan-speed scale shape as the
+    * rest of the media suite. */
+  def m13ModalityRouter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val container = (id % 4) match {
+            case 0 => MultimodalKernels.encodePng(bytes)
+            case 1 => MultimodalKernels.encodeWav(bytes)
+            case 2 => MultimodalKernels.encodeJpeg(bytes)
+            case _ => MultimodalKernels.encodeGif(bytes)
+          }
+          val (kind, geom, px) = MultimodalKernels.routeDecode(container)
+          (id, kind, geom, px)
+        }
+      }
+    }.toDF("doc_id", "kind", "geom", "px_check")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m11_scene_cut"        -> (m11SceneCut _),
     "m12_audio_segments"   -> (m12AudioSegments _),
+    "m13_modality_router"  -> (m13ModalityRouter _),
     "m9_gif_frames"        -> (m9GifFrames _),
     "m1_multimodal_decode" -> (m1MultimodalDecode _),
     "m2_feature_extract"   -> (m2FeatureExtract _),
@@ -430,6 +462,29 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // m13: kind + geometry + checks derived from the ENCODING
+    // ASSIGNMENT (doc_id mod 4) and each codec's established
+    // contract — never from the bytes — so the sniffing kernel is
+    // gated against an independent reconstruction. Geometry: PNG and
+    // JPEG are 32-wide (h = ceil(len/32), the m5/m7 contract), WAV is
+    // one frame per byte (m6), GIF one frame per 128 bytes (m9).
+    // Checks: lossless kinds' decoded sample sum = plain ord sum
+    // (totals sit far below the kernels' 1e9+7 modulus); JPEG is
+    // lossy -> -1 by contract.
+    "m13_modality_router" ->
+      """SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        WHEN 2 THEN 'jpeg' ELSE 'gif' END AS kind,
+        CAST(CASE doc_id % 4
+          WHEN 0 THEN greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT))
+          WHEN 1 THEN length(text)
+          WHEN 2 THEN greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT))
+          ELSE greatest(1, CAST(ceil(length(text) / 128.0) AS BIGINT)) END AS BIGINT) AS geom,
+        CAST(CASE doc_id % 4
+          WHEN 2 THEN -1
+          ELSE coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> ord(text[i]))), 0) END AS BIGINT) AS px_check
+      FROM documents ORDER BY doc_id""",
     // m12: the lossless 8-bit PCM contract (see m6) — sample i IS
     // source char i, window f covers chars [f*256+1, min((f+1)*256,
     // len)] — so window energies are pure integer arithmetic on the
@@ -882,6 +937,29 @@ object MultimodalKernels {
       i += 1
     }
     energies
+  }
+
+  /** m13's FORMAT ROUTER: sniff the container's magic bytes and
+    * dispatch to the right decoder — using NOTHING but the bytes (the
+    * caller's encoding choice is invisible here; m13's oracle derives
+    * the expected kind independently, so a wrong sniff or a
+    * mis-dispatch fails the gate). Returns (kind, geometry, pixel
+    * check): geometry is each kind's canonical shape scalar (PNG/JPEG
+    * height, WAV frames, GIF frame count), the check the lossless
+    * kinds' decoded sample sum (−1 for the lossy JPEG, whose gate is
+    * geometry + the m7 tolerance). */
+  def routeDecode(c: Array[Byte]): (String, Long, Long) = {
+    def b(i: Int) = c(i) & 0xff
+    if (c.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      val (_, h, sum) = decodePng(c); ("png", h, sum)
+    } else if (c.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+        && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      val (_, _, frames, sum) = decodeWav(c); ("wav", frames, sum)
+    } else if (c.length >= 2 && b(0) == 0xff && b(1) == 0xd8) {
+      val (_, h, _) = decodeJpeg(c); ("jpeg", h, -1L)
+    } else if (c.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') {
+      val sums = decodeGifFrameSums(c); ("gif", sums.length.toLong, sums.sum)
+    } else ("unknown", -1L, -1L)
   }
 
   /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.

@@ -182,6 +182,19 @@ class MultimodalKernelSpec extends AnyFunSuite {
     assert(e(1) == 256L * 128 * 128, "full-swing window energy wrong")
   }
 
+  test("m13 router sniffs every container kind from bytes alone, unknown falls through") {
+    val bytes = Array.fill(300)(7.toByte)
+    assert(MultimodalKernels.routeDecode(MultimodalKernels.encodePng(bytes))._1 == "png")
+    assert(MultimodalKernels.routeDecode(MultimodalKernels.encodeWav(bytes))._1 == "wav")
+    assert(MultimodalKernels.routeDecode(MultimodalKernels.encodeJpeg(bytes))._1 == "jpeg")
+    assert(MultimodalKernels.routeDecode(MultimodalKernels.encodeGif(bytes))._1 == "gif")
+    assert(MultimodalKernels.routeDecode("not a container".getBytes)._1 == "unknown")
+    assert(MultimodalKernels.routeDecode(Array[Byte]())._1 == "unknown")
+    // the routed decode is the REAL per-kind decode, not just a label
+    val (_, geom, px) = MultimodalKernels.routeDecode(MultimodalKernels.encodeWav(bytes))
+    assert(geom == 300L && px == 300L * 7)
+  }
+
   test("FOREIGN payloads decode to pinned values (encoder-independent)") {
     // Roundtrip tests can't catch a SYMMETRIC encode/decode bug (both
     // sides agreeing on a wrong stride, color model, or byte order).
