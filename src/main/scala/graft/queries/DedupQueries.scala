@@ -589,7 +589,36 @@ object DedupQueries {
       ORDER BY t.doc_id""")
   }
 
+  /** d16 — SKETCH CALIBRATION: for every verified d1 pair, the MinHash
+    * ESTIMATE of its Jaccard (16-signature agreement fraction, emitted
+    * as an exact integer permille) next to the exact verified value —
+    * the measurement that justifies the banding knobs (s15's eval
+    * idea applied to the dedup sketch: E[agreement/16] = J, stderr
+    * ~1/√16 ≈ 0.25 per pair — you pick thresholds and band counts
+    * from THIS table, not from folklore). Reuses the session-persisted
+    * pair manifest (mine once, consume many) and joins the
+    * doc-count-sized signature table by id — per-pair work is 16
+    * integer compares. */
+  def d16SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pairs = resemblancePairs(spark, dir)
+    // DataFrame joins, deliberately no WITH: wrapping the persisted
+    // pair view (whose plan already carries the ids CTE chain) in
+    // another CTE trips Catalyst's CTE pushdown bookkeeping
+    // (PushdownPredicatesAndPruneColumnsForCTEDef: key not found)
+    val sigs = spark.sql("SELECT doc_id, minhash16(ids) AS mh FROM ids")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_id_a"), col("mh").as("mha")), "doc_id_a")
+      .join(sigs.select(col("doc_id").as("doc_id_b"), col("mh").as("mhb")), "doc_id_b")
+      .selectExpr("doc_id_a", "doc_id_b",
+        "CAST(size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) AS BIGINT) AS n_match",
+        "CAST(size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) * 1000 DIV 16 AS BIGINT) AS est_permille",
+        "jac")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_sketch_calibration" -> (d16SketchCalibration _),
     "d12_span_cut"     -> (d12SpanCut _),
     "d11_span_mask"    -> (d11SpanMask _),
     "d10_bloom_dedup"  -> (d10BloomDedup _),
@@ -723,6 +752,32 @@ object DedupQueries {
         WHERE round(CAST(length(list_intersect(a.ids, b.ids)) AS DOUBLE)
                     / least(length(a.ids), length(b.ids)), 6) >= 0.6
         ORDER BY doc_id_a, doc_id_b""",
+      // d16: d1's full pair derivation + the same 16 per-perm minhash
+      // scalars joined per side; agreement is 16 integer equality
+      // terms, the permille an exact integer division
+      "d16_sketch_calibration" -> {
+        val matchSum = (0 until 16)
+          .map(k => s"CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $shingleCteDuck,
+        $idsCteDuck,
+        mh AS (SELECT doc_id, $mhDuck FROM ids),
+        eb AS (SELECT doc_id, u.bi AS bi, u.bk AS bk
+               FROM mh, UNNEST([$bandList]) t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM eb a JOIN eb b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
+                       ${jacDuck("ia.ids", "ib.ids")} AS jac
+                FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)
+        SELECT v.doc_id_a, v.doc_id_b,
+               CAST($matchSum AS BIGINT) AS n_match,
+               CAST(CAST($matchSum AS BIGINT) * 1000 // 16 AS BIGINT) AS est_permille,
+               v.jac
+        FROM ver v JOIN mh ma ON ma.doc_id = v.doc_id_a
+                   JOIN mh mb ON mb.doc_id = v.doc_id_b
+        WHERE v.jac >= $jacThreshold
+        ORDER BY v.doc_id_a, v.doc_id_b"""
+      },
       "d1_minhash_lsh" ->
         s"""WITH $shingleCteDuck,
         $idsCteDuck,

@@ -345,7 +345,46 @@ object TextQueries {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** t12 — COLLOCATION mining: the top-20 document-level token
+    * co-occurrence pairs with their LIFT scores — the
+    * association-rule surface (market-basket over tokens) that
+    * collocation extraction, query-suggestion and taxonomy induction
+    * pipelines run. Lift = N·c_ab / (c_a·c_b) is deliberately the
+    * RATIO form, not PMI: PMI is just log(lift), log is monotone, and
+    * ×,÷ on exact integer counts are IEEE-correctly-rounded in both
+    * engines (the s13 rational-idf argument), so the scores are
+    * bit-identical cross-engine while a log spelling would be
+    * libm-dependent.
+    *
+    * Scale shape: presence pairs come from a per-doc self-join of the
+    * DISTINCT (doc, token) table — cost is Σ_doc k_doc², bounded by
+    * doc length, never corpus²; per-token supports are one aggregate
+    * broadcast back (vocabulary-sized); top-20 is a bounded heap. At
+    * 100 TB the standard support-pruning step (drop tokens below
+    * min-support before pairing — the Apriori property) slots in
+    * front of the self-join unchanged. */
+  def t12Collocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dt = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("array_distinct(filter(split(text, ' '), w -> w <> ''))")).as("tok"))
+    val support = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(support.select(col("tok").as("tok_a"), col("c").as("c_a"))), "tok_a")
+      .join(broadcast(support.select(col("tok").as("tok_b"), col("c").as("c_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        (col("n_docs").cast("double") * col("c_ab") / col("c_a") / col("c_b")).as("lift"))
+      .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_collocations"   -> (t12Collocations _),
     "t11_fuzzy_join"     -> (t11FuzzyJoin _),
     "t10_subword_tokens" -> (t10SubwordTokens _),
     "t9_char_diversity" -> (t9CharDiversity _),
@@ -364,6 +403,22 @@ object TextQueries {
     val scoresDuck = Seq("en", "de", "es", "fr")
       .map(l => s"${stopHitsDuck(w, stopwords(l))} AS s_$l").mkString(", ")
     Map(
+      // t12: same distinct-presence pairing, same integer supports,
+      // the SAME ×,÷-only lift text — scores bit-identical
+      "t12_collocations" ->
+        """WITH dt AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+               FROM documents),
+        sup AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY tok),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY a.tok, b.tok)
+        SELECT tok_a, tok_b, c_ab,
+               CAST(n_docs AS DOUBLE) * c_ab / sa.c / sb.c AS lift
+        FROM p JOIN sup sa ON sa.tok = p.tok_a
+               JOIN sup sb ON sb.tok = p.tok_b
+               CROSS JOIN nd
+        ORDER BY c_ab DESC, tok_a, tok_b LIMIT 20""",
       // brute-force all-pairs ground truth (the l4/d13 convention):
       // because SymSpell candidates have recall 1 by construction, the
       // exact twin gates the BLOCKING SCHEME itself, not just the
