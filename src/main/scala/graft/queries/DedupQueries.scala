@@ -612,8 +612,9 @@ object DedupQueries {
       .join(sigs.select(col("doc_id").as("doc_id_b"), col("mh").as("mhb")), "doc_id_b")
       .selectExpr("doc_id_a", "doc_id_b",
         "CAST(size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) AS BIGINT) AS n_match",
-        "CAST(size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) * 1000 DIV 16 AS BIGINT) AS est_permille",
         "jac")
+      .selectExpr("doc_id_a", "doc_id_b", "n_match",
+        "n_match * 1000 DIV 16 AS est_permille", "jac")
       .orderBy("doc_id_a", "doc_id_b")
   }
 

@@ -365,8 +365,13 @@ object TextQueries {
     * front of the self-join unchanged. */
   def t12Collocations(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // persisted: three consumers (support aggregate + both self-join
+    // sides) would each re-tokenize the corpus — the narrow
+    // (doc, token) presence table is exactly the resemblancePairs
+    // "mine once, consume many" case
     val dt = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("array_distinct(filter(split(text, ' '), w -> w <> ''))")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val support = dt.groupBy("tok").agg(count(lit(1)).as("c"))
     val nDocs = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val pairs = dt.as("a").join(dt.as("b"),

@@ -156,6 +156,34 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("l23: repeat collapse is a pure scan — no join, no window, fused fingerprint") {
+    val p = plan("l23_repeat_collapse")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.toLowerCase.contains("polyhash"), p.take(3000))
+  }
+
+  test("m13: router is one mapPartitions decode pass — no keyed shuffle before the sort") {
+    val p = plan("m13_modality_router")
+    assert(p.contains("MapPartitions"), p.take(3000))
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("t12: supports and N broadcast back; top-20 is a bounded heap; never cartesian") {
+    val p = plan("t12_collocations")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(4000))
+  }
+
+  test("d16: calibration joins are keyed equi-joins over the persisted pair manifest") {
+    val p = plan("d16_sketch_calibration")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
   test("s4: centroid argmin is an aggregate, not a per-vector window sort") {
     val p = plan("s4_ann_ivf")
     assert(!p.contains("Window"), p.take(2000))
