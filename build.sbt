@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures the TAIL of sbt's stdout and parses the
+// final line as the bench metric JSON. Two things used to break that:
+// the default LoggedOutput strategy prefixes every forked-run line
+// with "[info] ", and sbt appends a "[success] Total time: ..."
+// banner AFTER the program's last line. Inherit stdout (raw lines,
+// no prefix) and drop the banner so graft.Bench's metric line is the
+// genuinely final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
