@@ -28,6 +28,12 @@ object AnnQueries {
   private val planes = 8
   private val dims = 64
 
+  /** Probe lists per IVF query (of the 10 cells) — the shipped s4/s15
+    * serving configuration. Chosen from AnnRecallSweepSpec's measured
+    * recall curve over the TRAINED quantizer; see the sweep spec and
+    * PLANS.md §r9 for the numbers behind the choice. */
+  private[graft] val ivfNprobe = 5
+
   /** Spark SQL: LSH bucket id (0..255) of array<float> column `e` —
     * the portable builtin spelling, kept as the spec that the codegen
     * [[graft.functions.LshBucket8]] (used by the queries) is pinned
@@ -273,16 +279,25 @@ object AnnQueries {
 
   def s4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    val cent = centroids(e)
+    // the TRAINED coarse quantizer (k-means, quantizerRounds Lloyd
+    // rounds) — the label-derived seed shipped through round 8 and
+    // s15 measured it at recall@3 = 0.31: an index not to serve from.
+    // The trained cells at ivfNprobe = 5 measure 0.87/0.80 recall@3 at
+    // sf0.01/sf0.1 (AnnRecallSweepSpec's full curve) — the honest
+    // ceiling of this near-uniform synthetic corpus, whose true
+    // neighbors sit at cos ~0.5 and scatter across Voronoi cells;
+    // clustered real-world embedding corpora reach the same recall at
+    // far smaller nprobe/nlists ratios.
+    val cent = trainedCentroids(spark, dir)
     // codegen kernel; the interpreted aggregate(zip_with(...)) spelling
     // it replaces is pinned as the spec in ExpressionsSpec
     def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
     val assigned = assignCells(e.select(col("vec_id"), col("embedding")), cent)
-    // query probes its 2 nearest centroid lists
+    // query probes its ivfNprobe nearest centroid lists
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val probes = cent.crossJoin(broadcast(q))
       .select(col("label").as("plabel"), l2sq(col("centroid"), col("q_emb")).as("qdist"))
-      .orderBy(col("qdist"), col("plabel")).limit(2)
+      .orderBy(col("qdist"), col("plabel")).limit(ivfNprobe)
       .select("plabel")
     assigned.join(broadcast(probes), col("clabel") === col("plabel"))
       .filter(col("vec_id") =!= 0)
@@ -470,8 +485,45 @@ object AnnQueries {
 
   private val kmeansMaxRounds = 25
 
-  def s12KmeansRun(spark: SparkSession, dir: String): DataFrame = {
+  /** Lloyd rounds the SERVING quantizer is trained with (s4/s7/s15/
+    * d8/p6): a fixed budget, the FAISS-style `niter` convention — an
+    * index build doesn't wait for a fixpoint, it spends a known number
+    * of passes. Cross-engine agreement holds on BOTH sides of the
+    * budget: when the fixpoint comes after round 10 (sf0.001: 13,
+    * sf0.1: 23 rounds) both engines take exactly the round-10 table;
+    * when it comes earlier, one Lloyd round is a deterministic map so
+    * every round past the fixpoint EQUALS the fixpoint and the DuckDB
+    * 10-round unroll lands on the same table the Spark loop stopped
+    * at. */
+  private[graft] val quantizerRounds = 10
+
+  /** The full Lloyd run's driver-side state, MEMOIZED per (session,
+    * dir): `rounds(i)` = the (cluster, n, centroid) table after round
+    * i+1, `iters` = rounds to the fixpoint (or the cap). One training
+    * run per session serves s12 (the training query itself) AND every
+    * index consumer (s4/s7/s15/d8/p6 take the round-10 snapshot as
+    * their coarse quantizer) — the artifact-reuse shape of a real
+    * index build, and the same memo discipline as DedupQueries'
+    * labelsMemo. Values are k×d doubles (the algorithm's state, never
+    * row data), so unlike the persisted-DataFrame memos no cache-sweep
+    * liveness guard is needed; stopped sessions are still evicted so a
+    * session-cycling process can't pin dead SparkSessions forever. */
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Vector[Seq[(Long, Long, Seq[Double])]], Int)]()
+
+  /** Test hook: drop memoized training state so a measurement harness
+    * (ScalingCurveSpec) can time the REAL training run instead of the
+    * memo hit. Production callers never need this — the memo is the
+    * design. */
+  private[graft] def clearTrainingMemo(): Unit = kmeansMemo.clear()
+
+  private[graft] def kmeansState(
+      spark: SparkSession, dir: String): (Vector[Seq[(Long, Long, Seq[Double])]], Int) = {
     import spark.implicits._
+    kmeansMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (spark, dir)
+    val cached = kmeansMemo.get(key)
+    if (cached != null) return cached
     val e = Tables.loadSpread(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -480,7 +532,7 @@ object AnnQueries {
         centroids(Tables.load(spark, dir, "embeddings"))
           .select(col("label").cast("long"), col("centroid"))
           .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-      var ns: Seq[(Long, Long)] = Seq.empty
+      val hist = Vector.newBuilder[Seq[(Long, Long, Seq[Double])]]
       var iters = 0
       var converged = false
       while (!converged && iters < kmeansMaxRounds) {
@@ -497,17 +549,42 @@ object AnnQueries {
         val next = upd.map { case (cl, _, cent) => (cl, cent) }
         iters += 1
         converged = next == cur
-        ns = upd.map { case (cl, n, _) => (cl, n) }
+        hist += upd
         cur = next
       }
-      val nOf = ns.toMap
-      cur.flatMap { case (cl, cent) =>
-        cent.zipWithIndex.map { case (c, p) =>
-          (cl, nOf(cl), (p + 1).toLong, c, iters.toLong)
-        }
-      }.toDF("cluster", "n", "pos", "c", "iters")
-        .orderBy("cluster", "pos")
+      val state = (hist.result(), iters)
+      kmeansMemo.put(key, state)
+      state
     } finally e.unpersist(blocking = false)
+  }
+
+  /** The TRAINED coarse quantizer: k-means centroids after
+    * [[quantizerRounds]] Lloyd rounds (or the earlier fixpoint), as a
+    * broadcast-sized literal relation (label, centroid). This replaced
+    * the label-derived per-class means as the quantizer the IVF family
+    * serves from — s15 measured the label seed at recall@3 = 0.31/0.40
+    * (sf0.01/sf0.1), an index a user must not deploy; the trained
+    * cells are what a real IVF build (FAISS train_ivf) produces.
+    * Entering the plan as LITERALS means the quantizer side of every
+    * assignment join is a 10-row LocalRelation — no scan, no
+    * recompute, one training run per session via [[kmeansState]]. */
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (hist, _) = kmeansState(spark, dir)
+    val snap = hist(math.min(quantizerRounds, hist.size) - 1)
+    snap.map { case (cl, _, cent) => (cl, cent) }
+      .toDF("label", "centroid")
+  }
+
+  def s12KmeansRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (hist, iters) = kmeansState(spark, dir)
+    hist.last.flatMap { case (cl, n, cent) =>
+      cent.zipWithIndex.map { case (c, p) =>
+        (cl, n, (p + 1).toLong, c, iters.toLong)
+      }
+    }.toDF("cluster", "n", "pos", "c", "iters")
+      .orderBy("cluster", "pos")
   }
 
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
@@ -535,7 +612,10 @@ object AnnQueries {
     * index, written once per corpus version. */
   def s7IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    val cent = centroids(e)
+    // codebooks sliced from the TRAINED quantizer (round-9): real PQ
+    // trains its codewords; the label-seed slices were the same
+    // unfitted means s15 flagged on the IVF side
+    val cent = trainedCentroids(spark, dir)
     def l2sq(c: Column, v: Column): Column = L2SquaredDistance(c, v)
     // sub-codebooks: (m, label, c[16]) — centroid slices per subspace
     val sub = cent.select(col("label"), explode(expr(
@@ -594,7 +674,10 @@ object AnnQueries {
     * ≈ 0.999) because the raw test corpus has no pairs above 0.51. */
   def d8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    val cent = centroids(e)
+    // the TRAINED quantizer (shared with s4/s7/s15/p6): better-fitted
+    // cells both tighten the within-cluster pair space and raise the
+    // chance a planted twin lands with its base vector
+    val cent = trainedCentroids(spark, dir)
     val corpus = Tables.spread(spark,
       plantTwins(e.select(col("vec_id"), col("embedding"))))
     def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
@@ -756,7 +839,11 @@ object AnnQueries {
     * plans. */
   def s15AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    val cent = centroids(e)
+    // evaluate the SHIPPED index: trained quantizer at ivfNprobe —
+    // round 8's label-seed config measured 0.31/0.40 here; the
+    // trained config measures 0.87/0.80 (sf0.01/sf0.1), the corpus's
+    // swept ceiling (AnnRecallSweepSpec)
+    val cent = trainedCentroids(spark, dir)
     val probes = e.filter(col("vec_id") % 20 === 3)
       .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
     val scored = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
@@ -771,7 +858,7 @@ object AnnQueries {
       probes.crossJoin(broadcast(cent))
         .select(col("probe_id"), col("label").as("plabel"),
           L2SquaredDistance(col("centroid"), col("q_emb")).as("qd")),
-      Seq(col("probe_id")), Seq(col("qd"), col("plabel")), k = 2)
+      Seq(col("probe_id")), Seq(col("qd"), col("plabel")), k = ivfNprobe)
       .select("probe_id", "plabel")
     val annScored = assigned
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
@@ -848,6 +935,45 @@ object AnnQueries {
       cent AS (SELECT label, list(${meanMicroDuck("sq", "n")} ORDER BY k) AS centroid
           FROM sc GROUP BY label)"""
 
+  /** One Lloyd round as a DuckDB CTE quadruple (a_i assign, q_i
+    * quantize, s_i sum, c_i centroid) reading c_{i-1} — ONE text
+    * shared by the s12 twin's full [[kmeansMaxRounds]] unroll and the
+    * trained-quantizer chain's [[quantizerRounds]] prefix, so the
+    * training arithmetic the quantizer consumers restate is
+    * definitionally s12's. MATERIALIZED is load-bearing: DuckDB
+    * inlines CTEs per reference and each c_i is referenced by both
+    * a_{i+1} and the fixpoint/emit logic — the un-hinted 25-round
+    * chain never finished. */
+  private def kmRoundDuck(i: Int): String =
+    s"""a$i AS (SELECT vec_id, cl FROM (
+          SELECT e.vec_id, c.cluster AS cl,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqDuck("c.cent", "e.embedding")}, c.cluster) AS rn
+          FROM embeddings e, c${i - 1} c) WHERE rn = 1),
+      q$i AS (SELECT a.cl AS cluster, k,
+            CAST(round(CAST(e.embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, ${dims + 1}) t(k)),
+      s$i AS (SELECT cluster, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+          FROM q$i GROUP BY cluster, k),
+      c$i AS MATERIALIZED (SELECT cluster, MIN(n) AS n,
+            list(${meanMicroDuck("sq", "n")} ORDER BY k) AS cent
+          FROM s$i GROUP BY cluster)"""
+
+  /** The TRAINED coarse-quantizer CTE chain — label-seed (the shared
+    * [[centCtesDuck]]) + the first [[quantizerRounds]] Lloyd rounds of
+    * the s12 unroll, surfaced as `tcent(label, centroid)` — what the
+    * s4/s7/s15/d8/p6 twins quantize with, restating
+    * [[trainedCentroids]] exactly (rounds at or past an earlier
+    * fixpoint are identical by construction, so the fixed-budget
+    * prefix equals the Spark loop's snapshot on both sides of the
+    * budget). */
+  private[queries] def trainedCentCtesDuck: String =
+    s"""$centCtesDuck,
+      c0 AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n,
+             centroid AS cent FROM cent),
+      ${(1 to quantizerRounds).map(kmRoundDuck).mkString(",\n      ")},
+      tcent AS (SELECT cluster AS label, cent AS centroid FROM c$quantizerRounds)"""
+
   val oracleSql: Map[String, String] = {
     def cosDot(x: String, y: String) =
       s"list_sum(list_transform(range(1, length($x.embedding) + 1), " +
@@ -855,6 +981,7 @@ object AnnQueries {
     val cos = s"${cosDot("a", "b")} / sqrt(${cosDot("a", "a")}) / sqrt(${cosDot("b", "b")})"
     def l2sq(c: String, e: String) = l2sqDuck(c, e)
     val centCtes = centCtesDuck
+    val tCtes = trainedCentCtesDuck
     Map(
       "s8_range_search" ->
         s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
@@ -929,21 +1056,7 @@ object AnnQueries {
       // otherwise expand exponentially (measured: the un-hinted
       // spelling never finished)
       "s12_kmeans_run" -> {
-        val kmRounds = (1 to kmeansMaxRounds).map { i =>
-          s"""a$i AS (SELECT vec_id, cl FROM (
-            SELECT e.vec_id, c.cluster AS cl,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                ORDER BY ${l2sq("c.cent", "e.embedding")}, c.cluster) AS rn
-            FROM embeddings e, c${i - 1} c) WHERE rn = 1),
-        q$i AS (SELECT a.cl AS cluster, k,
-              CAST(round(CAST(e.embedding[CAST(k AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-            FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, ${dims + 1}) t(k)),
-        s$i AS (SELECT cluster, k, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
-            FROM q$i GROUP BY cluster, k),
-        c$i AS MATERIALIZED (SELECT cluster, MIN(n) AS n,
-              list(${meanMicroDuck("sq", "n")} ORDER BY k) AS cent
-            FROM s$i GROUP BY cluster)"""
-        }.mkString(",\n        ")
+        val kmRounds = (1 to kmeansMaxRounds).map(kmRoundDuck).mkString(",\n        ")
         def packed(i: Int) =
           s"(SELECT list({'cl': cluster, 'ct': cent} ORDER BY cluster) FROM c$i)"
         val fixCase = (1 to kmeansMaxRounds)
@@ -994,7 +1107,7 @@ object AnnQueries {
       // because the comma-joined probe alias is not visible to the
       // JOIN tree's ON clauses.
       "s15_ann_recall" ->
-        s"""WITH $centCtes,
+        s"""WITH $tCtes,
         exact AS (SELECT probe_id, vec_id FROM (
             SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
               ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1006,12 +1119,12 @@ object AnnQueries {
             SELECT e.vec_id, c.label AS clabel,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
-            FROM embeddings e, cent c) WHERE rn = 1),
+            FROM embeddings e, tcent c) WHERE rn = 1),
         cells AS (SELECT probe_id, plabel FROM (
             SELECT a.vec_id AS probe_id, c.label AS plabel,
               ROW_NUMBER() OVER (PARTITION BY a.vec_id
                 ORDER BY ${l2sq("c.centroid", "a.embedding")}, c.label) AS rn
-            FROM embeddings a, cent c WHERE a.vec_id % 20 = 3) t WHERE rn <= 2),
+            FROM embeddings a, tcent c WHERE a.vec_id % 20 = 3) t WHERE rn <= $ivfNprobe),
         ann AS (SELECT probe_id, vec_id FROM (
             SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
               ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1057,12 +1170,12 @@ object AnnQueries {
             list_transform(embedding, (x, i) ->
               CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 * ((i - 1) % 3 - 1)) AS FLOAT)) AS embedding
           FROM embeddings WHERE vec_id % 10 = 0),
-        $centCtes,
+        $tCtes,
         assigned AS (SELECT vec_id, cluster FROM (
             SELECT e.vec_id, c.label AS cluster,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
-            FROM corpus e, cent c) WHERE rn = 1),
+            FROM corpus e, tcent c) WHERE rn = 1),
         victims AS (SELECT DISTINCT b.vec_id FROM corpus a
           JOIN assigned sa ON sa.vec_id = a.vec_id
           JOIN corpus b ON b.vec_id > a.vec_id
@@ -1081,17 +1194,17 @@ object AnnQueries {
           s"list_sum(list_transform(range(1, 17), j -> " +
             s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE)) * " +
             s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE))))"
-        s"""WITH $centCtes,
+        s"""WITH $tCtes,
         mm AS (SELECT unnest(range(0, 4)) AS m),
         codes AS (SELECT vec_id, m, label AS code FROM (
             SELECT e.vec_id, mm.m, c.label,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id, mm.m
                 ORDER BY ${l2sub("c.centroid", "e.embedding")}, c.label) AS rn
-            FROM embeddings e CROSS JOIN mm CROSS JOIN cent c) WHERE rn = 1),
+            FROM embeddings e CROSS JOIN mm CROSS JOIN tcent c) WHERE rn = 1),
         qtab AS (SELECT mm.m, c.label,
               CAST(floor(${l2sub("c.centroid", "q.embedding")} * 1000000 + 0.5) AS BIGINT) AS qd
             FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-            CROSS JOIN mm CROSS JOIN cent c),
+            CROSS JOIN mm CROSS JOIN tcent c),
         cand AS (SELECT k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adist
             FROM codes k JOIN qtab t ON t.m = k.m AND t.label = k.code
             WHERE k.vec_id <> 0 GROUP BY k.vec_id
@@ -1102,15 +1215,15 @@ object AnnQueries {
         ORDER BY sim DESC, b.vec_id LIMIT 5"""
       },
       "s4_ann_ivf" ->
-        s"""WITH $centCtes,
+        s"""WITH $tCtes,
         assigned AS (SELECT vec_id, clabel FROM (
             SELECT e.vec_id, c.label AS clabel,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                 ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
-            FROM embeddings e, cent c) WHERE rn = 1),
+            FROM embeddings e, tcent c) WHERE rn = 1),
         q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        probes AS (SELECT c.label AS plabel FROM cent c, q
-            ORDER BY ${l2sq("c.centroid", "q.q_emb")}, c.label LIMIT 2)
+        probes AS (SELECT c.label AS plabel FROM tcent c, q
+            ORDER BY ${l2sq("c.centroid", "q.q_emb")}, c.label LIMIT $ivfNprobe)
         SELECT b.vec_id, ROUND($cos, 9) AS sim
         FROM embeddings a, embeddings b
         JOIN assigned s ON s.vec_id = b.vec_id

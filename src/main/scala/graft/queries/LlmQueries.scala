@@ -487,8 +487,9 @@ object LlmQueries {
     * SAME fold text per layer, so a train/apply divergence is
     * structurally impossible to hide. */
   def l22BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val merges = l19BpeTrain(spark, dir).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // the memoized artifact — training runs once per (session, dir),
+    // not once per apply call (round-9; see learnedMerges)
+    val merges = learnedMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
     // application is ONE fused-kernel call per row inside the scan —
     // the learned pairs are constructor parameters (no SQL-literal
     // injection surface, no crossJoin needed); the layered fold-chain
@@ -670,7 +671,41 @@ object LlmQueries {
     * through it the reliable-checkpoint flag buys executor-churn
     * tolerance for free. Tie-break on (cnt DESC, l, r) makes the learned
     * vocabulary deterministic across engines and cluster sizes. */
+  /** The learned merge table, MEMOIZED per (session, dir) — the
+    * round-9 fix for l22 re-running the full 8-round training loop on
+    * every invocation (round-8 verdict item 2). The value is the
+    * trained ARTIFACT itself (8 driver-side rows, never row data — the
+    * s12/kmeansState pattern), so no cache-sweep liveness guard is
+    * needed; stopped sessions are evicted so a session-cycling process
+    * can't pin dead SparkSessions. Training runs ONCE per session and
+    * l22/p7 and repeated l19 calls all read the same table. */
+  private val mergesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, String, String, Long)]]()
+
+  /** Test hook: see [[AnnQueries.clearTrainingMemo]] — lets the
+    * scaling harness time real training runs. */
+  private[graft] def clearTrainingMemo(): Unit = mergesMemo.clear()
+
+  private[graft] def learnedMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    mergesMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (spark, dir)
+    val cached = mergesMemo.get(key)
+    if (cached != null) return cached
+    val learned = trainMerges(spark, dir)
+    mergesMemo.put(key, learned)
+    learned
+  }
+
   def l19BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    learnedMerges(spark, dir)
+      .toDF("merge_round", "left_sym", "right_sym", "cnt")
+      .orderBy("merge_round")
+  }
+
+  private def trainMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     import spark.implicits._
     // per-round snapshots go through the same releasable-checkpoint
     // seam as the CC loop: local by default, fault-tolerant storage
@@ -721,8 +756,7 @@ object LlmQueries {
       }
     }
     held.unpersist(false)
-    merges.result().toDF("merge_round", "left_sym", "right_sym", "cnt")
-      .orderBy("merge_round")
+    merges.result()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -197,7 +197,10 @@ object PipelineQueries {
       .select(lit("term").as("kind"), col("term").as("key"),
         col("df").as("n1"), col("cf").as("n2"))
     val e = Tables.load(spark, dir, "embeddings")
-    val cent = AnnQueries.centroids(e)
+    // the manifest describes the SHIPPED index: cell sizes under the
+    // trained quantizer s4/s15 actually serve from (round-9; the
+    // label-seed cells were the unfitted config s15 flagged)
+    val cent = AnnQueries.trainedCentroids(spark, dir)
     val clusters = AnnQueries
       .assignCells(e.select(col("vec_id"), col("embedding")), cent)
       .groupBy("clabel").agg(count(lit(1)).as("n1"))
@@ -226,7 +229,7 @@ object PipelineQueries {
       // spelling for the cluster rows; term/corpus rows are plain
       // integer aggregates — every output cell is exact
       "p6_hybrid_index" ->
-        s"""WITH ${AnnQueries.centCtesDuck},
+        s"""WITH ${AnnQueries.trainedCentCtesDuck},
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
                 SELECT doc_id, unnest($w) AS term FROM documents) t
                WHERE term <> '' GROUP BY doc_id, term),
@@ -237,7 +240,7 @@ object PipelineQueries {
                  SELECT e.vec_id, c.label AS clabel,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                      ORDER BY ${AnnQueries.l2sqDuck("c.centroid", "e.embedding")}, c.label) AS rn
-                 FROM embeddings e, cent c) WHERE rn = 1),
+                 FROM embeddings e, tcent c) WHERE rn = 1),
         cl AS (SELECT 'cluster' AS kind, CAST(clabel AS VARCHAR) AS key,
                  CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2
                FROM asg GROUP BY clabel),
