@@ -798,7 +798,7 @@ object LlmQueries {
     * SELECT — shared by the l19 twin (reads the m_i merge rows) and
     * the l22 twin (joins the same m_i into its apply layers, so the
     * applied merges are definitionally the learned ones). */
-  private def bpeCtesDuck: String = {
+  private[queries] def bpeCtesDuck: String = {
     val roundCtes = (0 until bpeRounds).map { i =>
       s"""p$i AS MATERIALIZED (
         SELECT u.p.l AS l, u.p.r AS r, CAST(SUM(u.n) AS BIGINT) AS cnt
@@ -837,7 +837,11 @@ object LlmQueries {
     * chain learned, one nested-fold layer per merge in training
     * order — the fold text is [[bpeMergeFold]] again, word-scoped via
     * list_transform exactly like the Spark spelling. */
-  private def bpeApplyDuck: String = {
+  /** The per-document apply-count SELECT (no WITH, no ORDER BY) —
+    * reads the m0–m7 CTEs of [[bpeCtesDuck]]; shared by the l22 twin
+    * and p7's release twin so the applied tokenizer is definitionally
+    * the trained one in both. */
+  private[queries] def bpeApplyCountsSelect: String = {
     // scalar-subquery + coalesce('') per merge: if training exhausts
     // before round i (m_i empty — the l19 exhaustion edge), a bare
     // CROSS JOIN m_i would annihilate the whole documents relation;
@@ -862,17 +866,20 @@ object LlmQueries {
           ${if (keep.nonEmpty) ", " + keep.mkString(", ") else ""}
         FROM ($inner)"""
     }
-    s"""WITH $bpeCtesDuck
-    SELECT doc_id,
+    s"""SELECT doc_id,
       -- c_N is NULL iff text was NULL (an empty doc yields [], not
       -- NULL): restate Spark's null propagation, and coalesce ONLY
       -- the empty-list case to 0
       CASE WHEN c$bpeRounds IS NULL THEN NULL
            ELSE CAST(coalesce(list_sum(list_transform(c$bpeRounds,
                   wd -> len(string_split(wd, ' ')))), 0) AS BIGINT) END AS n_trained_tokens
-    FROM ($inner)
-    ORDER BY doc_id"""
+    FROM ($inner)"""
   }
+
+  private def bpeApplyDuck: String =
+    s"""WITH $bpeCtesDuck
+    $bpeApplyCountsSelect
+    ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "l19_bpe_train" -> bpeTrainDuck,

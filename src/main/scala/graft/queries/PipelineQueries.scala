@@ -214,8 +214,43 @@ object PipelineQueries {
       .orderBy("kind", "key")
   }
 
+  /** p7 — the TOKENIZER RELEASE pipeline: l19's train → l22's apply →
+    * l18's packing bookkeeping composed as ONE shipped job — the
+    * (shard, doc, trained-token count, pack) manifest a trainer
+    * actually consumes, budgeted in the tokens of the tokenizer the
+    * job itself just trained (l18 budgets in the heuristic subword
+    * count; a release job must budget in the REAL vocabulary or its
+    * packs overflow the context window at tokenize time). This is the
+    * reference's pipeline-composition shape (rainstorm/rainstorm.go:
+    * 104-144, the 3-stage compose) applied to the tokenizer stack.
+    *
+    * Scale shape, stage by stage: training is the memoized l19 loop —
+    * one vocab-table artifact per (session, dir), 8 broadcast rows
+    * (so a release job that also runs l19/l22 pays training ONCE);
+    * apply is the fused BpeApplyCount kernel inside the scan (text
+    * never shuffles); packing is l18's per-hash-shard window — shards
+    * are independent, no global sort anywhere. The oracle composes
+    * the SAME shared texts: the l19 twin's m0–m7 chain, the l22
+    * twin's apply-count select, the l18 twin's window arithmetic. */
+  def p7TokenizerRelease(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val merges = LlmQueries.learnedMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.BpeApplyCount(col("text"), merges).as("n_trained_tokens"))
+      .selectExpr("doc_id", "n_trained_tokens",
+        s"CAST(${FunctionQueries.kmvHashSpark("doc_id")} % 8 AS BIGINT) AS shard")
+      .selectExpr("shard", "doc_id", "n_trained_tokens",
+        """CAST(coalesce(sum(n_trained_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           DIV 2048 AS BIGINT) AS pack_id""")
+      .orderBy("shard", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p6_hybrid_index" -> (p6HybridIndex _),
+    "p7_tokenizer_release" -> (p7TokenizerRelease _),
     "p1_training_pipeline" -> (p1TrainingPipeline _),
     "p3_curation_pipeline" -> (p3CurationPipeline _),
     "p4_corpus_release" -> (p4CorpusRelease _),
@@ -225,6 +260,20 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = {
     val w = "string_split(text, ' ')"
     Map(
+      // p7: the l19 twin's MATERIALIZED training chain + the l22
+      // twin's apply-count select + the l18 twin's pack window — each
+      // stage's shared text composed verbatim, so the released
+      // manifest is definitionally the three stages' agreement
+      "p7_tokenizer_release" ->
+        s"""WITH ${LlmQueries.bpeCtesDuck},
+        counts AS (${LlmQueries.bpeApplyCountsSelect}),
+        t AS (SELECT doc_id, n_trained_tokens,
+                CAST((${FunctionQueries.kmvHashDuck("doc_id")}) % 8 AS BIGINT) AS shard
+              FROM counts)
+        SELECT shard, doc_id, n_trained_tokens,
+          CAST(COALESCE(SUM(n_trained_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+        FROM t ORDER BY shard, doc_id""",
       // p6: the shared centroid CTEs + the s11 row_number assignment
       // spelling for the cluster rows; term/corpus rows are plain
       // integer aggregates — every output cell is exact

@@ -475,7 +475,7 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss corrupted the merge table: $got vs clean $clean")
   }
 
-  test("p3/p4/p5/p6 batch pipelines survive executor SIGKILL; manifests byte-equal") {
+  test("p3/p4/p5/p6/p7 batch pipelines survive executor SIGKILL; manifests byte-equal") {
     // the composed BATCH pipelines (p3 curation, p4 release, p5/p6
     // refresh) are the artifacts a user ships, and unlike the
     // streaming family they carry no checkpoint — recovery is pure
@@ -487,13 +487,14 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     val outP4 = s"$work/out_p4"
     val outP5 = s"$work/out_p5"
     val outP6 = s"$work/out_p6"
+    val outP7 = s"$work/out_p7"
     val sfDir = "/root/testdata/sf0.01"
     val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
     val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
     val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
     val cmd = Seq("java") ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", cp, "graft.ChaosP34Runner",
-      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5, outP6)
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5, outP6, outP7)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_HOME", "/opt/spark")
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
@@ -535,6 +536,16 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(cleanP6.nonEmpty)
     assert(gotP6 == cleanP6,
       s"executor loss corrupted p6 manifest: ${gotP6.size} rows vs clean ${cleanP6.size}")
+    // p7 additionally carries the l19 training loop INSIDE the job —
+    // its per-round vocab snapshots ride the same releasable-checkpoint
+    // seam the dedicated l19 scenario SIGKILLs, and the apply+pack
+    // stages are pure retry/recompute like p3–p6
+    val gotP7 = spark.read.parquet(outP7).collect().map(_.toString).toSeq.sorted
+    val cleanP7 = graft.queries.PipelineQueries.p7TokenizerRelease(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(cleanP7.nonEmpty)
+    assert(gotP7 == cleanP7,
+      s"executor loss corrupted p7 manifest: ${gotP7.size} rows vs clean ${cleanP7.size}")
   }
 
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {

@@ -149,6 +149,18 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p.take(4000))
   }
 
+  test("p7: release manifest = fused apply kernel in the scan + per-shard pack window only") {
+    val p = plan("p7_tokenizer_release")
+    // apply is the fused kernel, never the interpreted fold chain
+    assert(p.toLowerCase.contains("bpeapplycount"), p.take(4000))
+    // no join anywhere: the trained merges enter as kernel parameters
+    assert(!p.contains("Join"), p.take(4000))
+    // exactly ONE window — the per-shard pack offset (partitioned by
+    // the 8-way hash shard, never a corpus-global frame)
+    assert("Window".r.findAllMatchIn(p).size == 1, p.take(4000))
+    assert(p.contains("windowspecdefinition(shard"), p.take(4000))
+  }
+
   test("l22: trained-tokenizer apply is the fused kernel inside the scan — no join, no window") {
     val p = plan("l22_bpe_apply")
     assert(p.toLowerCase.contains("bpeapplycount"), p.take(3000))
