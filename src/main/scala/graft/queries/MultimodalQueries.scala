@@ -12,15 +12,18 @@ import graft.core.Tables
   * for libjpeg/ffmpeg-style libraries that can't be expressed as
   * Catalyst expressions.
   *
-  * m1–m4 use a deterministic STUB kernel (no ffmpeg/libjpeg in this
+  * m1–m3 use a deterministic STUB kernel (no ffmpeg/libjpeg in this
   * container): [[DecodeStub.decode]] derives fake dimensions from the
   * byte payload, and everything AROUND it — binary column handling,
   * the Dataset encoder round-trip, per-partition batching, the output
   * schema — is real and oracle-checked (the stub's arithmetic is
   * reproducible in SQL, which is exactly why it's the stand-in).
-  * m5/m6 go further: they run REAL codecs (the JDK's PNG and RIFF/WAVE
-  * implementations in [[MultimodalKernels]]) behind the same seam, with
-  * losslessness making the decoded metadata oracle-computable.
+  * m4–m13 run REAL codecs (the JDK's PNG/WAV/JPEG/MJPEG/GIF/TIFF
+  * implementations in [[MultimodalKernels]]) behind the same seam,
+  * with losslessness making the decoded metadata oracle-computable;
+  * stubs remain ONLY where the sandbox ships no codec (m1/m2's
+  * generic seam, m3's pre-demux sampler — superseded by m8's real
+  * MJPEG demux).
   */
 object MultimodalQueries {
 
@@ -98,30 +101,32 @@ object MultimodalQueries {
       .orderBy("doc_id", "bin")
   }
 
-  /** m4 — resize: downsample the payload by a fixed stride (every 8th
-    * byte), the 1-D stand-in for image resizing; emits the original and
-    * resized sizes plus a checksum of the resized payload so the kernel
-    * seam is oracle-checked end-to-end. Same batched mapPartitions
-    * contract as m1/m2 — a real resizer (libvips/PIL-style) slots into
-    * the loop body without touching the Spark plumbing. */
+  /** m4 — image RESIZE on real decoded pixels (round 9; the stride
+    * stub this replaces downsampled raw payload bytes): each payload
+    * becomes a genuine PNG (m5's lossless 32-wide grayscale layout),
+    * is DECODED back through javax.imageio, and a 2×2 area-average
+    * (PIL BOX filter arithmetic) downsample runs on the decoded
+    * raster — the thumbnail/preprocess step every image-training
+    * pipeline runs between decode and feature extraction. Emits
+    * source + resized geometry and the resized-pixel sum; because the
+    * codec is lossless and the mean is floor-integer, the oracle
+    * recomputes every resized pixel arithmetically from the source
+    * text — a codec regression OR a resize-arithmetic bug (stride,
+    * clipping, denominator) breaks the hash. Stubs now remain only
+    * where no in-sandbox codec exists (m1/m2's generic seam; m3's
+    * pre-demux sampler, superseded by m8's real MJPEG demux). */
   def m4Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { case (id, bytes) =>
-          var i = 0
-          var sum = 0L
-          var m = 0L
-          while (i < bytes.length) {
-            sum = (sum + (bytes(i) & 0xff)) % 1000000007L
-            m += 1
-            i += 8
-          }
-          (id, bytes.length.toLong, m, sum)
+          val png = MultimodalKernels.encodePng(bytes)
+          val (w, h, rw, rh, rsum) = MultimodalKernels.resizePngAreaAvg(png)
+          (id, w, h, rw, rh, rsum)
         }
       }
-    }.toDF("doc_id", "orig_bytes", "resized_bytes", "checksum")
+    }.toDF("doc_id", "width", "height", "r_width", "r_height", "r_px_sum")
       .orderBy("doc_id")
   }
 
@@ -572,17 +577,31 @@ object MultimodalQueries {
       ("SELECT doc_id, array_to_string(" +
         "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +
         "FROM documents ORDER BY doc_id"),
-    // ASCII corpus: byte positions == character positions; stride-8
-    // sample, count, and mod-1e9+7 checksum restated over ord().
-    // The outer CAST matters: DuckDB's list_sum is HUGEINT, so without
-    // it the checksum column is DECIMAL128(38,0) and the driver's
-    // type-aware hash diverges from Spark's BIGINT on equal values.
-    "m4_resize" ->
-      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes, " +
-        "CAST(length(range(1, length(text) + 1, 8)) AS BIGINT) AS resized_bytes, " +
-        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1, 8), i -> ord(text[i]))), 0) " +
-        "% 1000000007 AS BIGINT) AS checksum " +
-        "FROM documents ORDER BY doc_id"),
+    // m4 runs the real PNG roundtrip + 2×2 floor-mean downsample on
+    // decoded samples; the oracle rebuilds every resized pixel from
+    // the source text (lossless layout: pixel y·32+x = byte, zero
+    // padding) — px() guards the padded tail, the denominator is 4
+    // for full blocks and 2 when the bottom source row is clipped
+    // (h odd), and // is non-negative floor division matching the
+    // kernel's Long division. The outer CAST collapses DuckDB's
+    // HUGEINT list_sum to Spark's BIGINT.
+    "m4_resize" -> {
+      def px(y: String, x: String) =
+        s"(CASE WHEN ($y) * 32 + ($x) < length(text) THEN ord(text[($y) * 32 + ($x) + 1]) ELSE 0 END)"
+      "SELECT doc_id, CAST(32 AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, " +
+        "CAST(16 AS BIGINT) AS r_width, " +
+        "CAST((h + 1) // 2 AS BIGINT) AS r_height, " +
+        "CAST(coalesce(list_sum(list_transform(range(0, (h + 1) // 2), j -> " +
+        "list_sum(list_transform(range(0, 16), i -> " +
+        s"(${px("2 * j", "2 * i")} + ${px("2 * j", "2 * i + 1")} + " +
+        s"CASE WHEN 2 * j + 1 < h THEN ${px("2 * j + 1", "2 * i")} + ${px("2 * j + 1", "2 * i + 1")} ELSE 0 END) " +
+        "// (CASE WHEN 2 * j + 1 < h THEN 4 ELSE 2 END))))), 0) " +
+        "% 1000000007 AS BIGINT) AS r_px_sum " +
+        "FROM (SELECT doc_id, text, " +
+        "greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT)) AS h FROM documents) " +
+        "ORDER BY doc_id"
+    },
     // m5/m6 run REAL JDK codecs Spark-side (PNG / WAV); losslessness is
     // the contract that lets the oracle restate the decoded metadata as
     // plain arithmetic over the source text (ASCII corpus: bytes ==
@@ -689,6 +708,45 @@ object MultimodalKernels {
       y += 1
     }
     (img.getWidth.toLong, img.getHeight.toLong, sum)
+  }
+
+  /** PNG → decoded BufferedImage → 2×2 AREA-AVERAGE downsample (the
+    * PIL BOX-filter arithmetic) → (w, h, r_w, r_h, resized-pixel-sum
+    * mod P). The round-9 replacement for m4's stride stub: a REAL
+    * codec decodes the container, and the resize arithmetic runs on
+    * DECODED samples only. Output pixel = floor-mean of its source
+    * block in non-negative integer arithmetic, so with the lossless
+    * PNG layout the oracle restates every resized pixel exactly from
+    * the source bytes. Width is always even (32), so blocks only clip
+    * vertically: an odd bottom row averages its 2 present samples
+    * (denominator = present source rows × 2 — zero PADDING inside a
+    * present row counts toward the mean; a clipped row does not). */
+  def resizePngAreaAvg(png: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val rw = w / 2
+    val rh = (h + 1) / 2
+    var sum = 0L
+    var j = 0
+    while (j < rh) {
+      val rows = if (2 * j + 1 < h) 2 else 1
+      var i = 0
+      while (i < rw) {
+        var block = 0L
+        var dy = 0
+        while (dy < rows) {
+          block += r.getSample(2 * i, 2 * j + dy, 0)
+          block += r.getSample(2 * i + 1, 2 * j + dy, 0)
+          dy += 1
+        }
+        sum = (sum + block / (rows * 2)) % P
+        i += 1
+      }
+      j += 1
+    }
+    (w.toLong, h.toLong, rw.toLong, rh.toLong, sum)
   }
 
   /** bytes → real JPEG: same 32-wide grayscale layout as [[encodePng]]

@@ -31,6 +31,45 @@ class MultimodalKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("m4 area-average resize matches an independent reference on decoded pixels") {
+    // independent reference: rebuild the lossless pixel grid straight
+    // from the payload (pixel y*32+x = byte, zero pad) and floor-mean
+    // each 2x2 block (denominator 2 on a clipped bottom row) — the
+    // same arithmetic the DuckDB twin spells in SQL
+    def reference(bytes: Array[Byte]): (Long, Long, Long) = {
+      val h = math.max(1, (bytes.length + 31) / 32)
+      def px(y: Int, x: Int): Long = {
+        val i = y * 32 + x
+        if (i < bytes.length) (bytes(i) & 0xff).toLong else 0L
+      }
+      val rh = (h + 1) / 2
+      var sum = 0L
+      for (j <- 0 until rh; i <- 0 until 16) {
+        val full = 2 * j + 1 < h
+        val block = px(2 * j, 2 * i) + px(2 * j, 2 * i + 1) +
+          (if (full) px(2 * j + 1, 2 * i) + px(2 * j + 1, 2 * i + 1) else 0L)
+        sum = (sum + block / (if (full) 4 else 2)) % 1000000007L
+      }
+      (16L, rh.toLong, sum)
+    }
+    payloads.foreach { bytes =>
+      val (w, h, rw, rh, rsum) = MultimodalKernels.resizePngAreaAvg(
+        MultimodalKernels.encodePng(bytes))
+      val (erw, erh, esum) = reference(bytes)
+      assert(w == 32 && h == math.max(1, (bytes.length + 31) / 32))
+      assert((rw, rh) == (erw, erh), s"geometry (len ${bytes.length})")
+      assert(rsum == esum, s"resized sum $rsum != reference $esum (len ${bytes.length})")
+    }
+    // a hand-computable case: rows (10,20,...) and (30,40,...) -> the
+    // first output pixel is floor((10+20+30+40)/4) = 25
+    val crafted = (Array.fill(16)(Array[Byte](10, 20)).flatten ++
+      Array.fill(16)(Array[Byte](30, 40)).flatten)
+    val (_, h2, _, rh2, s2) = MultimodalKernels.resizePngAreaAvg(
+      MultimodalKernels.encodePng(crafted))
+    assert(h2 == 2 && rh2 == 1)
+    assert(s2 == 16L * 25L)
+  }
+
   test("m10 payloads are real TIFFs (magic) and 16-bit samples roundtrip exactly") {
     (payloads :+ Array[Byte](0, 127, -1)).foreach { bytes =>
       val tiff = MultimodalKernels.encodeTiff16(bytes)
