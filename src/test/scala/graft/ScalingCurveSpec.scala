@@ -155,12 +155,25 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     *    rotation decorrelate to background. (A plain copy keeps
     *    cosine 1 — every vector gets 9 exact semantic twins.)
     *
+    *  - orders/lineitem (round 9, for the graph lines x65/x70): copy
+    *    c>0 offsets ONLY the order keys (o_orderkey/l_orderkey — the
+    *    join key), carrying every entity column (custkey, suppkey,
+    *    partkey) unchanged. The derived graphs' node domains are
+    *    query-pinned entity spaces (x70's 20000-key modulus, x65's
+    *    custkey/suppkey ids), so every copy regenerates the IDENTICAL
+    *    distinct edge set — densities replicate, exactly like the
+    *    token-suffix rule for documents. Offsetting entity keys
+    *    instead would DENSIFY the fixed node space (10× degree, ~100×
+    *    wedges): a different graph, not a scaled workload; the
+    *    wedge-vs-m^1.5 bound is argued analytically at the query.
+    *
     * n_chars is carried unchanged (the scaling queries never read it
-    * for mining). Built once under target/ (gitignored), ~15 MB. */
+    * for mining). Built once under target/ (gitignored), ~30 MB. */
   private lazy val sf1eq: String = {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File("target/sf1eq").getAbsolutePath
-    val done = new java.io.File(s"$dir/_done")
+    // v2: round 9 added orders/lineitem to the slice
+    val done = new java.io.File(s"$dir/_done_v2")
     if (!done.exists) {
       val docs = spark.read.parquet(s"$big/documents.parquet")
       (0 until 10).map { c =>
@@ -185,6 +198,16 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
         }
       }.reduce(_ unionByName _).coalesce(8)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val orders = spark.read.parquet(s"$big/orders.parquet")
+      (0 until 10).map { c =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
+      }.reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$big/lineitem.parquet")
+      (0 until 10).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 100000000L))
+      }.reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       done.createNewFile()
     }
     dir
@@ -214,6 +237,19 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // stages must follow corpus size.
       "t11_fuzzy_join" -> (graft.queries.TextQueries.t11FuzzyJoin _),
       "l22_bpe_apply" -> (graft.queries.LlmQueries.l22BpeApply _),
+      // round-9: the graph + collocation lines — the wedge/self-join
+      // intermediates a 100× skeptic asks about. The graph slices
+      // replicate the DISTINCT edge set per copy (see sf1eq doc), so
+      // these lines measure the data-scaling claim directly: raw rows
+      // ×10 must cost only the scan + DISTINCT delta (the iterative
+      // joins and the wedge enumeration run on the same graph — their
+      // growth law in GRAPH size is the m^1.5 / per-iteration-shuffle
+      // argument documented at the queries). t12's per-copy token
+      // suffixes keep per-doc k fixed, so its Σk² self-join and its
+      // support table must both track corpus size linearly.
+      "x65_pagerank" -> (graft.queries.SqlSurfaceQueries.x65Pagerank _),
+      "x70_triangle_count" -> (graft.queries.SqlSurfaceQueries.x70TriangleCount _),
+      "t12_collocations" -> (graft.queries.TextQueries.t12Collocations _),
     )
     val bigDir = sf1eq
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
