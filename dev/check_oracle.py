@@ -3,7 +3,14 @@
 engine itself is pure Scala/Spark; this script just lets the builder run
 the DuckDB-oracle compare without waiting for the driver).
 
-Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [subsetQuery ...]
+
+With subset names (matching the trailing names passed to graft.Verify),
+queries outside the subset are SKIPped before their oracle SQL runs.
+WITHOUT a declared subset the run is treated as full-board: a missing
+dump is a FAILURE (Verify swallows per-query exceptions and dumps
+nothing for a crashed query — tallying that as a skip let automation
+gating on the exit code pass a crashed query silently).
 
 For every query dumped by graft.Verify: run the oracle SQL in DuckDB over
 the same parquet tables, load the Spark parquet result, sort columns by
@@ -73,7 +80,7 @@ def nonscalar_cols(table):
             if pa.types.is_nested(f.type)]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, subset=None):
     con = duckdb.connect()
     tables = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]
@@ -81,20 +88,35 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # a typo'd subset name would otherwise be silently ignored (the
+    # loop only visits declared oracle keys)
+    for unknown in sorted((subset or set()) - set(oracle)):
+        print(f"FAIL {unknown}: declared in subset but no such oracle query")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             # subset runs (graft.Verify with trailing query names) dump
-            # only some queries — skip the oracle SQL entirely for the
-            # rest, BEFORE running it: some oracles are expensive by
-            # design (s12's 25-round unroll at sf0.1 runs ~10 min) and
-            # running all of them to compare three dumps made subset
-            # iteration useless. Counted SEPARATELY from failures: a
-            # full-board run must end "N pass, 0 fail, 0 skipped" —
-            # a skip there means a query crashed inside Verify and
-            # never dumped, which must not read as subset noise.
-            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
-                print(f"SKIP {name}: not in dump")
+            # only some queries — when the caller DECLARES that subset,
+            # skip the oracle SQL for everything else BEFORE running it
+            # (some oracles are expensive by design: s12's 25-round
+            # unroll at sf0.1 runs ~10 min). On an undeclared
+            # (full-board) run a missing dump is a FAILURE, not a skip:
+            # Verify swallows per-query exceptions, so "not in dump"
+            # there means the query CRASHED — an exit-0 would let
+            # automation pass it silently.
+            if subset is not None and name not in subset:
+                print(f"SKIP {name}: outside declared subset")
                 n_skip += 1
+                continue
+            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+                if subset is None:
+                    print(f"FAIL {name}: not in dump on a full-board run "
+                          f"(crashed inside Verify?)")
+                    n_fail += 1
+                else:
+                    print(f"FAIL {name}: declared in subset but not in dump "
+                          f"(crashed inside Verify?)")
+                    n_fail += 1
                 continue
             want = con.execute(sql).fetch_arrow_table()
             got = con.execute(
@@ -149,4 +171,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    names = set(sys.argv[3:]) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], names))

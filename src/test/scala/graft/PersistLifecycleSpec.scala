@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persist-lifecycle audit for the queries that persist an
+  * intermediate per CALL with release delegated to the session-level
+  * cache sweep (Bench's family boundary): invoking one twice in a
+  * session must NOT stack a second copy of its cached relation —
+  * Spark's CacheManager dedups persist() by canonicalized plan, and
+  * this spec pins that the queries' rebuilt-per-call plans actually
+  * canonicalize equal (a nondeterministic expression, a fresh alias
+  * id leaking into the canonical form, or an Exchange-shape change
+  * would silently double the cached footprint each invocation).
+  *
+  * The audited set: x70's oriented edge list, t12's (doc, token)
+  * presence table, x65's edge + degree relations, and the
+  * resemblance-pair manifest family (d1's ids + pairs via d16). */
+class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cachedRddCount(): Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  private def releaseAll(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  private def assertNoStacking(name: String)(run: => DataFrame): Unit = {
+    releaseAll()
+    run.write.format("noop").mode("overwrite").save()
+    val afterFirst = cachedRddCount()
+    run.write.format("noop").mode("overwrite").save()
+    val afterSecond = cachedRddCount()
+    assert(afterSecond == afterFirst,
+      s"$name stacked persisted relations on re-invoke: " +
+        s"$afterFirst cached RDDs after first run, $afterSecond after second")
+    releaseAll()
+  }
+
+  test("x70 double-invoke reuses one oriented-list cache entry") {
+    assertNoStacking("x70_triangle_count") {
+      graft.queries.SqlSurfaceQueries.x70TriangleCount(spark, dir)
+    }
+  }
+
+  test("t12 double-invoke reuses one token-table cache entry") {
+    assertNoStacking("t12_collocations") {
+      graft.queries.TextQueries.t12Collocations(spark, dir)
+    }
+  }
+
+  test("x65 double-invoke reuses the edge and degree cache entries") {
+    assertNoStacking("x65_pagerank") {
+      graft.queries.SqlSurfaceQueries.x65Pagerank(spark, dir)
+    }
+  }
+
+  test("d16 double-invoke reuses the shared pair-manifest cache entries") {
+    assertNoStacking("d16_sketch_calibration") {
+      graft.queries.DedupQueries.d16SketchCalibration(spark, dir)
+    }
+  }
+}
