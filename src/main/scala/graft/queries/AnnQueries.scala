@@ -589,13 +589,16 @@ object AnnQueries {
 
   /** s7 — IVF-PQ-style ANN: product quantization + asymmetric distance
     * computation (ADC), the memory-compression half of a FAISS-class
-    * 100 TB vector index. The 64-dim corpus is ENCODED once into 4
-    * codebook ids (one per 16-dim subspace, codebooks = the
-    * deterministic coarse-quantizer centroids sliced per subspace);
-    * a query then scores every vector WITHOUT touching raw embeddings —
-    * it builds a tiny ADC lookup table (its distance to each of the
-    * 4×10 codewords) and each vector's approximate distance is four
-    * table lookups summed. The table is quantized to integer
+    * 100 TB vector index. The 64-dim corpus is ENCODED once into
+    * [[pqSubspaces]] codebook ids (one per [[pqSubDim]]-dim subspace,
+    * codebooks = the TRAINED coarse-quantizer centroids sliced per
+    * subspace); a query then scores every vector WITHOUT touching raw
+    * embeddings — it builds a tiny ADC lookup table (its distance to
+    * each of the subspaces×10 codewords) and each vector's approximate
+    * distance is pqSubspaces table lookups summed. The subspace count
+    * is the accuracy/compression knob: round 9's s16 eval measured
+    * m=4 at recall@3 0.25 and shipped m=16 at 0.95/0.91
+    * (sf0.01/sf0.1, AnnRecallSweepSpec's PQ sweep). The table is quantized to integer
     * micro-units (floor(d·10⁶ + 0.5), the uint16-LUT trick real PQ
     * kernels use for SIMD), which also makes the sum order-independent
     * and the oracle bit-exact with no float-summation caveat. Top-10 ADC
@@ -603,7 +606,7 @@ object AnnQueries {
     * two-stage shape) and the top-5 emitted.
     *
     * Why this is the 100 TB economics: the stored index is the codes
-    * table — 4 small ints (≤4 B) per vector vs 256 B of floats, a 64×
+    * table — pqSubspaces small ints per vector vs 256 B of floats, a 16×
     * compression — and candidate scoring is a scan of that table with a
     * broadcast 40-row LUT; only the ≤10 re-rank candidates ever read
     * their full embedding. Encode is one scan (the per-(vector,subspace)
@@ -617,14 +620,16 @@ object AnnQueries {
     // unfitted means s15 flagged on the IVF side
     val cent = trainedCentroids(spark, dir)
     def l2sq(c: Column, v: Column): Column = L2SquaredDistance(c, v)
-    // sub-codebooks: (m, label, c[16]) — centroid slices per subspace
+    // sub-codebooks: (m, label, c[pqSubDim]) — centroid slices per
+    // subspace (pqSubspaces × pqSubDim dims, constants shared with
+    // s16's eval so the measured config IS the shipped one)
     val sub = cent.select(col("label"), explode(expr(
-        "transform(sequence(0, 3), m -> struct(m AS m, slice(centroid, m * 16 + 1, 16) AS c))")).as("s"))
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(centroid, m * $pqSubDim + 1, $pqSubDim) AS c))")).as("s"))
       .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
-    // corpus subvectors: one spread scan, 4 narrow rows per vector
+    // corpus subvectors: one spread scan, pqSubspaces narrow rows per vector
     val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 3), m -> struct(m AS m, slice(embedding, m * 16 + 1, 16) AS v))")).as("p"))
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(embedding, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.v").as("v"))
     // PQ encode: nearest codeword per (vector, subspace), argmin via
     // min_by (label tie-break) — an aggregate, never a per-vector sort
@@ -882,7 +887,136 @@ object AnnQueries {
     perProbe.unionByName(total).orderBy("probe_id")
   }
 
+  /** Candidates the PQ arm re-ranks per probe in [[s16PqRecall]] —
+    * the FAISS `k_factor` serving knob: ADC order is approximate, so
+    * serving fetches rerankDepth × k candidates by ADC and re-ranks
+    * them exactly. Chosen from the measured recall curve in
+    * AnnRecallSweepSpec's PQ section. */
+  private[graft] val pqRerankDepth = 200
+
+  /** Subspace count for the PQ family (s7/s16); 64/pqSubspaces dims
+    * per subspace, codewords = trained-centroid slices. Chosen from
+    * AnnRecallSweepSpec's PQ sweep. */
+  private[graft] val pqSubspaces = 16
+
+  /** Dims per PQ subspace. */
+  private[graft] val pqSubDim = dims / pqSubspaces
+
+  /** s16 — PQ INDEX EVALUATION: recall@3 of the s7 IVF-PQ path
+    * (ADC candidate generation at [[pqRerankDepth]], exact re-rank)
+    * against the exact kNN baseline, over the s6/s15 probe set —
+    * s15's eval applied to the OTHER index family, so both shipped
+    * ANN paths carry a measured recall number (an index with
+    * unmeasured recall is a bug generator; round 8 proved the point
+    * on the IVF path). Same report shape as s15: per-probe
+    * (n_hit, n_total) + the -1 total row.
+    *
+    * Scale shape is PQ's selling point made measurable: the ADC arm
+    * scores probes × corpus against the 4-small-int codes table with
+    * a BROADCAST (probe, m, codeword) → integer-distance LUT — the
+    * corpus-sized input is 4 ints/vector, never the 256-byte floats —
+    * and collapses through partial aggregation + a TopKPerKey heap;
+    * only probes × rerankDepth candidates ever read their full
+    * embedding. The exact arm is s6's one-scan heap. */
+  def s16PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = trainedCentroids(spark, dir)
+    def l2sq(c: Column, v: Column): Column = L2SquaredDistance(c, v)
+    val sub = cent.select(col("label"), explode(expr(
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(centroid, m * $pqSubDim + 1, $pqSubDim) AS c))")).as("s"))
+      .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
+    val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(embedding, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.v").as("v"))
+    // PQ encode — the s7 spelling (argmin via min_by, label tie-break)
+    val codes = parts.join(broadcast(sub), "m")
+      .select(col("vec_id"), col("m"), col("label"), l2sq(col("c"), col("v")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("label"), struct(col("d"), col("label"))).as("code"))
+    val probes = e.filter(col("vec_id") % 20 === 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    // per-probe ADC LUT: probes × 4 subspaces × k codewords, integer
+    // micro-units (s7's floor(d·1e6 + 0.5) convention) — broadcast
+    val qtab = probes
+      .select(col("probe_id"), explode(expr(
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(q_emb, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
+      .select(col("probe_id"), col("p.m").as("m"), col("p.v").as("v"))
+      .join(broadcast(sub), "m")
+      .select(col("probe_id"), col("m").as("qm"), col("label"),
+        floor(l2sq(col("c"), col("v")) * lit(1000000L) + lit(0.5)).as("qd"))
+    // (m, code) both in the join condition — each codes row matches
+    // exactly one LUT entry per probe, never the whole m-slice
+    val cand = codes
+      .join(broadcast(qtab), col("m") === col("qm") && col("code") === col("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id").agg(sum(col("qd")).as("adist"))
+    val candTop = graft.plans.TopK.perKey(cand, Seq(col("probe_id")),
+      Seq(col("adist"), col("vec_id")), k = pqRerankDepth)
+    val ann = graft.plans.TopK.perKey(
+      candTop.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+          round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim")),
+      Seq(col("probe_id")), Seq(col("sim").desc, col("vec_id")), k = 3)
+      .select("probe_id", "vec_id")
+    val scored = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+    val exact = graft.plans.TopK.perKey(scored, Seq(col("probe_id")),
+      Seq(col("sim").desc, col("vec_id")), k = 3)
+      .select("probe_id", "vec_id")
+    val hits = exact.join(ann, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    val perProbe = probes.select("probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(3L).as("n_total"))
+    val total = perProbe
+      .agg(sum("n_hit").as("n_hit"), sum("n_total").as("n_total"))
+      .select(lit(-1L).as("probe_id"), col("n_hit"), col("n_total"))
+    perProbe.unionByName(total).orderBy("probe_id")
+  }
+
+  /** d17 — DEDUP EVALUATION: d8's semantic dedup measured against its
+    * OWN planted ground truth (the corpus plants one near-twin per
+    * vec_id ≡ 0 mod 10 at cosine ≈ 0.999; the raw corpus has no pairs
+    * above 0.51, so the expected victim set is exactly the plants) —
+    * precision/recall permille for the dedup job, completing the
+    * every-artifact-ships-its-eval set: s15 measures the IVF index,
+    * s16 the PQ index, d16 calibrates the sketch, l24 the tokenizer,
+    * d17 the dedup decision itself. A recall miss here means a twin
+    * landed in a different quantizer cell (the d8 design's declared
+    * recall bound); a precision miss means the 0.85 gate killed a
+    * non-plant — on this corpus impossible, so any false kill is a
+    * pipeline BUG surfaced, not noise.
+    *
+    * All-integer output (counts + DIV permille, the d16/x71
+    * conventions). Scale shape: d8's own posture plus three id-only
+    * aggregates — victims are mined once (d8's plan is shared via the
+    * session cache) and everything downstream is 8-byte ids. */
+  def d17DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"))
+    val corpus = base.unionByName(planted)
+    val survivors = d8SemanticDedup(spark, dir).select(col("vec_id"))
+    val victims = corpus.join(survivors, Seq("vec_id"), "left_anti")
+    val det = victims.join(planted, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_detected"))
+    val fls = victims.join(planted, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_false_kills"))
+    val pl = planted.agg(count(lit(1)).as("n_planted"))
+    pl.crossJoin(det).crossJoin(fls)
+      .selectExpr("n_planted", "n_detected", "n_false_kills",
+        "n_detected * 1000 DIV greatest(n_planted, 1) AS recall_permille",
+        "n_detected * 1000 DIV greatest(n_detected + n_false_kills, 1) AS precision_permille")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_pq_recall" -> (s16PqRecall _),
+    "d17_dedup_eval" -> (d17DedupEval _),
     "s13_bm25_topk" -> (s13Bm25TopK _),
     "s14_hybrid_rrf" -> (s14HybridRrf _),
     "s15_ann_recall" -> (s15AnnRecall _),
@@ -982,6 +1116,28 @@ object AnnQueries {
     def l2sq(c: String, e: String) = l2sqDuck(c, e)
     val centCtes = centCtesDuck
     val tCtes = trainedCentCtesDuck
+    // the d8 pipeline (planted-twin corpus, trained-quantizer
+    // assignment, within-cluster victim mining) as ONE CTE chain
+    // shared by the d8 twin and d17's eval twin
+    val d8Ctes =
+      s"""corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+            list_transform(embedding, (x, i) ->
+              CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 * ((i - 1) % 3 - 1)) AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id % 10 = 0),
+        $tCtes,
+        assigned AS (SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.label AS cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM corpus e, tcent c) WHERE rn = 1),
+        victims AS (SELECT DISTINCT b.vec_id FROM corpus a
+          JOIN assigned sa ON sa.vec_id = a.vec_id
+          JOIN corpus b ON b.vec_id > a.vec_id
+          JOIN assigned sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+          WHERE ROUND($cos, 9) >= 0.85)"""
     Map(
       "s8_range_search" ->
         s"""WITH eb AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings)
@@ -1163,27 +1319,24 @@ object AnnQueries {
       // row_number spelling, within-cluster pairs at 9dp-rounded cosine
       // >= 0.85, survivors = corpus minus larger-id pair members
       "d8_semantic_dedup" ->
-        s"""WITH corpus AS (
-          SELECT vec_id, embedding FROM embeddings
-          UNION ALL
-          SELECT vec_id + 1000000 AS vec_id,
-            list_transform(embedding, (x, i) ->
-              CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 * ((i - 1) % 3 - 1)) AS FLOAT)) AS embedding
-          FROM embeddings WHERE vec_id % 10 = 0),
-        $tCtes,
-        assigned AS (SELECT vec_id, cluster FROM (
-            SELECT e.vec_id, c.label AS cluster,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
-            FROM corpus e, tcent c) WHERE rn = 1),
-        victims AS (SELECT DISTINCT b.vec_id FROM corpus a
-          JOIN assigned sa ON sa.vec_id = a.vec_id
-          JOIN corpus b ON b.vec_id > a.vec_id
-          JOIN assigned sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
-          WHERE ROUND($cos, 9) >= 0.85)
+        s"""WITH $d8Ctes
         SELECT s.vec_id, s.cluster FROM assigned s
         LEFT JOIN victims v ON v.vec_id = s.vec_id
         WHERE v.vec_id IS NULL ORDER BY s.vec_id""",
+      // d17: the SAME pipeline CTEs + the planted ground truth — the
+      // eval arithmetic is integer counts and DIV permille only
+      "d17_dedup_eval" ->
+        s"""WITH $d8Ctes,
+        planted AS (SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 10 = 0),
+        det AS (SELECT COUNT(*) AS n FROM victims v JOIN planted p ON p.vec_id = v.vec_id),
+        fls AS (SELECT COUNT(*) AS n FROM victims v ANTI JOIN planted p ON p.vec_id = v.vec_id),
+        pl AS (SELECT COUNT(*) AS n FROM planted)
+        SELECT CAST(pl.n AS BIGINT) AS n_planted,
+               CAST(det.n AS BIGINT) AS n_detected,
+               CAST(fls.n AS BIGINT) AS n_false_kills,
+               CAST(det.n * 1000 // greatest(pl.n, 1) AS BIGINT) AS recall_permille,
+               CAST(det.n * 1000 // greatest(det.n + fls.n, 1) AS BIGINT) AS precision_permille
+        FROM pl, det, fls""",
       // PQ restated: same sliced-centroid codebooks (index-mapped
       // ranges instead of slices — identical ascending fold), argmin as
       // the row_number spelling, the same integer micro-unit LUT
@@ -1191,11 +1344,11 @@ object AnnQueries {
       // (HUGEINT collapsed by the CAST), exact-cosine re-rank
       "s7_ivf_pq" -> {
         def l2sub(c: String, e: String) =
-          s"list_sum(list_transform(range(1, 17), j -> " +
-            s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE)) * " +
-            s"($c[mm.m * 16 + j] - CAST($e[mm.m * 16 + j] AS DOUBLE))))"
+          s"list_sum(list_transform(range(1, ${pqSubDim + 1}), j -> " +
+            s"($c[mm.m * $pqSubDim + j] - CAST($e[mm.m * $pqSubDim + j] AS DOUBLE)) * " +
+            s"($c[mm.m * $pqSubDim + j] - CAST($e[mm.m * $pqSubDim + j] AS DOUBLE))))"
         s"""WITH $tCtes,
-        mm AS (SELECT unnest(range(0, 4)) AS m),
+        mm AS (SELECT unnest(range(0, $pqSubspaces)) AS m),
         codes AS (SELECT vec_id, m, label AS code FROM (
             SELECT e.vec_id, mm.m, c.label,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id, mm.m
@@ -1213,6 +1366,64 @@ object AnnQueries {
         FROM embeddings a, embeddings b JOIN cand ON cand.vec_id = b.vec_id
         WHERE a.vec_id = 0
         ORDER BY sim DESC, b.vec_id LIMIT 5"""
+      },
+      // s16: the s7 twin's codes/LUT spellings generalized to the s6
+      // probe set + the s15 recall scaffolding — ADC candidates at
+      // rerankDepth, exact-cosine re-rank, integer hit counts
+      "s16_pq_recall" -> {
+        def l2sub(c: String, e: String) =
+          s"list_sum(list_transform(range(1, ${pqSubDim + 1}), j -> " +
+            s"($c[mm.m * $pqSubDim + j] - CAST($e[mm.m * $pqSubDim + j] AS DOUBLE)) * " +
+            s"($c[mm.m * $pqSubDim + j] - CAST($e[mm.m * $pqSubDim + j] AS DOUBLE))))"
+        s"""WITH $tCtes,
+        mm AS (SELECT unnest(range(0, $pqSubspaces)) AS m),
+        codes AS (SELECT vec_id, m, label AS code FROM (
+            SELECT e.vec_id, mm.m, c.label,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id, mm.m
+                ORDER BY ${l2sub("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM embeddings e CROSS JOIN mm CROSS JOIN tcent c) WHERE rn = 1),
+        qtab AS (SELECT a.vec_id AS probe_id, mm.m, c.label,
+              CAST(floor(${l2sub("c.centroid", "a.embedding")} * 1000000 + 0.5) AS BIGINT) AS qd
+            FROM embeddings a CROSS JOIN mm CROSS JOIN tcent c
+            WHERE a.vec_id % 20 = 3),
+        cand AS (SELECT t.probe_id, k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adist
+            FROM codes k JOIN qtab t ON t.m = k.m AND t.label = k.code
+            WHERE k.vec_id <> t.probe_id GROUP BY t.probe_id, k.vec_id),
+        candtop AS (SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+            FROM cand) WHERE rn <= $pqRerankDepth),
+        ann AS (SELECT probe_id, vec_id FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ROUND($cos, 9) DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            JOIN candtop ct ON ct.vec_id = b.vec_id
+            WHERE a.vec_id % 20 = 3 AND ct.probe_id = a.vec_id
+              AND b.vec_id <> a.vec_id) t
+          WHERE rn <= 3),
+        exact AS (SELECT probe_id, vec_id FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ROUND($cos, 9) DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 20 = 3 AND b.vec_id <> a.vec_id) t
+          WHERE rn <= 3),
+        hits AS (SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+                 FROM exact e JOIN ann n
+                   ON e.probe_id = n.probe_id AND e.vec_id = n.vec_id
+                 GROUP BY e.probe_id),
+        per AS (SELECT p.probe_id,
+                  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                  CAST(3 AS BIGINT) AS n_total
+                FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 20 = 3) p
+                LEFT JOIN hits h ON h.probe_id = p.probe_id)
+        SELECT * FROM (
+          SELECT probe_id, n_hit, n_total FROM per
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT), CAST(SUM(n_hit) AS BIGINT),
+                 CAST(SUM(n_total) AS BIGINT) FROM per)
+        ORDER BY probe_id"""
       },
       "s4_ann_ivf" ->
         s"""WITH $tCtes,

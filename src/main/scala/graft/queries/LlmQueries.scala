@@ -759,7 +759,42 @@ object LlmQueries {
     merges.result()
   }
 
+  /** l24 — TOKENIZER EVALUATION: the per-source report a tokenizer
+    * release ships next to p7's manifest — document/word/char/trained-
+    * token totals and the two numbers a tokenizer is judged by:
+    * fertility (trained tokens per 1000 words — subword fan-out) and
+    * compression (chars per 1000 trained tokens). Per SOURCE because
+    * that's how coverage gaps show: a vocabulary trained on one domain
+    * tokenizes another at visibly worse fertility, and this table is
+    * where that regression is read. Completes the train→apply→eval
+    * loop: l19 learns the artifact, l22/p7 apply it, l24 measures it
+    * (the s15 eval idea applied to the tokenizer family).
+    *
+    * Ratios are integer permille via DIV (the x71 greatest-guard, the
+    * d16 integer-ratio convention) so every emitted cell is exact
+    * cross-engine — no float division to match. Scale shape: ONE scan
+    * with the fused apply kernel + two per-row expressions, one
+    * sources-sized aggregate — map-side collapse, text never
+    * shuffles; consumes the memoized merge table, so a release job
+    * running l19/l22/p7/l24 together trains once. */
+  def l24TokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnedMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("w"),
+        expr("CAST(char_length(replace(text, ' ', '')) AS BIGINT)").as("ch"),
+        graft.functions.BpeApplyCount(col("text"), merges).as("tt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("ch").as("n_chars"), sum("tt").as("n_trained_tokens"))
+      .selectExpr("source", "n_docs", "n_words", "n_chars", "n_trained_tokens",
+        "n_trained_tokens * 1000 DIV greatest(n_words, 1) AS fertility_permille",
+        "n_chars * 1000 DIV greatest(n_trained_tokens, 1) AS chars_per_kilotoken")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l24_tokenizer_eval" -> (l24TokenizerEval _),
     "l19_bpe_train"    -> (l19BpeTrain _),
     "l20_weighted_sample" -> (l20WeightedSample _),
     "l21_semantic_decon" -> (l21SemanticDecon _),
@@ -884,6 +919,27 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "l19_bpe_train" -> bpeTrainDuck,
     "l22_bpe_apply" -> bpeApplyDuck,
+    // l24: the l19 chain + the shared apply-count select joined back
+    // to documents for source, then integer sums + DIV permille — the
+    // same composition discipline as p7, so the measured tokenizer is
+    // definitionally the trained one. The CASTs collapse DuckDB's
+    // HUGEINT sums to Spark's BIGINT.
+    "l24_tokenizer_eval" ->
+      s"""WITH $bpeCtesDuck,
+      counts AS ($bpeApplyCountsSelect),
+      per AS (SELECT d.source,
+                CAST(length(list_filter(string_split(d.text, ' '), w -> w <> '')) AS BIGINT) AS w,
+                CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS ch,
+                c.n_trained_tokens AS tt
+              FROM documents d JOIN counts c ON c.doc_id = d.doc_id),
+      agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(ch) AS BIGINT) AS n_chars,
+                CAST(SUM(tt) AS BIGINT) AS n_trained_tokens
+              FROM per GROUP BY source)
+      SELECT source, n_docs, n_words, n_chars, n_trained_tokens,
+             CAST(n_trained_tokens * 1000 // greatest(n_words, 1) AS BIGINT) AS fertility_permille,
+             CAST(n_chars * 1000 // greatest(n_trained_tokens, 1) AS BIGINT) AS chars_per_kilotoken
+      FROM agg ORDER BY source""",
     // l23: same keep rule with DuckDB's 1-BASED lambda index (Spark's
     // is 0-based — the two guards i=0 / i=1 and predecessors
     // element_at(w, i) / w[i-1] address the SAME neighbor), same

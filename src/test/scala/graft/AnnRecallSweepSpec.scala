@@ -87,6 +87,77 @@ class AnnRecallSweepSpec extends AnyFunSuite with SparkSuite {
       s"shipped IVF config below the 0.8 recall floor: ${at(("trained", AnnQueries.ivfNprobe))}")
   }
 
+  /** PQ top-3 per probe at `m` subspaces (64/m dims each, codewords =
+    * trained-centroid slices) and ADC rerank depth `depth` — the s16
+    * arm, parameterized for the sweep. */
+  private def pqTop3(e: DataFrame, cent: DataFrame, m: Int, depth: Int): Set[(Long, Long)] = {
+    val subDim = 64 / m
+    val probes = probesOf(e)
+    val sub = cent.select(col("label"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), m -> struct(m AS m, slice(centroid, m * $subDim + 1, $subDim) AS c))")).as("s"))
+      .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
+    def partsOf(v: DataFrame, idCol: String, vecCol: String) =
+      v.select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), m -> struct(m AS m, slice($vecCol, m * $subDim + 1, $subDim) AS v))")).as("p"))
+        .select(col(idCol), col("p.m").as("m"), col("p.v").as("v"))
+    val codes = partsOf(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      .join(broadcast(sub), "m")
+      .select(col("vec_id"), col("m"), col("label"),
+        L2SquaredDistance(col("c"), col("v")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("label"), struct(col("d"), col("label"))).as("code"))
+    val qtab = partsOf(probes.select(col("probe_id"), col("q_emb")), "probe_id", "q_emb")
+      .join(broadcast(sub), "m")
+      .select(col("probe_id"), col("m").as("qm"), col("label"),
+        floor(L2SquaredDistance(col("c"), col("v")) * lit(1000000L) + lit(0.5)).as("qd"))
+    val cand = codes
+      .join(broadcast(qtab), col("m") === col("qm") && col("code") === col("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id").agg(sum(col("qd")).as("adist"))
+    val candTop = graft.plans.TopK.perKey(cand, Seq(col("probe_id")),
+      Seq(col("adist"), col("vec_id")), k = depth)
+    graft.plans.TopK.perKey(
+      candTop.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+          round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim")),
+      Seq(col("probe_id")), Seq(col("sim").desc, col("vec_id")), k = 3)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("PQ sweep: the shipped (subspaces, rerank depth) clears the floor") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val exact = exactTop3(e)
+    val total = exact.size.toDouble
+    val cent = AnnQueries.trainedCentroids(spark, dir)
+    val sweep = for {
+      m <- Seq(4, 8, 16)
+      depth <- Seq(50, 200)
+    } yield {
+      val r = (pqTop3(e, cent, m, depth) intersect exact).size / total
+      info(f"pq m=$m%-3d depth=$depth%-4d recall@3 = $r%.3f")
+      ((m, depth), r)
+    }
+    val at = sweep.toMap
+    assert(at((AnnQueries.pqSubspaces, AnnQueries.pqRerankDepth)) >= 0.8,
+      s"shipped PQ config below the 0.8 recall floor: " +
+        s"${at((AnnQueries.pqSubspaces, AnnQueries.pqRerankDepth))}")
+  }
+
+  test("shipped PQ config holds at the next scaling decade (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    val e = Tables.load(spark, big, "embeddings")
+    val exact = exactTop3(e)
+    val cent = AnnQueries.trainedCentroids(spark, big)
+    Seq((8, 200), (16, 50), (16, 200)).foreach { case (m, depth) =>
+      val r = (pqTop3(e, cent, m, depth) intersect exact).size / exact.size.toDouble
+      info(f"sf0.1 pq m=$m%-3d depth=$depth%-4d recall@3 = $r%.3f")
+      if ((m, depth) == (AnnQueries.pqSubspaces, AnnQueries.pqRerankDepth))
+        assert(r >= 0.8, s"shipped PQ config below the 0.8 floor at sf0.1: $r")
+    }
+  }
+
   test("shipped config holds at the next scaling decade (sf0.1)") {
     val big = "/root/testdata/sf0.1"
     val e = Tables.load(spark, big, "embeddings")

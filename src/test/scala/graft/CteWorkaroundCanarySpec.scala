@@ -1,42 +1,112 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Regression CANARY for the Spark 4.1.2 Catalyst defect d16 works
-  * around (`DedupQueries.scala`, d16 doc): wrapping the persisted pair
-  * view — whose analyzed plan already carries the `ids` CTE chain — in
-  * ANOTHER `spark.sql` WITH trips the optimizer's CTE-pushdown
-  * bookkeeping (`PushdownPredicatesAndPruneColumnsForCTEDef` throws
-  * `key not found: <defId>`), which is why d16 composes its outer
-  * layer with DataFrame joins instead of the WITH spelling every other
-  * query family uses.
-  *
-  * This spec asserts the broken spelling STILL throws. When a Spark
-  * upgrade fixes the rule, this test starts failing — that's the
-  * signal to retire the workaround and restore the WITH spelling (do
-  * both: flip d16, then delete this spec). Inverted-assertion canaries
-  * are how a workaround gets un-written instead of fossilizing. */
-class CteWorkaroundCanarySpec extends AnyFunSuite with graft.SparkSuite {
-
-  test("WITH-wrapping the persisted pair view still trips CTE pushdown (else retire the d16 workaround)") {
-    val dir = "/root/testdata/sf0.001"
-    val pairs = DedupQueries.resemblancePairs(spark, dir)
-    pairs.createOrReplaceTempView("canary_pairs")
-    // the spelling d16 WOULD use were the rule healthy: one more WITH
-    // layer over the persisted view + the shared minhash CTE
-    val ex = intercept[Throwable] {
-      spark.sql(
-        """WITH s AS (SELECT doc_id, minhash16(ids) AS mh FROM ids)
-          SELECT p.doc_id_a, p.doc_id_b, sa.mh AS mha, sb.mh AS mhb, p.jac
-          FROM canary_pairs p
-          JOIN s sa ON sa.doc_id = p.doc_id_a
-          JOIN s sb ON sb.doc_id = p.doc_id_b""").collect()
+/** Fresh-JVM driver for the canary below: build the persisted pair
+  * view the way d16 does, then run the WITH spelling d16 deliberately
+  * avoids. Exit 0 iff the spelling throws the CTE-pushdown defect
+  * (`key not found`), 2 if it runs clean, 1 on any other failure. A
+  * MAIN because the defect is JVM-state-dependent: it fires only with
+  * the fresh CTE-def id alignment of a cold JVM — after any earlier
+  * query has advanced the global id counter, the same spelling
+  * analyzes clean (measured in-session: fresh=throw, after one d4
+  * run=clean, newSession()=clean) — which is itself the strongest
+  * argument for the workaround: a query spelling whose validity
+  * depends on what ran before it in the JVM cannot ship. */
+object CteCanaryRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir) = args
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("cte_canary")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val pairs = DedupQueries.resemblancePairs(spark, sfDir)
+      pairs.createOrReplaceTempView("canary_pairs")
+      try {
+        spark.sql(
+          """WITH s AS (SELECT doc_id, minhash16(ids) AS mh FROM ids)
+            SELECT p.doc_id_a, p.doc_id_b, sa.mh AS mha, sb.mh AS mhb, p.jac
+            FROM canary_pairs p
+            JOIN s sa ON sa.doc_id = p.doc_id_a
+            JOIN s sb ON sb.doc_id = p.doc_id_b""").collect()
+        System.err.println("[canary] WITH spelling ran clean — defect gone")
+        System.exit(2)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("") +
+            Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+          if (msg.contains("key not found")) {
+            System.err.println(s"[canary] defect reproduced: ${msg.take(120)}")
+            spark.stop()
+            System.exit(0)
+          } else {
+            System.err.println(s"[canary] unexpected failure: ${e.getClass.getName}: ${msg.take(300)}")
+            System.exit(1)
+          }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[canary] setup failed: ${e.getClass.getName}: ${e.getMessage}")
+        System.exit(1)
     }
-    val msg = Option(ex.getMessage).getOrElse("") +
-      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-    assert(msg.contains("key not found"),
-      s"the WITH spelling no longer throws the CTE-pushdown defect — " +
-        s"Spark fixed it: retire d16's DataFrame-join workaround and delete this canary. " +
-        s"(got: ${ex.getClass.getName}: ${msg.take(300)})")
+  }
+}
+
+/** Regression CANARY for the Spark 4.1.2 Catalyst defect d16 works
+  * around (`DedupQueries.scala`, d16 doc): in a cold JVM, wrapping the
+  * persisted pair view — whose analyzed plan carries the `ids` CTE
+  * chain — in ANOTHER `spark.sql` WITH trips the optimizer's
+  * CTE-pushdown bookkeeping (`PushdownPredicatesAndPruneColumnsForCTEDef`
+  * throws `key not found: <defId>`), which is why d16 composes its
+  * outer layer with DataFrame joins instead of the WITH spelling every
+  * other family uses.
+  *
+  * The spec asserts the broken spelling STILL throws in a fresh JVM
+  * (exit 0 from [[CteCanaryRunner]]). When a Spark upgrade fixes the
+  * rule the runner exits 2, this test fails, and that's the signal to
+  * retire the workaround: flip d16 to the WITH spelling, then delete
+  * the canary. Inverted-assertion canaries are how a workaround gets
+  * un-written instead of fossilizing. */
+class CteWorkaroundCanarySpec extends AnyFunSuite {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("cold-JVM WITH-wrap of the pair view still trips CTE pushdown (else retire the d16 workaround)") {
+    val work = Files.createTempDirectory("cte_canary").toString
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", cp, "graft.queries.CteCanaryRunner", "/root/testdata/sf0.001")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$work/canary.log"))
+    val p = pb.start()
+    val finished = p.waitFor(180, TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val log = new String(Files.readAllBytes(Paths.get(s"$work/canary.log")))
+    assert(finished, s"canary runner timed out; log tail:\n${log.takeRight(2000)}")
+    assert(p.exitValue() != 2,
+      "the WITH spelling no longer throws the CTE-pushdown defect in a cold JVM — " +
+        "Spark fixed it: retire d16's DataFrame-join workaround and delete this canary.")
+    assert(p.exitValue() == 0,
+      s"canary runner failed unexpectedly (exit ${p.exitValue()}); log tail:\n${log.takeRight(2000)}")
   }
 }

@@ -149,6 +149,29 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p.take(4000))
   }
 
+  test("l24: tokenizer eval is one fused-kernel scan + a sources-sized aggregate") {
+    val p = plan("l24_tokenizer_eval")
+    assert(p.toLowerCase.contains("bpeapplycount"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    // partial+final: the corpus collapses map-side before the exchange
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(4000))
+  }
+
+  test("s16: PQ eval arms are heaps + argmin/sum aggregates; LUTs broadcast; no window") {
+    val p = plan("s16_pq_recall")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("min_by"), p.take(4000))
+    assert("TopKPerKeyPartial".r.findAllMatchIn(p).size >= 3, p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("d17: dedup eval carries ids only; the three counts meet as broadcast 1-row sides") {
+    val p = plan("d17_dedup_eval")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("p7: release manifest = fused apply kernel in the scan + per-shard pack window only") {
     val p = plan("p7_tokenizer_release")
     // apply is the fused kernel, never the interpreted fold chain
