@@ -677,7 +677,23 @@ object AnnQueries {
     * into the pair verify, ids everywhere else. Corpus: the planted
     * near-twin corpus (same construction as s5, cosine(base, twin)
     * ≈ 0.999) because the raw test corpus has no pairs above 0.51. */
-  def d8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** d8's (assigned, victims) pair, MEMOIZED per (session, dir) —
+    * the labelsMemo pattern: the quantizer-assignment snapshot and the
+    * mined victim set are consumed by BOTH d8 (survivor manifest) and
+    * d17 (the eval), and the within-cluster pair mining is the
+    * family's expensive stage — mine once, consume many. Both values
+    * are lineage-truncated (localCheckpoint), so the take(1) guard
+    * self-heals after a cache sweep drops their blocks. */
+  private val d8Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def d8Mined(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    d8Memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (spark, dir)
+    val cached = d8Memo.get(key)
+    if (cached != null &&
+        scala.util.Try { cached._1.take(1); cached._2.take(1) }.isSuccess) return cached
+    d8Memo.remove(key)
     val e = Tables.load(spark, dir, "embeddings")
     // the TRAINED quantizer (shared with s4/s7/s15/p6): better-fitted
     // cells both tighten the within-cluster pair space and raise the
@@ -705,6 +721,14 @@ object AnnQueries {
       .filter(col("vec_id_a") < col("vec_id_b"))
       .filter(round(Vectors.cosine(col("ea"), col("eb")), 9) >= 0.85)
       .select(col("vec_id_b").as("vec_id")).distinct()
+      .localCheckpoint(false)
+    val mined = (assigned, victims)
+    d8Memo.put(key, mined)
+    mined
+  }
+
+  def d8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, victims) = d8Mined(spark, dir)
     assigned.join(victims, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
@@ -1000,9 +1024,9 @@ object AnnQueries {
     val base = Tables.load(spark, dir, "embeddings").select(col("vec_id"))
     val planted = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"))
-    val corpus = base.unionByName(planted)
-    val survivors = d8SemanticDedup(spark, dir).select(col("vec_id"))
-    val victims = corpus.join(survivors, Seq("vec_id"), "left_anti")
+    // the memoized victim set d8 mined — the eval never re-runs the
+    // pair mining (the d1/d13 shared-manifest discipline)
+    val victims = d8Mined(spark, dir)._2
     val det = victims.join(planted, Seq("vec_id"))
       .agg(count(lit(1)).as("n_detected"))
     val fls = victims.join(planted, Seq("vec_id"), "left_anti")
