@@ -793,7 +793,65 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** l25 — corpus MIXTURE PLANNING: per-source sampling rates that
+    * rebalance the corpus toward temperature-flattened domain shares —
+    * the decision job run BEFORE l5/l17/p3 downsample anything. Target
+    * share of source s ∝ A_s^(1/T) with T = 2 (the multilingual
+    * pretraining convention — upsample the tail, damp the head) and a
+    * total budget B = half the available tokens; rate_s clamps at 1
+    * (can't sample more than exists). l8 MEASURES a mix; l25 CHOOSES
+    * one.
+    *
+    * Cross-engine determinism: weights are floor(sqrt(A)·1000) —
+    * sqrt is IEEE-CORRECTLY-rounded (unlike ln/exp/pow, which is why
+    * T is 2 and not 1.7), so the quantized weight is bit-identical;
+    * totals are exact integer sums; the rate is a fixed-order
+    * double expression over exact integers, floored to micro units.
+    * Scale shape: one scan → a sources-sized integer aggregate
+    * (map-side collapse), totals as ONE broadcast row — the solver
+    * runs on the answer, never the corpus. */
+  def l25MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.loadSpread(spark, dir, "documents")
+      .selectExpr("source",
+        "CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT) AS toks")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens_available"))
+      .selectExpr("source", "n_docs", "tokens_available",
+        "CAST(floor(sqrt(CAST(tokens_available AS DOUBLE)) * 1000) AS BIGINT) AS weight_milli")
+    val tot = per.agg(sum("weight_milli").as("wsum"),
+      sum("tokens_available").as("asum"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs", "tokens_available", "weight_milli",
+        """least(CAST(1000000 AS BIGINT), CAST(floor(
+             CAST(asum DIV 2 AS DOUBLE) * CAST(weight_milli AS DOUBLE)
+             / CAST(greatest(wsum, 1) AS DOUBLE)
+             / CAST(greatest(tokens_available, 1) AS DOUBLE) * 1000000.0)
+           AS BIGINT)) AS rate_micro""")
+      .selectExpr("source", "n_docs", "tokens_available", "weight_milli",
+        "rate_micro",
+        "rate_micro * tokens_available DIV 1000000 AS expected_tokens")
+      .orderBy("source")
+  }
+
+  /** l26 — mixture plan EXECUTION: the downsampling job that applies
+    * l25's per-source rates with the l5 deterministic-hash coin
+    * (keep iff kmv_hash(doc_id) mod 10⁶ < rate_micro) — reproducible
+    * across runs, cluster sizes and partitionings, and composable
+    * (the kept manifest is ids + bookkeeping; the wide text column
+    * never moves). Plan rides ONE broadcast row per source. */
+  def l26MixApply(spark: SparkSession, dir: String): DataFrame = {
+    val plan = l25MixPlan(spark, dir).select(col("source"), col("rate_micro"))
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .filter(expr(s"(${FunctionQueries.kmvHashSpark("doc_id")}) % 1000000 < rate_micro"))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l25_mix_plan" -> (l25MixPlan _),
+    "l26_mix_apply" -> (l26MixApply _),
     "l24_tokenizer_eval" -> (l24TokenizerEval _),
     "l19_bpe_train"    -> (l19BpeTrain _),
     "l20_weighted_sample" -> (l20WeightedSample _),
@@ -916,9 +974,41 @@ object LlmQueries {
     $bpeApplyCountsSelect
     ORDER BY doc_id"""
 
+  /** The l25 plan CTEs (per-source aggregate + totals + rate), shared
+    * by the l25 twin and l26's apply twin — one spelling of the
+    * temperature-2 arithmetic. The rate expression keeps the SAME
+    * operator order as the Spark selectExpr (exact integer inputs →
+    * fixed-order IEEE ops → bit-identical doubles → identical floor). */
+  private def mixPlanCtesDuck: String =
+    s"""per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CAST(length(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)) AS BIGINT) AS tokens_available
+          FROM documents GROUP BY source),
+      perw AS (SELECT source, n_docs, tokens_available,
+            CAST(floor(sqrt(CAST(tokens_available AS DOUBLE)) * 1000) AS BIGINT) AS weight_milli
+          FROM per),
+      tot AS (SELECT CAST(SUM(weight_milli) AS BIGINT) AS wsum,
+                     CAST(SUM(tokens_available) AS BIGINT) AS asum FROM perw),
+      plan AS (SELECT source, n_docs, tokens_available, weight_milli,
+            least(CAST(1000000 AS BIGINT), CAST(floor(
+              CAST(asum // 2 AS DOUBLE) * CAST(weight_milli AS DOUBLE)
+              / CAST(greatest(wsum, 1) AS DOUBLE)
+              / CAST(greatest(tokens_available, 1) AS DOUBLE) * 1000000.0)
+            AS BIGINT)) AS rate_micro
+          FROM perw, tot)"""
+
   val oracleSql: Map[String, String] = Map(
     "l19_bpe_train" -> bpeTrainDuck,
     "l22_bpe_apply" -> bpeApplyDuck,
+    "l25_mix_plan" ->
+      s"""WITH $mixPlanCtesDuck
+      SELECT source, n_docs, tokens_available, weight_milli, rate_micro,
+             CAST(rate_micro * tokens_available // 1000000 AS BIGINT) AS expected_tokens
+      FROM plan ORDER BY source""",
+    "l26_mix_apply" ->
+      s"""WITH $mixPlanCtesDuck
+      SELECT d.source, d.doc_id FROM documents d JOIN plan p ON p.source = d.source
+      WHERE (${FunctionQueries.kmvHashDuck("d.doc_id")}) % 1000000 < p.rate_micro
+      ORDER BY d.source, d.doc_id""",
     // l24: the l19 chain + the shared apply-count select joined back
     // to documents for source, then integer sums + DIV permille — the
     // same composition discipline as p7, so the measured tokenizer is

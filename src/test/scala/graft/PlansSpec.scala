@@ -149,6 +149,21 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p.take(4000))
   }
 
+  test("l25: mix plan solves on the answer — totals broadcast as one row, no window") {
+    val p = plan("l25_mix_plan")
+    assert(!p.contains("Window"), p.take(4000))
+    // the 1-row totals side joins via broadcast nested loop
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // corpus collapses map-side before the sources exchange
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(4000))
+  }
+
+  test("l26: mix apply broadcasts the plan; the corpus side is one scan, no window") {
+    val p = plan("l26_mix_apply")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("l24: tokenizer eval is one fused-kernel scan + a sources-sized aggregate") {
     val p = plan("l24_tokenizer_eval")
     assert(p.toLowerCase.contains("bpeapplycount"), p.take(4000))
