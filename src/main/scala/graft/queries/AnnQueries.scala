@@ -613,6 +613,34 @@ object AnnQueries {
     * argmin collapses map-side — only 16-byte (vec_id, m, code) rows
     * cross the exchange); at real scale the codes table is a maintained
     * index, written once per corpus version. */
+  /** Sub-codebooks: (m, label, c[pqSubDim]) — TRAINED-centroid slices
+    * per subspace (pqSubspaces × pqSubDim dims; constants shared with
+    * s16's eval so the measured config IS the shipped one). */
+  private def pqCodebook(cent: DataFrame): DataFrame =
+    cent.select(col("label"), explode(expr(
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(centroid, m * $pqSubDim + 1, $pqSubDim) AS c))")).as("s"))
+      .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
+
+  /** The PQ CODES table (vec_id, m, code) — the stored index artifact
+    * (pqSubspaces small ints per vector): encode is one spread scan +
+    * a map-side-collapsing argmin aggregate, and the result is
+    * PERSISTED — s7 (serving) and s16 (the eval) build this identical
+    * plan, so the cache manager dedups and the corpus is encoded once
+    * per session, matching the real economics ("the codes table is a
+    * maintained index, written once per corpus version"). */
+  private def pqCodes(spark: SparkSession, e: DataFrame, sub: DataFrame): DataFrame = {
+    val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(embedding, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.v").as("v"))
+    parts.join(broadcast(sub), "m")
+      .select(col("vec_id"), col("m"), col("label"),
+        L2SquaredDistance(col("c"), col("v")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("label"), struct(col("d"), col("label"))).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   def s7IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     // codebooks sliced from the TRAINED quantizer (round-9): real PQ
@@ -620,23 +648,13 @@ object AnnQueries {
     // unfitted means s15 flagged on the IVF side
     val cent = trainedCentroids(spark, dir)
     def l2sq(c: Column, v: Column): Column = L2SquaredDistance(c, v)
-    // sub-codebooks: (m, label, c[pqSubDim]) — centroid slices per
-    // subspace (pqSubspaces × pqSubDim dims, constants shared with
-    // s16's eval so the measured config IS the shipped one)
-    val sub = cent.select(col("label"), explode(expr(
-        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(centroid, m * $pqSubDim + 1, $pqSubDim) AS c))")).as("s"))
-      .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
-    // corpus subvectors: one spread scan, pqSubspaces narrow rows per vector
+    val sub = pqCodebook(cent)
+    val codes = pqCodes(spark, e, sub)
+    // query subvectors for the ADC lookup table
     val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(embedding, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.v").as("v"))
-    // PQ encode: nearest codeword per (vector, subspace), argmin via
-    // min_by (label tie-break) — an aggregate, never a per-vector sort
-    val codes = parts.join(broadcast(sub), "m")
-      .select(col("vec_id"), col("m"), col("label"), l2sq(col("c"), col("v")).as("d"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("label"), struct(col("d"), col("label"))).as("code"))
     // ADC lookup table: query distance to each codeword, integer micro-units
     val qtab = parts.filter(col("vec_id") === 0).join(broadcast(sub), "m")
       .select(col("m").as("qm"), col("label"),
@@ -946,18 +964,10 @@ object AnnQueries {
     val e = Tables.load(spark, dir, "embeddings")
     val cent = trainedCentroids(spark, dir)
     def l2sq(c: Column, v: Column): Column = L2SquaredDistance(c, v)
-    val sub = cent.select(col("label"), explode(expr(
-        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(centroid, m * $pqSubDim + 1, $pqSubDim) AS c))")).as("s"))
-      .select(col("s.m").as("m"), col("label"), col("s.c").as("c"))
-    val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(embedding, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
-      .select(col("vec_id"), col("p.m").as("m"), col("p.v").as("v"))
-    // PQ encode — the s7 spelling (argmin via min_by, label tie-break)
-    val codes = parts.join(broadcast(sub), "m")
-      .select(col("vec_id"), col("m"), col("label"), l2sq(col("c"), col("v")).as("d"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("label"), struct(col("d"), col("label"))).as("code"))
+    val sub = pqCodebook(cent)
+    // the SHARED persisted codes table — the eval scores the same
+    // index artifact s7 serves from, encoded once per session
+    val codes = pqCodes(spark, e, sub)
     val probes = e.filter(col("vec_id") % 20 === 3)
       .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
     // per-probe ADC LUT: probes × 4 subspaces × k codewords, integer

@@ -63,4 +63,17 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       graft.queries.DedupQueries.d16SketchCalibration(spark, dir)
     }
   }
+
+  test("s7/s16 share ONE persisted PQ codes table across invocations") {
+    releaseAll()
+    graft.queries.AnnQueries.s7IvfPq(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val afterS7 = cachedRddCount()
+    graft.queries.AnnQueries.s16PqRecall(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val afterS16 = cachedRddCount()
+    assert(afterS16 == afterS7,
+      s"s16 stacked a second codes cache: $afterS7 -> $afterS16 cached RDDs")
+    releaseAll()
+  }
 }
