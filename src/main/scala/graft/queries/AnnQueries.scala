@@ -231,15 +231,16 @@ object AnnQueries {
   }
 
   /** s4 — IVF-flat ANN: the other classic ANN scale path (inverted file
-    * index). Coarse quantizer = per-label mean centroids (deterministic:
-    * integer micro-unit arithmetic, see [[centroids]]); every vector is
+    * index). Coarse quantizer = the TRAINED k-means centroids (round
+    * 9; see [[trainedCentroids]]); every vector is
     * assigned to its nearest centroid (argmin L2², label-ascending
-    * tie-break); the query probes its nprobe=2 nearest lists and ranks
-    * only their members by exact cosine. At 100 TB: centroids are a tiny
+    * tie-break); the query probes its [[ivfNprobe]] nearest lists and
+    * ranks only their members by exact cosine. At 100 TB: centroids are a tiny
     * broadcast table, assignment is a scan, and the query touches
     * ~nprobe/nlists of the corpus. */
-  /** Deterministic coarse quantizer, shared by s4/s7/s11/d8 and s12's
-    * seed: per-label mean centroids (label, array<double>[64]) through
+  /** Per-LABEL mean centroids (label, array<double>[64]) — since
+    * round 9 only s10/s11's definition and s12/[[trainedCentroids]]'s
+    * Lloyd SEED (the serving quantizer is the trained one) — through
     * [[graft.functions.VectorSumAgg]]'s quantized integer sums and the
     * half-away-from-zero [[meanMicroLambda]] division — the SAME
     * arithmetic the per-round k-means means use. The earlier
@@ -497,19 +498,23 @@ object AnnQueries {
     * at. */
   private[graft] val quantizerRounds = 10
 
-  /** The full Lloyd run's driver-side state, MEMOIZED per (session,
-    * dir): `rounds(i)` = the (cluster, n, centroid) table after round
-    * i+1, `iters` = rounds to the fixpoint (or the cap). One training
-    * run per session serves s12 (the training query itself) AND every
-    * index consumer (s4/s7/s15/d8/p6 take the round-10 snapshot as
-    * their coarse quantizer) — the artifact-reuse shape of a real
-    * index build, and the same memo discipline as DedupQueries'
-    * labelsMemo. Values are k×d doubles (the algorithm's state, never
-    * row data), so unlike the persisted-DataFrame memos no cache-sweep
-    * liveness guard is needed; stopped sessions are still evicted so a
-    * session-cycling process can't pin dead SparkSessions forever. */
+  /** The Lloyd run's driver-side state, MEMOIZED per (session, dir)
+    * and extended LAZILY: `rounds(i)` = the (cluster, n, centroid)
+    * table after round i+1, `converged` = whether the last stored
+    * round hit the fixpoint. The quantizer consumers (s4/s7/s15/d8/
+    * p6 via [[trainedCentroids]]) only pay the fixed
+    * [[quantizerRounds]]-round budget — an index build spends a known
+    * number of passes; ONLY s12 (the training query itself) extends
+    * the same memoized history to the fixpoint, resuming from the
+    * stored rounds rather than retraining. One Lloyd round is a
+    * deterministic map, so a resumed continuation is identical to an
+    * uninterrupted run. Values are k×d doubles (the algorithm's
+    * state, never row data), so unlike the persisted-DataFrame memos
+    * no cache-sweep liveness guard is needed; stopped sessions are
+    * still evicted so a session-cycling process can't pin dead
+    * SparkSessions forever. */
   private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Vector[Seq[(Long, Long, Seq[Double])]], Int)]()
+    (SparkSession, String), (Vector[Seq[(Long, Long, Seq[Double])]], Boolean)]()
 
   /** Test hook: drop memoized training state so a measurement harness
     * (ScalingCurveSpec) can time the REAL training run instead of the
@@ -517,25 +522,33 @@ object AnnQueries {
     * design. */
   private[graft] def clearTrainingMemo(): Unit = kmeansMemo.clear()
 
-  private[graft] def kmeansState(
-      spark: SparkSession, dir: String): (Vector[Seq[(Long, Long, Seq[Double])]], Int) = {
+  /** Rounds run so far (+ convergence flag), guaranteed to cover
+    * `targetRounds` — or the fixpoint/cap when `toFixpoint`. */
+  private[graft] def kmeansState(spark: SparkSession, dir: String,
+      targetRounds: Int, toFixpoint: Boolean): (Vector[Seq[(Long, Long, Seq[Double])]], Boolean) = {
     import spark.implicits._
     kmeansMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir)
     val cached = kmeansMemo.get(key)
-    if (cached != null) return cached
+    def enough(st: (Vector[Seq[(Long, Long, Seq[Double])]], Boolean)): Boolean =
+      st._2 || (if (toFixpoint) false else st._1.size >= targetRounds)
+    if (cached != null && enough(cached)) return cached
     val e = Tables.loadSpread(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val hist = Vector.newBuilder[Seq[(Long, Long, Seq[Double])]]
       var cur: Seq[(Long, Seq[Double])] =
-        centroids(Tables.load(spark, dir, "embeddings"))
+        if (cached != null) {
+          hist ++= cached._1
+          cached._1.last.map { case (cl, _, cent) => (cl, cent) }
+        } else centroids(Tables.load(spark, dir, "embeddings"))
           .select(col("label").cast("long"), col("centroid"))
           .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-      val hist = Vector.newBuilder[Seq[(Long, Long, Seq[Double])]]
-      var iters = 0
+      var iters = if (cached != null) cached._1.size else 0
       var converged = false
-      while (!converged && iters < kmeansMaxRounds) {
+      val cap = if (toFixpoint) kmeansMaxRounds else math.min(targetRounds, kmeansMaxRounds)
+      while (!converged && iters < cap) {
         val assign = array_min(array(cur.map { case (cl, ct) =>
           struct(L2SquaredDistance(typedLit(ct), col("embedding")).as("d"),
             lit(cl).as("c"))
@@ -552,7 +565,7 @@ object AnnQueries {
         hist += upd
         cur = next
       }
-      val state = (hist.result(), iters)
+      val state = (hist.result(), converged)
       kmeansMemo.put(key, state)
       state
     } finally e.unpersist(blocking = false)
@@ -570,7 +583,8 @@ object AnnQueries {
     * recompute, one training run per session via [[kmeansState]]. */
   private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (hist, _) = kmeansState(spark, dir)
+    // fixed budget only — the serving paths never pay the fixpoint tail
+    val (hist, _) = kmeansState(spark, dir, quantizerRounds, toFixpoint = false)
     val snap = hist(math.min(quantizerRounds, hist.size) - 1)
     snap.map { case (cl, _, cent) => (cl, cent) }
       .toDF("label", "centroid")
@@ -578,7 +592,10 @@ object AnnQueries {
 
   def s12KmeansRun(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (hist, iters) = kmeansState(spark, dir)
+    // the training query runs to the fixpoint, RESUMING from whatever
+    // rounds the quantizer consumers already paid for
+    val (hist, _) = kmeansState(spark, dir, kmeansMaxRounds, toFixpoint = true)
+    val iters = hist.size
     hist.last.flatMap { case (cl, n, cent) =>
       cent.zipWithIndex.map { case (c, p) =>
         (cl, n, (p + 1).toLong, c, iters.toLong)
@@ -867,7 +884,8 @@ object AnnQueries {
       ORDER BY rrf DESC, doc_id LIMIT 10""")
   }
 
-  /** s15 — ANN INDEX EVALUATION: recall@3 of the IVF(nprobe=2) index
+  /** s15 — ANN INDEX EVALUATION: recall@3 of the shipped IVF index
+    * (trained quantizer at [[ivfNprobe]])
     * against the exact kNN baseline for the s6 probe set — the
     * measurement job every ANN deployment runs before shipping an
     * index (an index with unmeasured recall is a bug generator, which
@@ -878,7 +896,7 @@ object AnnQueries {
     * Both sides reuse the family's pinned shapes: exact = s6's
     * broadcast-probe scan + TopKPerKey heap; ANN = the shared coarse
     * quantizer (broadcast centroids + min_by argmin, no window) with
-    * each probe scoring only its 2 nearest cells. The recall join then
+    * each probe scoring only its ivfNprobe nearest cells. The recall join then
     * touches ≤ probes×k id pairs. At 100 TB the exact side is the
     * expensive arm — which is the point: the eval runs ONCE to
     * validate the index that then serves every query from the cheap
@@ -954,7 +972,7 @@ object AnnQueries {
     * (n_hit, n_total) + the -1 total row.
     *
     * Scale shape is PQ's selling point made measurable: the ADC arm
-    * scores probes × corpus against the 4-small-int codes table with
+    * scores probes × corpus against the pqSubspaces-small-int codes table with
     * a BROADCAST (probe, m, codeword) → integer-distance LUT — the
     * corpus-sized input is 4 ints/vector, never the 256-byte floats —
     * and collapses through partial aggregation + a TopKPerKey heap;
@@ -970,7 +988,7 @@ object AnnQueries {
     val codes = pqCodes(spark, e, sub)
     val probes = e.filter(col("vec_id") % 20 === 3)
       .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
-    // per-probe ADC LUT: probes × 4 subspaces × k codewords, integer
+    // per-probe ADC LUT: probes × pqSubspaces × k codewords, integer
     // micro-units (s7's floor(d·1e6 + 0.5) convention) — broadcast
     val qtab = probes
       .select(col("probe_id"), explode(expr(

@@ -608,17 +608,34 @@ object LlmQueries {
     * per hash shard (shards are independent — at 100 TB parallelism
     * is the shard count, and no global sort or corpus-wide window
     * exists anywhere). */
+  /** The shard + greedy-pack bookkeeping, ONE spelling per dialect
+    * for every packing consumer (l18, p7): the kmv 8-way hash shard
+    * and the partition-local running-sum window DIV the 2048 budget.
+    * A budget or frame change lands everywhere at once — the same
+    * shared-text discipline as bpeApplyCountsSelect. */
+  private[queries] def packIdSpark(tok: String): String =
+    s"""CAST(coalesce(sum($tok) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           DIV 2048 AS BIGINT) AS pack_id"""
+
+  private[queries] def packIdDuck(tok: String): String =
+    s"""CAST(COALESCE(SUM($tok) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id"""
+
+  private[queries] def shardSpark(id: String): String =
+    s"CAST(${FunctionQueries.kmvHashSpark(id)} % 8 AS BIGINT) AS shard"
+
+  private[queries] def shardDuck(id: String): String =
+    s"CAST((${FunctionQueries.kmvHashDuck(id)}) % 8 AS BIGINT) AS shard"
+
   def l18SubwordPack(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents")
       .selectExpr("doc_id",
         "subword_count(lower(text)) AS n_tokens",
-        s"CAST(${FunctionQueries.kmvHashSpark("doc_id")} % 8 AS BIGINT) AS shard")
-      .selectExpr("shard", "doc_id", "n_tokens",
-        """CAST(coalesce(sum(n_tokens) OVER (
-             PARTITION BY shard ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           DIV 2048 AS BIGINT) AS pack_id""")
+        shardSpark("doc_id"))
+      .selectExpr("shard", "doc_id", "n_tokens", packIdSpark("n_tokens"))
       .orderBy("shard", "doc_id")
   }
 
@@ -1062,14 +1079,11 @@ object LlmQueries {
     // arithmetic (// is DuckDB integer division; the CAST collapses
     // its HUGEINT window sums to Spark's BIGINT)
     "l18_subword_pack" ->
-      (s"""WITH RECURSIVE ${TextQueries.subwordCtesDuck},
-      t AS (SELECT doc_id, n_subword AS n_tokens,
-          CAST((""" + FunctionQueries.kmvHashDuck("doc_id") + """) % 8 AS BIGINT) AS shard
+      s"""WITH RECURSIVE ${TextQueries.subwordCtesDuck},
+      t AS (SELECT doc_id, n_subword AS n_tokens, ${shardDuck("doc_id")}
         FROM swc)
-      SELECT shard, doc_id, n_tokens,
-        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
-      FROM t ORDER BY shard, doc_id"""),
+      SELECT shard, doc_id, n_tokens, ${packIdDuck("n_tokens")}
+      FROM t ORDER BY shard, doc_id""",
     // the row_number spelling of TopKPerKey(k=15) over the shared t2
     // score CTE — same score arithmetic, same (score desc, doc_id)
     // tie-break, so the kept set is deterministic on both engines

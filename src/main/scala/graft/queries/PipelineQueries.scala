@@ -239,12 +239,9 @@ object PipelineQueries {
       .select(col("doc_id"),
         graft.functions.BpeApplyCount(col("text"), merges).as("n_trained_tokens"))
       .selectExpr("doc_id", "n_trained_tokens",
-        s"CAST(${FunctionQueries.kmvHashSpark("doc_id")} % 8 AS BIGINT) AS shard")
+        LlmQueries.shardSpark("doc_id"))
       .selectExpr("shard", "doc_id", "n_trained_tokens",
-        """CAST(coalesce(sum(n_trained_tokens) OVER (
-             PARTITION BY shard ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           DIV 2048 AS BIGINT) AS pack_id""")
+        LlmQueries.packIdSpark("n_trained_tokens"))
       .orderBy("shard", "doc_id")
   }
 
@@ -267,12 +264,9 @@ object PipelineQueries {
       "p7_tokenizer_release" ->
         s"""WITH ${LlmQueries.bpeCtesDuck},
         counts AS (${LlmQueries.bpeApplyCountsSelect}),
-        t AS (SELECT doc_id, n_trained_tokens,
-                CAST((${FunctionQueries.kmvHashDuck("doc_id")}) % 8 AS BIGINT) AS shard
+        t AS (SELECT doc_id, n_trained_tokens, ${LlmQueries.shardDuck("doc_id")}
               FROM counts)
-        SELECT shard, doc_id, n_trained_tokens,
-          CAST(COALESCE(SUM(n_trained_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+        SELECT shard, doc_id, n_trained_tokens, ${LlmQueries.packIdDuck("n_trained_tokens")}
         FROM t ORDER BY shard, doc_id""",
       // p6: the shared centroid CTEs + the s11 row_number assignment
       // spelling for the cluster rows; term/corpus rows are plain

@@ -27,23 +27,40 @@ class MixPlanSpec extends AnyFunSuite with SparkSuite {
     val budget = avail.sum / 2
     assert(expected.sum <= budget,
       s"plan overspends: ${expected.sum} > budget $budget")
-    // floor-rounding slack is bounded: within one token per source +
-    // one per rate quantum
-    assert(expected.sum >= budget - rows.length * 2 - budget / 100000,
-      s"plan underspends implausibly: ${expected.sum} vs $budget")
     rows.foreach { r =>
       assert(r.getLong(4) <= 1000000L)
       assert(r.getLong(5) <= r.getLong(2), "expected exceeds available")
     }
-    // anti-monotone where unclamped: bigger source -> rate no higher
+    // per-source fidelity (the sound version of a global lower bound,
+    // which is FALSE whenever the clamp binds — clamped surplus is by
+    // design not redistributed): a clamped source keeps everything;
+    // an unclamped source's expected tokens sit within floor slack of
+    // its temperature share B·w/W
+    val weights = rows.map(_.getLong(3))
+    val wsum = weights.sum.toDouble
+    rows.foreach { r =>
+      val (a, w, rate, exp) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      if (rate == 1000000L) assert(exp == a, s"clamped source must keep all: $exp vs $a")
+      else {
+        val share = budget.toDouble * w / wsum
+        // two floors: the rate quantum loses ≤ A/1e6 tokens, the
+        // expected floor ≤ 1 more
+        assert(math.abs(exp - share) <= a / 1e6 + 2,
+          f"${r.getString(0)} expected $exp vs share $share%.1f (avail $a)")
+      }
+    }
+    // anti-monotone where unclamped AND materially different in size —
+    // the weight_milli floor can legitimately invert rates between
+    // near-equal availabilities (a ≤1-milli weight loss outweighs the
+    // <0.5% true rate gap), so only assert across a ≥1% size gap
     val unclamped = rows.filter(_.getLong(4) < 1000000L)
       .map(r => (r.getLong(2), r.getLong(4))).sortBy(_._1)
-    unclamped.sliding(2).foreach {
-      case Array((a1, r1), (a2, r2)) =>
-        if (a1 < a2) assert(r2 <= r1,
-          s"temperature direction violated: avail $a1->$a2 but rate $r1->$r2")
-      case _ =>
-    }
+    for {
+      (a1, r1) <- unclamped
+      (a2, r2) <- unclamped
+      if a2 >= (a1 * 1.01).toLong && a1 >= 1000
+    } assert(r2 <= r1,
+      s"temperature direction violated: avail $a1->$a2 but rate $r1->$r2")
   }
 
   test("l26 realizes the plan: per-source keep fraction tracks rate; rerun identical") {

@@ -64,7 +64,10 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       "d12_span_cut" -> (graft.queries.DedupQueries.d12SpanCut _),
       // s7: PQ encode is an argmin aggregate over broadcast
       // codebooks — per-vector work is constant (M x K x d/M
-      // multiplies), so wall time must track vector count
+      // multiplies). Since round 9 the timed arm ALSO includes the
+      // quantizer's fixed 10-round Lloyd training (releaseCaches
+      // clears the memo so this spec measures real work; each round
+      // is one scan, so the training term is itself linear in rows)
       "s7_ivf_pq" -> (graft.queries.AnnQueries.s7IvfPq _),
       // round-6 batch-2/3 heavies —
       // t9: the char_stats kernel walks every code point of the
