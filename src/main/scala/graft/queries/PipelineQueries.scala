@@ -245,8 +245,67 @@ object PipelineQueries {
       .orderBy("shard", "doc_id")
   }
 
+  /** p8 — INCREMENTAL INDEX REFRESH: maintain p6's hybrid-index
+    * manifest by encoding ONLY a delta and MERGING it with the base
+    * partition's aggregates — the nightly job that keeps a retrieval
+    * index fresh without re-scanning the corpus (x72's mergeable-
+    * algebra discipline applied to the index artifact). The corpus
+    * splits on doc_id/vec_id mod 5 (the "yesterday's index" base vs
+    * "today's crawl" delta); each side computes FULL term-level
+    * (df, cf) aggregates, per-cell counts under the SHARED trained
+    * quantizer (a refresh assigns new vectors to the EXISTING
+    * quantizer — it never retrains), and corpus norms; the merge is
+    * per-key integer sums and the top-20 head is cut AFTER the merge
+    * (a head cut is not mergeable; the maintained state is the full
+    * term aggregate, the head is a view of it).
+    *
+    * The ORACLE is p6's from-scratch build verbatim: merge(agg(base),
+    * agg(delta)) must equal agg(all) exactly — a wrong merge algebra
+    * (head-cut before merge, df max instead of sum, a cell count
+    * dropped) cannot hash-match. At 100 TB the base arm is a STORED
+    * manifest (delta-sized work only); here both arms compute so the
+    * equality is end-to-end checked. */
+  def p8IndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    def termAgg(side: DataFrame): DataFrame =
+      side.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val termsMerged = termAgg(docs.filter(col("doc_id") % 5 =!= 4))
+      .unionByName(termAgg(docs.filter(col("doc_id") % 5 === 4)))
+      .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+    val topTerms = termsMerged
+      .orderBy(col("df").desc, col("term")).limit(20)
+      .select(lit("term").as("kind"), col("term").as("key"),
+        col("df").as("n1"), col("cf").as("n2"))
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = AnnQueries.trainedCentroids(spark, dir)
+    def cellAgg(side: DataFrame): DataFrame =
+      AnnQueries.assignCells(side, cent)
+        .groupBy("clabel").agg(count(lit(1)).as("n1"))
+    val clusters = cellAgg(e.filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id"), col("embedding")))
+      .unionByName(cellAgg(e.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), col("embedding"))))
+      .groupBy("clabel").agg(sum("n1").as("n1"))
+      .select(lit("cluster").as("kind"), col("clabel").cast("string").as("key"),
+        col("n1"), lit(0L).as("n2"))
+    def corpusAgg(side: DataFrame): DataFrame =
+      side.select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n1"), sum("dl").as("n2"))
+    val corpus = corpusAgg(docs.filter(col("doc_id") % 5 =!= 4))
+      .unionByName(corpusAgg(docs.filter(col("doc_id") % 5 === 4)))
+      .agg(sum("n1").as("n1"), sum("n2").as("n2"))
+      .select(lit("corpus").as("kind"), lit("all").as("key"), col("n1"), col("n2"))
+    topTerms.unionByName(clusters).unionByName(corpus)
+      .orderBy("kind", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p6_hybrid_index" -> (p6HybridIndex _),
+    "p8_index_refresh" -> (p8IndexRefresh _),
     "p7_tokenizer_release" -> (p7TokenizerRelease _),
     "p1_training_pipeline" -> (p1TrainingPipeline _),
     "p3_curation_pipeline" -> (p3CurationPipeline _),
@@ -254,25 +313,11 @@ object PipelineQueries {
     "p5_refresh_packs" -> (p5RefreshPacks _),
   )
 
-  val oracleSql: Map[String, String] = {
+  /** The from-scratch hybrid-index build SQL — p6's twin, and BY
+    * DESIGN also p8's (the incremental refresh must reproduce it). */
+  private def p6FromScratchDuck: String = {
     val w = "string_split(text, ' ')"
-    Map(
-      // p7: the l19 twin's MATERIALIZED training chain + the l22
-      // twin's apply-count select + the l18 twin's pack window — each
-      // stage's shared text composed verbatim, so the released
-      // manifest is definitionally the three stages' agreement
-      "p7_tokenizer_release" ->
-        s"""WITH ${LlmQueries.bpeCtesDuck},
-        counts AS (${LlmQueries.bpeApplyCountsSelect}),
-        t AS (SELECT doc_id, n_trained_tokens, ${LlmQueries.shardDuck("doc_id")}
-              FROM counts)
-        SELECT shard, doc_id, n_trained_tokens, ${LlmQueries.packIdDuck("n_trained_tokens")}
-        FROM t ORDER BY shard, doc_id""",
-      // p6: the shared centroid CTEs + the s11 row_number assignment
-      // spelling for the cluster rows; term/corpus rows are plain
-      // integer aggregates — every output cell is exact
-      "p6_hybrid_index" ->
-        s"""WITH ${AnnQueries.trainedCentCtesDuck},
+    s"""WITH ${AnnQueries.trainedCentCtesDuck},
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
                 SELECT doc_id, unnest($w) AS term FROM documents) t
                WHERE term <> '' GROUP BY doc_id, term),
@@ -291,7 +336,31 @@ object PipelineQueries {
                  CAST(SUM(length($w)) AS BIGINT) AS n2 FROM documents)
         SELECT * FROM (SELECT * FROM topt UNION ALL SELECT * FROM cl
                        UNION ALL SELECT * FROM co)
-        ORDER BY kind, key""",
+        ORDER BY kind, key"""
+  }
+
+  val oracleSql: Map[String, String] = {
+    val w = "string_split(text, ' ')"
+    Map(
+      // p7: the l19 twin's MATERIALIZED training chain + the l22
+      // twin's apply-count select + the l18 twin's pack window — each
+      // stage's shared text composed verbatim, so the released
+      // manifest is definitionally the three stages' agreement
+      "p7_tokenizer_release" ->
+        s"""WITH ${LlmQueries.bpeCtesDuck},
+        counts AS (${LlmQueries.bpeApplyCountsSelect}),
+        t AS (SELECT doc_id, n_trained_tokens, ${LlmQueries.shardDuck("doc_id")}
+              FROM counts)
+        SELECT shard, doc_id, n_trained_tokens, ${LlmQueries.packIdDuck("n_trained_tokens")}
+        FROM t ORDER BY shard, doc_id""",
+      // p6: the shared centroid CTEs + the s11 row_number assignment
+      // spelling for the cluster rows; term/corpus rows are plain
+      // integer aggregates — every output cell is exact.
+      // p8 deliberately shares this EXACT text: the refresh's
+      // merge(agg(base), agg(delta)) must equal the from-scratch
+      // build, so its oracle IS the from-scratch build
+      "p6_hybrid_index" -> p6FromScratchDuck,
+      "p8_index_refresh" -> p6FromScratchDuck,
       "p1_training_pipeline" ->
         s"""WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
         d AS (SELECT documents.* FROM documents JOIN survivors USING (doc_id)),

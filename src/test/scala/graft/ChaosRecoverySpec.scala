@@ -475,7 +475,7 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss corrupted the merge table: $got vs clean $clean")
   }
 
-  test("p3/p4/p5/p6/p7 batch pipelines survive executor SIGKILL; manifests byte-equal") {
+  test("p3/p4/p5/p6/p7/p8 batch pipelines survive executor SIGKILL; manifests byte-equal") {
     // the composed BATCH pipelines (p3 curation, p4 release, p5/p6
     // refresh) are the artifacts a user ships, and unlike the
     // streaming family they carry no checkpoint — recovery is pure
@@ -488,13 +488,14 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     val outP5 = s"$work/out_p5"
     val outP6 = s"$work/out_p6"
     val outP7 = s"$work/out_p7"
+    val outP8 = s"$work/out_p8"
     val sfDir = "/root/testdata/sf0.01"
     val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
     val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
     val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
     val cmd = Seq("java") ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", cp, "graft.ChaosP34Runner",
-      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5, outP6, outP7)
+      "local-cluster[2,1,1024]", s"$mainClasses:$testClasses", marker, sfDir, outP3, outP4, outP5, outP6, outP7, outP8)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_HOME", "/opt/spark")
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
@@ -546,6 +547,12 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(cleanP7.nonEmpty)
     assert(gotP7 == cleanP7,
       s"executor loss corrupted p7 manifest: ${gotP7.size} rows vs clean ${cleanP7.size}")
+    val gotP8 = spark.read.parquet(outP8).collect().map(_.toString).toSeq.sorted
+    val cleanP8 = graft.queries.PipelineQueries.p8IndexRefresh(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(cleanP8.nonEmpty)
+    assert(gotP8 == cleanP8,
+      s"executor loss corrupted p8 manifest: ${gotP8.size} rows vs clean ${cleanP8.size}")
   }
 
   test("p2 pipeline survives executor SIGKILL on local-cluster; manifest exactly-once") {

@@ -183,7 +183,7 @@ object ChaosP2Runner {
   * shuffle files on it. */
 object ChaosP34Runner {
   def main(args: Array[String]): Unit = {
-    val Array(master, execCp, marker, sfDir, outP3, outP4, outP5, outP6, outP7) = args
+    val Array(master, execCp, marker, sfDir, outP3, outP4, outP5, outP6, outP7, outP8) = args
     val spark = ChaosHarness.session(master, execCp, "chaos_p34")
     val execPids = ChaosHarness.harvestExecutorPids(spark)
     @volatile var tasksStarted = 0
@@ -208,6 +208,8 @@ object ChaosP34Runner {
       .write.mode("overwrite").parquet(outP6)
     graft.queries.PipelineQueries.p7TokenizerRelease(spark, sfDir)
       .write.mode("overwrite").parquet(outP7)
+    graft.queries.PipelineQueries.p8IndexRefresh(spark, sfDir)
+      .write.mode("overwrite").parquet(outP8)
     spark.stop()
   }
 }

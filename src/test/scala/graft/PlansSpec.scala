@@ -187,6 +187,16 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("p8: refresh merges full aggregates, cuts the head AFTER the merge, no window") {
+    val p = plan("p8_index_refresh")
+    assert(!p.contains("Window"), p.take(4000))
+    // base + delta term aggregates, the merge layer, the cell merges
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 6, p.take(4000))
+    // ONE head cut, downstream of the merge — a bounded heap
+    assert("TakeOrderedAndProject".r.findAllMatchIn(p).size == 1, p.take(4000))
+    assert(p.contains("min_by"), p.take(4000))
+  }
+
   test("p7: release manifest = fused apply kernel in the scan + per-shard pack window only") {
     val p = plan("p7_tokenizer_release")
     // apply is the fused kernel, never the interpreted fold chain
