@@ -42,6 +42,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Optional shared-CTE manifest: the trained-quantizer chain is
+    // embedded verbatim in 8 oracles; a harness that materializes it
+    // once (CREATE TEMP TABLE, then exact-text substitution) avoids
+    // retraining the quantizer per oracle query. Every oracle stays
+    // self-contained — a harness that ignores this file is unaffected.
+    val chain = graft.queries.AnnQueries.tcentChainDuck
+    val shared =
+      s"""{"tcent": {"chain": ${q(chain)},
+        "materialize": ${q(s"CREATE TEMP TABLE __tcent_mat AS WITH $chain SELECT label, centroid FROM tcent")},
+        "replacement": ${q("tcent AS (SELECT label, centroid FROM __tcent_mat)")}}}"""
+    Files.writeString(Paths.get(s"$outDir/oracle_shared.json"), shared)
     spark.stop()
   }
 }

@@ -283,7 +283,11 @@ object DedupQueries {
     labelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir)
     val cached = labelsMemo.get(key)
-    if (cached != null && scala.util.Try(cached.take(1)).isSuccess) cached
+    // count(), not take(1): a first-partition probe passes after
+    // PARTIAL block loss (executor death) and the consumer then fails
+    // on the lost blocks instead of self-healing (ADVICE r9); the
+    // labels are two id columns, so the full-block probe is cheap
+    if (cached != null && scala.util.Try(cached.count()).isSuccess) cached
     else {
       labelsMemo.remove(key) // drop a swept-cache (guard-failed) entry
       val pairs = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
@@ -362,13 +366,33 @@ object DedupQueries {
     * column never reaches CC. */
   def d14FullDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val resemblance = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
-    val containment = containmentPairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    graft.operators.ConnectedComponents.run(docs, resemblance.union(containment))
-      .select(col("id").as("doc_id"), col("cluster"))
-      .orderBy("doc_id")
+    mergedLabelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (spark, dir)
+    val cached = mergedLabelsMemo.get(key)
+    val labels =
+      if (cached != null && scala.util.Try(cached.count()).isSuccess) cached
+      else {
+        mergedLabelsMemo.remove(key)
+        val resemblance = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+        val containment = containmentPairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+        val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        val l = graft.operators.ConnectedComponents.run(docs, resemblance.union(containment))
+          .select(col("id").as("doc_id"), col("cluster"))
+        mergedLabelsMemo.put(key, l)
+        l
+      }
+    labels.orderBy("doc_id")
   }
+
+  /** d14's merged-modality cluster labels, memoized per (session, dir)
+    * with the [[labelsMemo]] discipline: ConnectedComponents.run is
+    * EAGER (driver-driven star rounds), so the cache manager's
+    * canonicalized-plan dedup cannot share it across invocations —
+    * without the memo every d14 call re-runs the whole CC loop even
+    * with both pair manifests cached. Full-partition count() probe,
+    * same rationale as [[labelsMemo]]. */
+  private val mergedLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   // --- d7: quality-aware canonical representative per cluster ---------------
 
@@ -514,8 +538,13 @@ object DedupQueries {
     val e = spark.sql(
       "SELECT user_id, event_type, CAST(hour(ts) AS BIGINT) AS hod, dayofmonth(ts) AS dy FROM events")
     e.createOrReplaceTempView("d10_e")
+    // the base key set feeds BOTH the sketch build and the exact
+    // confirm join — persist it (session-scoped, the resemblancePairs
+    // discipline; cache-manager plan dedup keeps double invocations at
+    // one copy) so the events scan + DISTINCT runs once, not twice
     val base = spark.sql(
       s"SELECT DISTINCT user_id, event_type, hod, $key AS h FROM d10_e WHERE dy <= 15")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inc = spark.sql(
       s"SELECT DISTINCT user_id, event_type, hod, $key AS h FROM d10_e WHERE dy > 15")
     val bloom = base.agg(graft.functions.BloomAgg(col("h")).as("bf"))

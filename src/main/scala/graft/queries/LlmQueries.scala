@@ -703,8 +703,13 @@ object LlmQueries {
     * scaling harness time real training runs. */
   private[graft] def clearTrainingMemo(): Unit = mergesMemo.clear()
 
+  /** Guards the memo's check-then-act: two concurrent first callers
+    * would otherwise each run the full training loop with the last
+    * put winning — correct but duplicated work (ADVICE r9). */
+  private val trainLock = new Object
+
   private[graft] def learnedMerges(
-      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = trainLock.synchronized {
     mergesMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir)
     val cached = mergesMemo.get(key)

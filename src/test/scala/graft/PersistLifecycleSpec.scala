@@ -64,16 +64,60 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("s7/s16 share ONE persisted PQ codes table across invocations") {
+  test("s7/s15/s16 share ONE codes table and ONE exact-kNN manifest across invocations") {
     releaseAll()
+    // s15 persists the exact-kNN ground-truth manifest
+    graft.queries.AnnQueries.s15AnnRecall(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val afterS15 = cachedRddCount()
+    // s7 adds exactly the PQ codes table (it does not touch the manifest)
     graft.queries.AnnQueries.s7IvfPq(spark, dir)
       .write.format("noop").mode("overwrite").save()
     val afterS7 = cachedRddCount()
+    assert(afterS7 == afterS15 + 1,
+      s"s7 should add exactly the codes cache: $afterS15 -> $afterS7 cached RDDs")
+    // s16 consumes BOTH shared artifacts — no new cache entries
     graft.queries.AnnQueries.s16PqRecall(spark, dir)
       .write.format("noop").mode("overwrite").save()
     val afterS16 = cachedRddCount()
     assert(afterS16 == afterS7,
-      s"s16 stacked a second codes cache: $afterS7 -> $afterS16 cached RDDs")
+      s"s16 stacked a second codes/exact-kNN cache: $afterS7 -> $afterS16 cached RDDs")
     releaseAll()
+  }
+
+  test("d10 double-invoke reuses one base-key-set cache entry") {
+    assertNoStacking("d10_bloom_dedup") {
+      graft.queries.DedupQueries.d10BloomDedup(spark, dir)
+    }
+  }
+
+  test("d14 double-invoke reuses the memoized merged-CC labels (no re-run, no stacking)") {
+    assertNoStacking("d14_full_dedup") {
+      graft.queries.DedupQueries.d14FullDedup(spark, dir)
+    }
+  }
+
+  test("p8 base manifest is BUILT once per input fingerprint, READ thereafter") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("p8_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val before = graft.queries.PipelineQueries.p8BaseBuilds.get()
+      val first = graft.queries.PipelineQueries.p8IndexRefresh(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.PipelineQueries.p8BaseBuilds.get() == before + 1,
+        "first refresh must build the stored base manifest")
+      val afterFirst = cachedRddCount()
+      val second = graft.queries.PipelineQueries.p8IndexRefresh(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.PipelineQueries.p8BaseBuilds.get() == before + 1,
+        "second refresh must READ the stored base manifest, not rebuild it")
+      assert(cachedRddCount() == afterFirst,
+        "p8 re-invoke stacked persisted relations")
+      assert(second == first, "stored-manifest refresh diverged from the first run")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
   }
 }
