@@ -12,32 +12,18 @@ import graft.core.Tables
   * for libjpeg/ffmpeg-style libraries that can't be expressed as
   * Catalyst expressions.
   *
-  * m1–m3 use a deterministic STUB kernel (no ffmpeg/libjpeg in this
-  * container): [[DecodeStub.decode]] derives fake dimensions from the
-  * byte payload, and everything AROUND it — binary column handling,
-  * the Dataset encoder round-trip, per-partition batching, the output
-  * schema — is real and oracle-checked (the stub's arithmetic is
-  * reproducible in SQL, which is exactly why it's the stand-in).
-  * m4–m13 run REAL codecs (the JDK's PNG/WAV/JPEG/MJPEG/GIF/TIFF
-  * implementations in [[MultimodalKernels]]) behind the same seam,
-  * with losslessness making the decoded metadata oracle-computable;
-  * stubs remain ONLY where the sandbox ships no codec (m1/m2's
-  * generic seam, m3's pre-demux sampler — superseded by m8's real
-  * MJPEG demux).
+  * m1 and m4–m13 run REAL codecs (the JDK's PNG/WAV/JPEG/MJPEG/GIF/
+  * TIFF implementations in [[MultimodalKernels]]) behind an
+  * imperative per-partition seam, with losslessness making the
+  * decoded metadata oracle-computable. Deterministic STUB kernels
+  * remain ONLY where the sandbox ships no codec (m2's
+  * model-embedding feature extractor; m3's pre-demux frame sampler —
+  * superseded by m8's real MJPEG demux): there the stub's arithmetic
+  * is reproducible in SQL, and everything AROUND it — binary column
+  * handling, the Dataset encoder round-trip, per-partition batching,
+  * the output schema — is real and oracle-checked.
   */
 object MultimodalQueries {
-
-  /** Stand-in for a real media decoder. Replace `decode` with the real
-    * library call (e.g. javax.imageio / ffmpeg JNI) on a cluster that
-    * ships it; the signature — bytes in, typed metadata out — and the
-    * batched per-partition call pattern are the real contract. */
-  object DecodeStub {
-    final case class Media(nBytes: Long, width: Long, height: Long, channels: Long)
-    def decode(bytes: Array[Byte]): Media = {
-      val n = bytes.length.toLong
-      Media(n, n % 640 + 1, (n * 31) % 480 + 1, 3L)
-    }
-  }
 
   /** (doc_id, payload) for the whole corpus, spread to the session's
     * parallelism ([[Tables.spread]]) — a mapPartitions codec kernel
@@ -50,22 +36,39 @@ object MultimodalQueries {
       .as[(Long, Array[Byte])]
   }
 
-  /** m1 — decode a binary media column to typed metadata.
-    * The binary payload is synthesized from `text` (UTF-8 bytes) since
-    * the test corpus has no real media; `mapPartitions` processes rows
-    * in batches of 64, the batch shape a vectorized decode would use
-    * (amortizing per-call setup such as decoder contexts). */
+  /** m1 — GENERIC decode of a binary media column to the typed
+    * metadata record a lake catalog stores: (kind, width, height,
+    * channels, px_check), over REAL containers (round 10; the
+    * byte-arithmetic DecodeStub this replaces predates the codec
+    * suite). Each payload is encoded into one of the four container
+    * formats by doc_id mod 4 (m13's mixed-column reality — PNG / WAV /
+    * JPEG / GIF) and then described through
+    * [[MultimodalKernels.describeMedia]], which sniffs magic bytes and
+    * dispatches to the right JDK decoder — the kernel sees ONLY bytes,
+    * while the oracle reconstructs every field independently from the
+    * encoding assignment and each codec's established geometry
+    * contract, so a mis-sniff, stride bug, or channel mixup
+    * hash-fails. `mapPartitions` processes rows in batches of 64, the
+    * batch shape a vectorized decode uses (amortizing per-call setup
+    * such as decoder contexts); scale shape is scan-speed like the
+    * rest of the media suite. */
   def m1MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = binaryPayloads(spark, dir)
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { case (id, bytes) =>
-          val m = DecodeStub.decode(bytes)
-          (id, m.nBytes, m.width, m.height, m.channels)
+          val container = (id % 4) match {
+            case 0 => MultimodalKernels.encodePng(bytes)
+            case 1 => MultimodalKernels.encodeWav(bytes)
+            case 2 => MultimodalKernels.encodeJpeg(bytes)
+            case _ => MultimodalKernels.encodeGif(bytes)
+          }
+          val (kind, w, h, ch, px) = MultimodalKernels.describeMedia(container)
+          (id, kind, w, h, ch, px)
         }
       }
-    }.toDF("doc_id", "n_bytes", "width", "height", "channels")
+    }.toDF("doc_id", "kind", "width", "height", "channels", "px_check")
       .orderBy("doc_id")
   }
 
@@ -556,13 +559,37 @@ object MultimodalQueries {
                      ELSE length(text) % 128 END) / 32.0)) AS BIGINT) AS hl
             FROM documents) t
       ORDER BY doc_id""",
-    // The stub's arithmetic, restated over DuckDB's UTF-8 byte length.
+    // m1: the generic metadata record reconstructed INDEPENDENTLY
+    // from the encoding assignment (doc_id mod 4) and each codec's
+    // contract — never from the container bytes. Geometry: PNG/JPEG
+    // are 32-wide with h = ceil(len/32) (the m5/m7 layout), WAV is
+    // the 1×frames raster (one frame per byte, m6), GIF stacks its
+    // frames (full frames 4 rows, the last frame's height from the
+    // residual — m9's arithmetic). All four encoders are
+    // mono/grayscale -> channels = 1; px_check = plain byte sum for
+    // the lossless kinds (sums sit far below the kernels' 1e9+7
+    // modulus), -1 for the lossy JPEG by contract.
     "m1_multimodal_decode" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width, " +
-        "CAST((octet_length(encode(text)) * 31) % 480 + 1 AS BIGINT) AS height, " +
-        "CAST(3 AS BIGINT) AS channels " +
-        "FROM documents ORDER BY doc_id"),
+      """SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                WHEN 2 THEN 'jpeg' ELSE 'gif' END AS kind,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN length(text) ELSE 32 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1
+                     WHEN doc_id % 4 = 3 THEN (nf - 1) * 4 + hl
+                     ELSE greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT))
+                END AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN -1
+                     ELSE coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                            i -> ord(text[i]))), 0) % 1000000007
+                END AS BIGINT) AS px_check
+      FROM (SELECT doc_id, text,
+              CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nf,
+              CAST(greatest(1, ceil((CASE WHEN length(text) = 0 THEN 0
+                     WHEN length(text) % 128 = 0 THEN 128
+                     ELSE length(text) % 128 END) / 32.0)) AS BIGINT) AS hl
+            FROM documents) t
+      ORDER BY doc_id""",
     // ASCII corpus: byte histogram == code-point histogram; the
     // floor(x*1e6+0.5) spelling matches the Scala stub exactly. Long
     // shape (doc_id, bin, value) — scalar columns only, oracle-hashable.
@@ -1018,6 +1045,82 @@ object MultimodalKernels {
     } else if (c.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') {
       val sums = decodeGifFrameSums(c); ("gif", sums.length.toLong, sums.sum)
     } else ("unknown", -1L, -1L)
+  }
+
+  /** m1's generic DESCRIBE: sniff the container (the [[routeDecode]]
+    * magic table) and decode it to the media-metadata record a lake
+    * catalog stores — (kind, width, height, channels, px_check).
+    * Every field comes from the DECODED object only (raster dims and
+    * band count, parsed audio frames/channels, the reader's frame
+    * walk), never from the encoder's inputs — m1's oracle
+    * reconstructs the record independently from the encoding
+    * assignment, so a wrong sniff, a stride bug, or a mis-dispatch
+    * hash-fails. Conventions: audio is the 1×frames "raster" (width =
+    * decoded frame count, height = 1); an animated GIF stacks its
+    * frames (width = frame width, height = Σ frame heights);
+    * px_check is the lossless kinds' decoded sample sum mod P and −1
+    * for the lossy JPEG (whose signal gate is m7's tolerance line —
+    * geometry still checks exactly). */
+  def describeMedia(c: Array[Byte]): (String, Long, Long, Long, Long) = {
+    def b(i: Int) = c(i) & 0xff
+    def rasterDescribe(kind: String): (String, Long, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+      require(img != null, s"payload (${c.length} bytes) is not a decodable $kind")
+      val r = img.getRaster
+      var sum = 0L
+      if (kind != "jpeg") {
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum = (sum + r.getSample(x, y, 0)) % P; x += 1 }
+          y += 1
+        }
+      } else sum = -1L
+      (kind, img.getWidth.toLong, img.getHeight.toLong, r.getNumBands.toLong, sum)
+    }
+    if (c.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      rasterDescribe("png")
+    else if (c.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+        && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      val (_, ch, frames, sum) = decodeWav(c)
+      ("wav", frames, 1L, ch, sum)
+    } else if (c.length >= 2 && b(0) == 0xff && b(1) == 0xd8)
+      rasterDescribe("jpeg")
+    else if (c.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') {
+      // frame walk through the multi-image reader: width from the
+      // first frame, height = Σ frame heights, pixels via getRGB
+      // (palette order is not a contract — see decodeGifFrames)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(c))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var w = 0L
+        var hSum = 0L
+        var pxSum = 0L
+        var k = 0
+        while (k < n) {
+          val img = reader.read(k)
+          if (k == 0) w = img.getWidth.toLong
+          hSum += img.getHeight
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              pxSum = (pxSum + (img.getRGB(x, y) & 0xff)) % P
+              x += 1
+            }
+            y += 1
+          }
+          k += 1
+        }
+        ("gif", w, hSum, 1L, pxSum)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } else ("unknown", -1L, -1L, -1L, -1L)
   }
 
   /** The JDK's RIFF/WAVE codec, resolved ONCE per JVM.

@@ -234,6 +234,44 @@ class MultimodalKernelSpec extends AnyFunSuite {
     assert(geom == 300L && px == 300L * 7)
   }
 
+  test("m1 describeMedia returns the full decoded record per kind, from bytes alone") {
+    val P = 1000000007L
+    payloads.foreach { bytes =>
+      val byteSum = bytes.foldLeft(0L)((s, b) => (s + (b & 0xff)) % P)
+      val h = math.max(1, (bytes.length + 31) / 32)
+      assert(MultimodalKernels.describeMedia(MultimodalKernels.encodePng(bytes)) ==
+        (("png", 32L, h.toLong, 1L, byteSum)), s"png record (len ${bytes.length})")
+      assert(MultimodalKernels.describeMedia(MultimodalKernels.encodeWav(bytes)) ==
+        (("wav", bytes.length.toLong, 1L, 1L, byteSum)), s"wav record (len ${bytes.length})")
+      // JPEG: exact geometry/channels, sentinel px_check (lossy)
+      assert(MultimodalKernels.describeMedia(MultimodalKernels.encodeJpeg(bytes)) ==
+        (("jpeg", 32L, h.toLong, 1L, -1L)), s"jpeg record (len ${bytes.length})")
+      // GIF: frames stack — height = (nf-1)*4 + last frame's rows
+      val nf = math.max(1, (bytes.length + 127) / 128)
+      val residual =
+        if (bytes.length == 0) 0
+        else if (bytes.length % 128 == 0) 128 else bytes.length % 128
+      val hl = math.max(1, (residual + 31) / 32)
+      assert(MultimodalKernels.describeMedia(MultimodalKernels.encodeGif(bytes)) ==
+        (("gif", 32L, ((nf - 1) * 4 + hl).toLong, 1L, byteSum)),
+        s"gif record (len ${bytes.length})")
+    }
+    assert(MultimodalKernels.describeMedia("not a container".getBytes)._1 == "unknown")
+  }
+
+  test("m1 describeMedia agrees with the foreign fixtures' independent encoders") {
+    // same second-engine discipline as the decode fixtures: the
+    // generic describe must read geometry/signal from genuinely
+    // foreign bytes, not just the JDK writer's own output
+    assert(MultimodalKernels.describeMedia(fixture("foreign_5x3.png")) ==
+      (("png", 5L, 3L, 1L, 450L)))
+    assert(MultimodalKernels.describeMedia(fixture("foreign_8k.wav")) ==
+      (("wav", 39L, 1L, 1L, 4182L)))
+    val (kind, w, h, ch, px) = MultimodalKernels.describeMedia(fixture("foreign_2x2.jpg"))
+    assert((kind, w, h, px) == (("jpeg", 2L, 2L, -1L)))
+    assert(ch >= 1L)
+  }
+
   test("FOREIGN payloads decode to pinned values (encoder-independent)") {
     // Roundtrip tests can't catch a SYMMETRIC encode/decode bug (both
     // sides agreeing on a wrong stride, color model, or byte order).
