@@ -158,11 +158,19 @@ object Bench {
     }
     val famSums = byFam.map { case (f, rs) => (f.toString, rs.map(_._2).sum) }
     val slow = results.sortBy(-_._2).take(12).sortBy(_._1)
+    // Memoization honesty (VERDICT r9 item 5): the reported min-of-two
+    // numbers are WARM for queries whose trained artifacts memoize
+    // (s12, l19, d8's mining, p8's stored base manifest) — the compact
+    // line carries the pass-1 total and the 3 largest cold-vs-warm
+    // deltas so the cold-path story survives the driver's bounded tail
+    // capture without needing target/bench_full.json.
+    val coldTotal = num(results.map(_._3).sum, 3)
+    val coldTop = results.map(r => (r._1, r._3 - r._2)).sortBy(-_._2).take(3)
     // "queries" is the driver's contract key, but it carries only the
     // 12 slowest lines (the window can't fit all of them) — say so IN
     // the schema ("queries_partial") so a consumer can't mistake the
     // subset for the full per-query map (that lives in "full").
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(slow.map(r => (r._1, r._2)), 3)},"queries_partial":"slowest ${slow.size} of ${results.size}","families":${jsonMap(famSums, 3)},"passes":2,"sf":"$sfDir","full":"target/bench_full.json","total_sec":$totalR}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(slow.map(r => (r._1, r._2)), 3)},"queries_partial":"slowest ${slow.size} of ${results.size}","families":${jsonMap(famSums, 3)},"passes":2,"cold_total":$coldTotal,"cold_top_deltas":${jsonMap(coldTop, 3)},"sf":"$sfDir","full":"target/bench_full.json","total_sec":$totalR}""")
     spark.stop()
   }
 }

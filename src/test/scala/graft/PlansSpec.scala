@@ -190,8 +190,10 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
   test("p8: refresh merges full aggregates, cuts the head AFTER the merge, no window") {
     val p = plan("p8_index_refresh")
     assert(!p.contains("Window"), p.take(4000))
-    // base + delta term aggregates, the merge layer, the cell merges
+    // delta term/corpus aggregates + the per-key merge layer (the
+    // base side is the stored manifest — a parquet read, no aggregate)
     assert("HashAggregate".r.findAllMatchIn(p).size >= 6, p.take(4000))
+    assert(p.contains("p8_base_v1_"), p.take(4000))
     // ONE head cut, downstream of the merge — a bounded heap
     assert("TakeOrderedAndProject".r.findAllMatchIn(p).size == 1, p.take(4000))
     assert(p.contains("min_by"), p.take(4000))

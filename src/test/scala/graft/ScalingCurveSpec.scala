@@ -240,6 +240,13 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // stages must follow corpus size.
       "t11_fuzzy_join" -> (graft.queries.TextQueries.t11FuzzyJoin _),
       "l22_bpe_apply" -> (graft.queries.LlmQueries.l22BpeApply _),
+      // round-10: the PQ encode arm (s16's eval made it a first-class
+      // artifact) — per-vector work is constant (M×K×d/M multiplies
+      // into an argmin aggregate over broadcast codebooks), and the
+      // timed arm includes the cleared-memo 10-round Lloyd training,
+      // itself one scan per round — so the composed wall must stay
+      // linear in rows across BOTH decades, not just the first
+      "s7_ivf_pq" -> (graft.queries.AnnQueries.s7IvfPq _),
       // round-9: the graph + collocation lines — the wedge/self-join
       // intermediates a 100× skeptic asks about. The graph slices
       // replicate the DISTINCT edge set per copy (see sf1eq doc), so
