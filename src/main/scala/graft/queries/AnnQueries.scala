@@ -310,6 +310,45 @@ object AnnQueries {
       .limit(5)
   }
 
+  /** s17 — IVF RADIUS search: every vector within a cosine threshold
+    * of the query, served through the trained IVF layout — the
+    * threshold-retrieval twin of s4's top-k (FAISS `range_search` next
+    * to `search`): "find everything at least this similar" is the
+    * serving shape of near-duplicate lookups, policy screens, and
+    * recall-oriented candidate pulls, where k is unknowable up front.
+    * Same index, same probes: assign the corpus to the trained cells
+    * (broadcast centroids + argmin aggregate), probe the query's
+    * [[ivfNprobe]] nearest cells, exact cosine only within them, keep
+    * sim ≥ 0.3 (s8's radius convention — this corpus's true
+    * neighbors sit near cos 0.5 and the background near 0.2, so the
+    * band is discriminative). Recall is cell-bound BY DESIGN (s4's declared IVF
+    * trade-off, measured by s15); the exact-radius ground truth is
+    * the oracle restated without the cell gate in s8's LSH variant.
+    * Scale shape: identical to s4 — one corpus scan into the
+    * assignment aggregate (session-shared with s4/s15/p6 via the
+    * cache manager's plan dedup where they run together), a 10-row
+    * broadcast probe list, no window, no global sort except the
+    * presentation ORDER BY. */
+  def s17IvfRadius(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = trainedCentroids(spark, dir)
+    def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)
+    val assigned = assignCells(e.select(col("vec_id"), col("embedding")), cent)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("label").as("plabel"), l2sq(col("centroid"), col("q_emb")).as("qdist"))
+      .orderBy(col("qdist"), col("plabel")).limit(ivfNprobe)
+      .select("plabel")
+    assigned.join(broadcast(probes), col("clabel") === col("plabel"))
+      .filter(col("vec_id") =!= 0)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .orderBy("vec_id")
+  }
+
   /** s6 — batch kNN JOIN: exact top-3 cosine neighbors for EVERY probe
     * in a deterministic probe subset (vec_id ≡ 3 mod 20), in ONE corpus
     * scan. This is retrieval's batch shape — nightly neighbor
@@ -1121,6 +1160,7 @@ object AnnQueries {
     "s8_range_search" -> (s8RangeSearch _),
     "s3_lsh_near_dup" -> (s3LshNearDupPairs _),
     "s4_ann_ivf" -> (s4AnnIvf _),
+    "s17_ivf_radius" -> (s17IvfRadius _),
     "s5_lsh_near_dup_prod" -> (s5LshNearDupProd _),
     "s6_knn_join" -> (s6KnnJoin _),
     "s9_mips" -> (s9Mips _),
@@ -1532,6 +1572,24 @@ object AnnQueries {
                  CAST(SUM(n_total) AS BIGINT) FROM per)
         ORDER BY probe_id"""
       },
+      // s17: the s4 twin with the threshold gate in place of the
+      // top-k cut — same tcent chain, same assignment spelling
+      "s17_ivf_radius" ->
+        s"""WITH $tCtes,
+        assigned AS (SELECT vec_id, clabel FROM (
+            SELECT e.vec_id, c.label AS clabel,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2sq("c.centroid", "e.embedding")}, c.label) AS rn
+            FROM embeddings e, tcent c) WHERE rn = 1),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        probes AS (SELECT c.label AS plabel FROM tcent c, q
+            ORDER BY ${l2sq("c.centroid", "q.q_emb")}, c.label LIMIT $ivfNprobe)
+        SELECT b.vec_id, ROUND($cos, 9) AS sim
+        FROM embeddings a, embeddings b
+        JOIN assigned s ON s.vec_id = b.vec_id
+        JOIN probes p ON p.plabel = s.clabel
+        WHERE a.vec_id = 0 AND b.vec_id <> 0 AND ROUND($cos, 9) >= 0.3
+        ORDER BY b.vec_id""",
       "s4_ann_ivf" ->
         s"""WITH $tCtes,
         assigned AS (SELECT vec_id, clabel FROM (

@@ -871,7 +871,63 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** l27 — BIGRAM-LM QUALITY scoring: the perplexity-filter shape
+    * (CCNet / the LLaMA corpus pipeline — score every document under
+    * a language model trained on a trusted reference, gate on the
+    * score) realized in exact integer arithmetic. This is the
+    * LIKELIHOOD complement of l14's coverage gate: l14 asks "has the
+    * reference SEEN this document's n-grams" (binary type coverage,
+    * the OOV-rate complement), while l27 asks "how PROBABLE are this
+    * document's word transitions under the reference's counts" —
+    * frequency-weighted, so a document assembled from individually
+    * common words in improbable orders (template spam, shuffled
+    * text, keyword stuffing) scores low even at full l14 coverage.
+    * Real pipelines run both for exactly this reason. The reference
+    * split is the held 1/97 slice (l9's convention: doc_id ≡ 0 mod
+    * 97 — standing in for the Wikipedia-grade reference a real
+    * pipeline trains on); its bigram MLE table c(w1,w2)/c(w1·) is the
+    * model, and every OTHER document scores the mean conditional
+    * probability of its bigrams in integer micro-units:
+    * p_micro = c(pair)·10⁶ DIV c(left), score = Σp DIV n_bigrams —
+    * no log/exp (libm-divergent cross-engine), monotone in the
+    * geometric-mean-free spirit of the gate it feeds (a threshold on
+    * this score is a threshold on perplexity's job: flagging
+    * documents whose word transitions the reference never makes).
+    * Unseen pair or unseen left word → 0, exactly the smoothing-free
+    * MLE convention, which is also what makes the arithmetic exact.
+    *
+    * Scale shape: the corpus side is ONE scan exploded to bigram
+    * keys; the model is reference-bounded (at 100 TB the LM table is
+    * the vocabulary of the trusted slice, not the corpus) and enters
+    * as a BROADCAST left join; the per-doc aggregate collapses
+    * map-side. The reference-side aggregates touch 1/97 of the
+    * corpus twice (pair + left counts) — both id/count-width. */
+  def l27BigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = toks.select(col("doc_id"),
+      explode(expr("zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b))")).as("pair"))
+    val refBg = bg.filter(col("doc_id") % 97 === 0)
+    val refPairs = refBg.groupBy("pair").agg(count(lit(1)).as("c_pair"))
+    val refLefts = refBg
+      .select(element_at(split(col("pair"), " "), 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_left"))
+    val refTab = refPairs
+      .join(refLefts, element_at(split(col("pair"), " "), 1) === col("w1"))
+      .select(col("pair"), col("c_pair"), col("c_left"))
+    bg.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(refTab), Seq("pair"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("coalesce(c_pair * 1000000 DIV c_left, 0)")).as("p_sum"))
+      .selectExpr("doc_id", "n_bigrams", "p_sum DIV n_bigrams AS lm_score_micro")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l27_bigram_quality" -> (l27BigramQuality _),
     "l25_mix_plan" -> (l25MixPlan _),
     "l26_mix_apply" -> (l26MixApply _),
     "l24_tokenizer_eval" -> (l24TokenizerEval _),
@@ -1026,6 +1082,28 @@ object LlmQueries {
       SELECT source, n_docs, tokens_available, weight_milli, rate_micro,
              CAST(rate_micro * tokens_available // 1000000 AS BIGINT) AS expected_tokens
       FROM plan ORDER BY source""",
+    // l27: the same bigram keys (adjacent-pair concat — the p4/p3
+    // oracle pattern), the same integer MLE micro-units and the same
+    // DIV arithmetic (// in DuckDB; all values non-negative so floor
+    // and truncate agree) — every output cell exact
+    "l27_bigram_quality" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, length(w)), i -> w[i] || ' ' || w[i + 1])) AS pair
+             FROM toks WHERE length(w) >= 2),
+      refp AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_pair FROM bg
+               WHERE doc_id % 97 = 0 GROUP BY pair),
+      refl AS (SELECT string_split(pair, ' ')[1] AS w1, CAST(COUNT(*) AS BIGINT) AS c_left
+               FROM bg WHERE doc_id % 97 = 0 GROUP BY 1),
+      reft AS (SELECT p.pair, p.c_pair, l.c_left FROM refp p
+               JOIN refl l ON string_split(p.pair, ' ')[1] = l.w1),
+      scored AS (SELECT b.doc_id, COUNT(*) AS nb,
+                   SUM(COALESCE(r.c_pair * 1000000 // r.c_left, 0)) AS ps
+                 FROM bg b LEFT JOIN reft r ON r.pair = b.pair
+                 WHERE b.doc_id % 97 <> 0 GROUP BY b.doc_id)
+      SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+             CAST(ps // nb AS BIGINT) AS lm_score_micro
+      FROM scored ORDER BY doc_id""",
     "l26_mix_apply" ->
       s"""WITH $mixPlanCtesDuck
       SELECT d.source, d.doc_id FROM documents d JOIN plan p ON p.source = d.source

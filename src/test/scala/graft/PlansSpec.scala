@@ -199,6 +199,23 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("min_by"), p.take(4000))
   }
 
+  test("s17: radius search = broadcast probes + argmin assignment; no window beyond it") {
+    val p = plan("s17_ivf_radius")
+    assert(p.contains("min_by"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("l27: the LM table broadcasts into the corpus scan; per-doc score is an aggregate") {
+    val p = plan("l27_bigram_quality")
+    assert(!p.contains("Window"), p.take(4000))
+    // the reference-bounded model side must broadcast — the corpus
+    // side never shuffles by pair key
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // ref pair + ref left + per-doc aggregates, each partial+final
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 6, p.take(4000))
+  }
+
   test("p7: release manifest = fused apply kernel in the scan + per-shard pack window only") {
     val p = plan("p7_tokenizer_release")
     // apply is the fused kernel, never the interpreted fold chain
