@@ -115,6 +115,18 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       assert(cachedRddCount() == afterFirst,
         "p8 re-invoke stacked persisted relations")
       assert(second == first, "stored-manifest refresh diverged from the first run")
+      // crash-recovery seam: a kill mid-write leaves data without the
+      // marker — the next refresh must REBUILD (not trust a partial
+      // artifact) and still produce the identical manifest
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("p8_base_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val third = graft.queries.PipelineQueries.p8IndexRefresh(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.PipelineQueries.p8BaseBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a rebuild")
+      assert(third == first, "rebuilt manifest diverged")
     } finally {
       spark.conf.unset("spark.graft.artifacts.dir")
       releaseAll()

@@ -116,6 +116,11 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // m11: a pure decode pass (one GIF encode+decode per doc, 5
       // scalars out) — the media suite's scan-speed claim, measured
       "m11_scene_cut" -> (graft.queries.MultimodalQueries.m11SceneCut _),
+      // round-10: the broadcast-LM likelihood gate — corpus bigrams
+      // against a reference-bounded broadcast table; wall must follow
+      // the corpus scan (the model side grows with the 1/97 slice's
+      // vocabulary, not the corpus)
+      "l27_bigram_quality" -> (graft.queries.LlmQueries.l27BigramQuality _),
     )
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       releaseCaches()
