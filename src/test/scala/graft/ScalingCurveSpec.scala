@@ -252,6 +252,11 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // itself one scan per round — so the composed wall must stay
       // linear in rows across BOTH decades, not just the first
       "s7_ivf_pq" -> (graft.queries.AnnQueries.s7IvfPq _),
+      // round-10: the broadcast-LM gate on the second decade — the
+      // sf1eq copies' token suffixes keep cross-copy bigrams disjoint,
+      // so the reference table grows ~10× with its slice while staying
+      // broadcast-sized; wall must track the corpus scan
+      "l27_bigram_quality" -> (graft.queries.LlmQueries.l27BigramQuality _),
       // round-9: the graph + collocation lines — the wedge/self-join
       // intermediates a 100× skeptic asks about. The graph slices
       // replicate the DISTINCT edge set per copy (see sf1eq doc), so
