@@ -170,4 +170,30 @@ class AnnRecallSweepSpec extends AnyFunSuite with SparkSuite {
         assert(r >= 0.8, s"shipped IVF config below the 0.8 floor at sf0.1: $r")
     }
   }
+
+  /** s17's eval: the IVF radius path can only LOSE results to the cell
+    * gate, never invent them — precision must be exactly 1 against
+    * the brute-force radius set, and recall is measured (the s15
+    * discipline: no index path ships without a number). */
+  test("s17 radius results are a subset of exact radius; recall measured at both SFs") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val e = Tables.load(spark, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val exact = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Vectors.cosine(col("embedding"), col("q_emb")), 9).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val ivf = AnnQueries.s17IvfRadius(spark, d)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ivf.subsetOf(exact),
+        s"IVF radius invented results at $d: ${ivf diff exact}")
+      assert(exact.nonEmpty, s"degenerate eval: exact radius set empty at $d")
+      val recall = ivf.size / exact.size.toDouble
+      info(f"$d%-24s radius>=0.3  exact=${exact.size}%3d  ivf=${ivf.size}%3d  recall=$recall%.3f")
+      assert(recall >= 0.5,
+        f"IVF radius recall $recall%.3f below the 0.5 floor at $d — cell gate losing too much")
+    }
+  }
 }
