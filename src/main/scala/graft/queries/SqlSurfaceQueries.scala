@@ -591,7 +591,55 @@ object SqlSurfaceQueries {
       .orderBy("event_type")
   }
 
+  /** x73 — incremental JOIN maintenance: maintain a materialized join
+    * view under delta batches on BOTH sides by the classical delta
+    * decomposition (DBSP / Materialize / differential-dataflow
+    * algebra): (A₀∪ΔA)⋈(B₀∪ΔB) ≡ A₀⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈B₀ ∪ ΔA⋈ΔB —
+    * the join complement of x72's mergeable-aggregate IVM (which
+    * maintains agg state; this maintains the JOIN itself — the
+    * enrichment views a warehouse refreshes nightly). Base/delta
+    * splits are independent of the join key on both sides (orders by
+    * o_orderkey mod 7, lineitem by l_linenumber ≥ 6), so all four
+    * decomposition terms are non-empty and a wrong algebra — ΔA⋈B
+    * instead of ΔA⋈B₀ (double-counts ΔA⋈ΔB), a dropped term, a
+    * non-partitioning split — shifts the view's counts and
+    * hash-fails against the from-scratch oracle.
+    *
+    * The view rows are rolled up per (priority, returnflag) to keep
+    * the output bounded; revenue quantizes per row to integer cents
+    * via floor(x·100 + 0.5) — positive values, so half-away rounding
+    * with no round() tie-mode dependence, and the integer SUM is
+    * summation-order independent (the x72/VectorSumAgg convention).
+    * At 100 TB the A₀⋈B₀ term is the STORED view (the p8 discipline);
+    * here all four terms compute so the decomposition identity is
+    * end-to-end checked, and the three delta terms are exactly the
+    * refresh cost: each joins one delta-sized side — broadcastable —
+    * against the other side's scan. */
+  def x73JoinIvm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)").as("rev_c"))
+    val oBase = o.filter(col("o_orderkey") % 7 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 7 === 0)
+    val lBase = l.filter(col("l_linenumber") < 6)
+    val lDelta = l.filter(col("l_linenumber") >= 6)
+    def term(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), col("l_returnflag"), col("rev_c"))
+    term(oBase, lBase)
+      .unionByName(term(oBase, lDelta))
+      .unionByName(term(oDelta, lBase))
+      .unionByName(term(oDelta, lDelta))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("rev_c").as("rev_cents"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x73_join_ivm" -> (x73JoinIvm _),
     "x72_incremental_agg" -> (x72IncrementalAgg _),
     "x65_pagerank"      -> (x65Pagerank _),
     "x61_snapshot_diff" -> (x61SnapshotDiff _),
@@ -611,6 +659,17 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x73's oracle is the from-scratch JOIN — a wrong delta
+    // decomposition (double-counted ΔA⋈ΔB, a dropped term, a split
+    // that isn't a partition) shifts cnt/rev and cannot hash-match.
+    // floor(x*100 + 0.5) is the shared half-away spelling (no round()
+    // tie-mode dependence); values are positive
+    "x73_join_ivm" ->
+      """SELECT o_orderpriority, l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority, l_returnflag
+      ORDER BY o_orderpriority, l_returnflag""",
     // x72's oracle is the FULL recompute — if the merge algebra were
     // wrong in any slot, the merged view could not match it
     "x72_incremental_agg" ->

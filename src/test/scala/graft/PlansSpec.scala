@@ -199,6 +199,16 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("min_by"), p.take(4000))
   }
 
+  test("x73: four decomposition joins, split predicates pushed to the scans, no window") {
+    val p = plan("x73_join_ivm")
+    assert(!p.contains("Window"), p.take(4000))
+    // all four delta-decomposition terms plan as real joins
+    assert("Join".r.findAllMatchIn(p).size >= 4, p.take(4000))
+    // the lineitem split is a plain comparison — it must reach parquet
+    assert(p.contains("LessThan(l_linenumber,6)"), p.take(4000))
+    assert(p.contains("GreaterThanOrEqual(l_linenumber,6)"), p.take(4000))
+  }
+
   test("s17: radius search = broadcast probes + argmin assignment; no window beyond it") {
     val p = plan("s17_ivf_radius")
     assert(p.contains("min_by"), p.take(4000))
