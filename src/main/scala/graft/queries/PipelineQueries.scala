@@ -333,66 +333,35 @@ object PipelineQueries {
     * still gates the merge end-to-end. The build is eager on a miss
     * (one base scan + the write — the cold cost lands on the first
     * refresh after an index rebuild, auditable in Bench's
-    * queries_cold); bump the `v1` tag if the manifest algebra ever
-    * changes. */
-  private def p8BaseManifest(spark: SparkSession, dir: String): DataFrame =
-    p8ArtifactLock.synchronized {
-      import org.apache.spark.sql.functions._
-      val root = new java.io.File(
-        spark.conf.get("spark.graft.artifacts.dir", "target/graft_artifacts"))
-      val fp = inputFingerprint(dir, Seq("documents.parquet", "embeddings.parquet"))
-      val art = new java.io.File(root, s"p8_base_v1_$fp")
-      val marker = new java.io.File(art, "_graft_done")
-      val data = new java.io.File(art, "manifest.parquet")
-      if (!marker.exists) {
-        p8BaseBuilds.incrementAndGet()
-        val docs = Tables.loadSpread(spark, dir, "documents")
-          .filter(col("doc_id") % 5 =!= 4)
-        val terms = p8TermAgg(docs)
-          .select(lit("term").as("kind"), col("term").as("key"),
-            col("df").as("n1"), col("cf").as("n2"))
-        val e = Tables.load(spark, dir, "embeddings")
-        val cent = AnnQueries.trainedCentroids(spark, dir)
-        val cells = AnnQueries.assignCells(
-            e.filter(col("vec_id") % 5 =!= 4).select(col("vec_id"), col("embedding")), cent)
-          .groupBy("clabel").agg(count(lit(1)).as("n1"))
-          .select(lit("cluster").as("kind"), col("clabel").cast("string").as("key"),
-            col("n1"), lit(0L).as("n2"))
-        val corpus = docs
-          .select(size(split(col("text"), " ")).cast("long").as("dl"))
-          .agg(count(lit(1)).as("n1"), sum("dl").as("n2"))
-          .select(lit("corpus").as("kind"), lit("all").as("key"), col("n1"), col("n2"))
-        terms.unionByName(cells).unionByName(corpus)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(data.getAbsolutePath)
-        // marker AFTER the write: a kill mid-write leaves no marker and
-        // the next refresh rebuilds (ChaosRecoverySpec's p8 scenario)
-        marker.createNewFile()
-      }
-      spark.read.parquet(data.getAbsolutePath)
+    * queries_cold). Round 11: keyed through the shared
+    * [[graft.core.ArtifactStore]], with the quantizer configuration
+    * folded into the fingerprint (ADVICE r10: the stored manifest
+    * embeds trained-quantizer cell counts, so a changed quantizer knob
+    * must change the KEY — the `v1` tag alone relied on a hand bump). */
+  private def p8BaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fp = graft.core.ArtifactStore.fingerprint(dir,
+      Seq("documents.parquet", "embeddings.parquet"),
+      Seq("manifest=v1", AnnQueries.quantizerParams))
+    graft.core.ArtifactStore.getOrBuild(spark, "p8_base_v1", fp, p8BaseBuilds) {
+      val docs = Tables.loadSpread(spark, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 4)
+      val terms = p8TermAgg(docs)
+        .select(lit("term").as("kind"), col("term").as("key"),
+          col("df").as("n1"), col("cf").as("n2"))
+      val e = Tables.load(spark, dir, "embeddings")
+      val cent = AnnQueries.trainedCentroids(spark, dir)
+      val cells = AnnQueries.assignCells(
+          e.filter(col("vec_id") % 5 =!= 4).select(col("vec_id"), col("embedding")), cent)
+        .groupBy("clabel").agg(count(lit(1)).as("n1"))
+        .select(lit("cluster").as("kind"), col("clabel").cast("string").as("key"),
+          col("n1"), lit(0L).as("n2"))
+      val corpus = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n1"), sum("dl").as("n2"))
+        .select(lit("corpus").as("kind"), lit("all").as("key"), col("n1"), col("n2"))
+      terms.unionByName(cells).unionByName(corpus).coalesce(1)
     }
-
-  /** Guards the artifact's exists-then-build (one builder per JVM). */
-  private val p8ArtifactLock = new Object
-
-  /** Fingerprint of the named inputs under `dir`: absolute path plus
-    * every part file's (relative name, byte length, mtime), hashed —
-    * any regeneration of the tables changes it, so a stale stored
-    * manifest can never serve a new corpus. Metadata only: no data
-    * scan. */
-  private def inputFingerprint(dir: String, names: Seq[String]): String = {
-    def walk(f: java.io.File, rel: String): Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq
-          .flatMap(c => walk(c, s"$rel/${c.getName}"))
-      else Seq(s"$rel:${f.length}:${f.lastModified}")
-    val desc = new java.io.File(dir).getAbsolutePath +: names.flatMap { n =>
-      val f = new java.io.File(dir, n)
-      if (f.exists) walk(f, n) else Seq(s"$n:absent")
-    }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val h = md.digest(desc.mkString("\n").getBytes("UTF-8"))
-    h.take(8).map(b => f"$b%02x").mkString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -29,7 +29,11 @@ object CteCanaryRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val pairs = DedupQueries.resemblancePairs(spark, sfDir)
+      // round 11: resemblancePairs itself became a stored-artifact READ
+      // (no CTE chain in its plan) — the canary must target the CTE-
+      // chained BUILD plan, the shape the defect fires on
+      val pairs = DedupQueries.resemblancePairsPlan(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.createOrReplaceTempView("canary_pairs")
       try {
         spark.sql(

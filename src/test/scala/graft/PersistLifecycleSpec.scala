@@ -64,25 +64,46 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("s7/s15/s16 share ONE codes table and ONE exact-kNN manifest across invocations") {
+  test("s7/s15/s16: PQ codes are a STORED artifact (encode once per fingerprint); exact-kNN manifest shared") {
     releaseAll()
-    // s15 persists the exact-kNN ground-truth manifest
-    graft.queries.AnnQueries.s15AnnRecall(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    val afterS15 = cachedRddCount()
-    // s7 adds exactly the PQ codes table (it does not touch the manifest)
-    graft.queries.AnnQueries.s7IvfPq(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    val afterS7 = cachedRddCount()
-    assert(afterS7 == afterS15 + 1,
-      s"s7 should add exactly the codes cache: $afterS15 -> $afterS7 cached RDDs")
-    // s16 consumes BOTH shared artifacts — no new cache entries
-    graft.queries.AnnQueries.s16PqRecall(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    val afterS16 = cachedRddCount()
-    assert(afterS16 == afterS7,
-      s"s16 stacked a second codes/exact-kNN cache: $afterS7 -> $afterS16 cached RDDs")
-    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("pq_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val before = graft.queries.AnnQueries.pqCodesBuilds.get()
+      // s16 (Bench's alphabetically-first PQ consumer) ENCODES once...
+      val firstS16 = graft.queries.AnnQueries.s16PqRecall(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.pqCodesBuilds.get() == before + 1,
+        "first PQ consumer must build the stored codes table")
+      val afterS16 = cachedRddCount()
+      // ...s7 READS the stored codes — no re-encode, no new cache entry
+      graft.queries.AnnQueries.s7IvfPq(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.AnnQueries.pqCodesBuilds.get() == before + 1,
+        "s7 must READ the stored codes table, not re-encode it")
+      assert(cachedRddCount() == afterS16,
+        "s7 stacked persisted relations on the stored-codes path")
+      // s15 shares s16's persisted exact-kNN manifest (canonicalized-
+      // plan cache dedup across the custom TopKPerKey plans)
+      graft.queries.AnnQueries.s15AnnRecall(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(cachedRddCount() == afterS16,
+        "s15 stacked a second exact-kNN manifest cache")
+      // kill-mid-write seam: a missing marker must trigger a rebuild
+      // that reproduces the identical eval output
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("pq_codes_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val secondS16 = graft.queries.AnnQueries.s16PqRecall(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.pqCodesBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a codes rebuild")
+      assert(secondS16 == firstS16, "rebuilt codes table changed the eval output")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
   }
 
   test("d10 double-invoke reuses one base-key-set cache entry") {
@@ -94,6 +115,75 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
   test("d14 double-invoke reuses the memoized merged-CC labels (no re-run, no stacking)") {
     assertNoStacking("d14_full_dedup") {
       graft.queries.DedupQueries.d14FullDedup(spark, dir)
+    }
+  }
+
+  test("x73 base-join partials are BUILT once per input fingerprint, READ thereafter") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("x73_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val before = graft.queries.SqlSurfaceQueries.x73BaseBuilds.get()
+      val first = graft.queries.SqlSurfaceQueries.x73JoinIvm(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.SqlSurfaceQueries.x73BaseBuilds.get() == before + 1,
+        "first refresh must build the stored base-join partials")
+      val second = graft.queries.SqlSurfaceQueries.x73JoinIvm(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.SqlSurfaceQueries.x73BaseBuilds.get() == before + 1,
+        "second refresh must READ the stored base partials, not re-join")
+      assert(second == first, "stored-base refresh diverged from the first run")
+      // kill-mid-write seam: a missing marker must trigger a rebuild
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("x73_base_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val third = graft.queries.SqlSurfaceQueries.x73JoinIvm(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.SqlSurfaceQueries.x73BaseBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a rebuild")
+      assert(third == first, "rebuilt base partials diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
+  }
+
+  test("d1/d13 pair manifests are MINED once per input fingerprint, READ thereafter") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("d_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val beforeR = graft.queries.DedupQueries.d1PairBuilds.get()
+      val beforeC = graft.queries.DedupQueries.d13PairBuilds.get()
+      val firstD1 = graft.queries.DedupQueries.d1MinhashLsh(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.DedupQueries.d1PairBuilds.get() == beforeR + 1,
+        "first consumer must mine the stored resemblance pairs")
+      // d14 consumes BOTH manifests: resemblance READS, containment mines
+      graft.queries.DedupQueries.d14FullDedup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.DedupQueries.d1PairBuilds.get() == beforeR + 1,
+        "d14 must READ the stored resemblance pairs, not re-mine")
+      assert(graft.queries.DedupQueries.d13PairBuilds.get() == beforeC + 1,
+        "d14's containment arm must mine the stored pairs once")
+      graft.queries.DedupQueries.d13Containment(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.DedupQueries.d13PairBuilds.get() == beforeC + 1,
+        "d13 must READ the stored containment pairs, not re-mine")
+      // kill-mid-write seam on the resemblance manifest
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("d1_pairs_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val secondD1 = graft.queries.DedupQueries.d1MinhashLsh(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.DedupQueries.d1PairBuilds.get() == beforeR + 2,
+        "a missing marker (kill mid-write) must trigger a re-mine")
+      assert(secondD1 == firstD1, "re-mined pair manifest diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
     }
   }
 

@@ -10,9 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlansSpec extends AnyFunSuite with SparkSuite {
 
+  private val sfDir = "/root/testdata/sf0.001"
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
+
+  private def explained(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
 
   test("r1: substring predicate pushed into the parquet scan") {
     val p = plan("r1_substr_filter")
@@ -173,10 +178,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(4000))
   }
 
-  test("s16: PQ eval arms are heaps + argmin/sum aggregates; LUTs broadcast; no window") {
+  test("s16: PQ eval reads the stored codes; arms are heaps + sum aggregates; LUTs broadcast; no window") {
     val p = plan("s16_pq_recall")
     assert(!p.contains("Window"), p.take(4000))
-    assert(p.contains("min_by"), p.take(4000))
+    // round 11: the eval scores the STORED codes artifact — the encode
+    // argmin is the artifact build's plan, not the eval's
+    assert(p.contains("pq_codes_v1_"), p.take(4000))
     assert("TopKPerKeyPartial".r.findAllMatchIn(p).size >= 3, p.take(4000))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
@@ -199,12 +206,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("min_by"), p.take(4000))
   }
 
-  test("x73: four decomposition joins, split predicates pushed to the scans, no window") {
+  test("x73: delta-term joins only — base partials READ from the stored artifact; split predicates pushed") {
     val p = plan("x73_join_ivm")
     assert(!p.contains("Window"), p.take(4000))
-    // all four delta-decomposition terms plan as real joins
-    assert("Join".r.findAllMatchIn(p).size >= 4, p.take(4000))
+    // round 11: the A₀⋈B₀ term is the stored view — the refresh plan
+    // joins ONLY the three delta terms and reads the base partials
+    assert(p.contains("x73_base_v1_"), p.take(4000))
+    assert("Join".r.findAllMatchIn(p).size >= 3, p.take(4000))
     // the lineitem split is a plain comparison — it must reach parquet
+    // in BOTH delta directions (ΔA⋈B₀ scans the lineitem base)
     assert(p.contains("LessThan(l_linenumber,6)"), p.take(4000))
     assert(p.contains("GreaterThanOrEqual(l_linenumber,6)"), p.take(4000))
   }
@@ -566,14 +576,16 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
   }
 
-  test("s7: PQ encode is an argmin aggregate over broadcast codebooks — no window, no nested loop beyond the 1-row probe") {
+  test("s7: serving READS the stored codes artifact; LUT/candidate sides broadcast — no window") {
     val p = plan("s7_ivf_pq")
     assert(!p.contains("Window"), p.take(3000))
-    assert(p.contains("min_by"), p.take(3000))
+    // round 11: the encode argmin lives in the ARTIFACT BUILD — the
+    // serving plan reads the stored codes parquet (VERDICT r10 #2)
+    assert(p.contains("pq_codes_v1_"), p.take(3000))
     // candidate top-10 and re-rank top-5 are bounded-heap TakeOrdered
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
-    // codebook + LUT + candidate sides all broadcast
-    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p.take(4000))
+    // LUT + candidate + probe sides all broadcast
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p.take(4000))
   }
 
   test("s9: MIPS baseline — broadcast probes, partial top-k heaps below the exchange") {
@@ -668,10 +680,21 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("d13: containment candidates come from the prefix-filter equi-join, never an all-pairs loop") {
-    val p = plan("d13_containment")
+    // round 11: the serving plan READS the stored pair manifest — the
+    // never-all-pairs claim is pinned on the BUILD plan that mines it
+    val p = explained(graft.queries.DedupQueries.containmentPairsPlan(spark, sfDir))
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
       p.take(4000))
     assert(p.contains("Join") && p.contains("hashpartitioning"), p.take(4000))
+    assert(plan("d13_containment").contains("d13_pairs_v1_"))
+  }
+
+  test("d1: the banded minhash join mines the stored manifest; serving READS it") {
+    val p = explained(graft.queries.DedupQueries.resemblancePairsPlan(spark, sfDir))
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
+      p.take(4000))
+    assert(p.contains("Join") && p.contains("hashpartitioning"), p.take(4000))
+    assert(plan("d1_minhash_lsh").contains("d1_pairs_v1_"))
   }
 
   test("s11: Lloyd step — min_by assignment + vector-sum buffers, no per-vector window sort") {

@@ -33,6 +33,11 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     // design; this spec measures the work)
     graft.queries.AnnQueries.clearTrainingMemo()
     graft.queries.LlmQueries.clearTrainingMemo()
+    // ...and rotate the STORED-artifact dir (round 11: PQ codes, dedup
+    // pair manifests, x73's base term) for the same reason — a timed
+    // arm must pay the real build, not read a prior run's parquet
+    spark.conf.set("spark.graft.artifacts.dir",
+      java.nio.file.Files.createTempDirectory("scaling_art").toString)
   }
 
   test("dedup/ANN suite scales near-linearly from sf0.01 to sf0.1 (10x rows)") {
