@@ -12,13 +12,14 @@ import graft.core.Tables
   * for libjpeg/ffmpeg-style libraries that can't be expressed as
   * Catalyst expressions.
   *
-  * m1 and m4–m13 run REAL codecs (the JDK's PNG/WAV/JPEG/MJPEG/GIF/
-  * TIFF implementations in [[MultimodalKernels]]) behind an
+  * m1, m2, and m4–m13 run REAL codecs (the JDK's PNG/WAV/JPEG/MJPEG/
+  * GIF/TIFF implementations in [[MultimodalKernels]]) behind an
   * imperative per-partition seam, with losslessness making the
-  * decoded metadata oracle-computable. Deterministic STUB kernels
-  * remain ONLY where the sandbox ships no codec (m2's
-  * model-embedding feature extractor; m3's pre-demux frame sampler —
-  * superseded by m8's real MJPEG demux): there the stub's arithmetic
+  * decoded metadata oracle-computable; m2's featurizer projects REAL
+  * decoded pixels through a fixed weight matrix (only the weight
+  * values stand in for a trained head). The one remaining
+  * deterministic STUB kernel is m3's pre-demux frame sampler
+  * (superseded by m8's real MJPEG demux): there the stub's arithmetic
   * is reproducible in SQL, and everything AROUND it — binary column
   * handling, the Dataset encoder round-trip, per-partition batching,
   * the output schema — is real and oracle-checked.
@@ -72,37 +73,66 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  /** m2 — feature extraction: binary payload → fixed-dim float feature
-    * vector (here a 16-bin code-point histogram, the deterministic
-    * stand-in for an image-embedding model call). Same batched
-    * mapPartitions shape as m1 — a real extractor would run one model
-    * invocation per 64-row batch. Output features are rounded to 6dp for
-    * cross-engine float stability.
+  /** m2 — feature extraction over REAL decoded pixels (round 11; this
+    * retires the byte-histogram stub — the last featurizer stand-in):
+    * each payload becomes a genuine PNG (m5's lossless 32-wide
+    * grayscale layout), is DECODED back through javax.imageio, and an
+    * [[m2Dims]]-dim LINEAR projection runs over the decoded raster —
+    * feature_j = Σ_i W(j, i mod 16) · px_i with the fixed integer
+    * weight matrix W(j,b) = ((7j + 3b + 1) mod 13) − 6. This is the
+    * deterministic stand-in for a learned projection head with every
+    * piece of the production shape real: the binary column, the real
+    * codec in the decode slot, the batched per-partition invocation
+    * (one "model call" per 64-row batch), and a broadcast-sized weight
+    * matrix entering the task closure once — only the weight VALUES
+    * are synthetic, and swapping them for a trained head changes no
+    * plumbing. All-integer arithmetic over a lossless codec: every
+    * feature is exactly recomputable from the source text (zero-padded
+    * tail pixels contribute 0·w), so the oracle gates the codec
+    * roundtrip AND the projection in one hash. ASCII corpus: ord ==
+    * byte (the shared m-suite invariant).
     *
-    * Output shape is long (one row per (doc_id, bin)) rather than an
-    * array column: the per-row scalar shape is hashable by any oracle
-    * harness and is also the join-friendly layout downstream consumers
-    * (feature stores, per-dimension stats) want. */
+    * Output shape is long (one row per (doc_id, dim)) rather than an
+    * array column: per-row scalars are hashable by any oracle harness
+    * and are the join-friendly layout downstream consumers (feature
+    * stores, per-dimension stats) want. */
   def m2FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = binaryPayloads(spark, dir)
+    val dims = m2Dims
+    val period = m2Period
+    // the "model": a fixed integer projection matrix, materialized
+    // once on the driver and shipped to tasks like a broadcast head
+    val w = m2Weights
     bin.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.flatMap { case (id, bytes) =>
-          val hist = new Array[Long](16)
-          bytes.foreach(b => hist((b & 0xff) % 16) += 1)
-          val n = math.max(1, bytes.length).toDouble
-          // floor(x*1e6 + 0.5): explicit round-half-away, spelled the
-          // same way in the oracle (math.rint would be half-even and
-          // diverge from SQL round() on exact .5 boundaries)
-          hist.iterator.zipWithIndex.map { case (c, b) =>
-            (id, b.toLong, math.floor(c / n * 1e6 + 0.5) / 1e6)
+          val png = MultimodalKernels.encodePng(bytes)
+          val (_, _, px) = MultimodalKernels.decodePngPixels(png)
+          val acc = new Array[Long](dims)
+          var i = 0
+          while (i < px.length) {
+            val b = i % period
+            var j = 0
+            while (j < dims) { acc(j) += w(j)(b).toLong * px(i); j += 1 }
+            i += 1
           }
+          acc.iterator.zipWithIndex.map { case (v, j) => (id, j.toLong, v) }
         }
       }
-    }.toDF("doc_id", "bin", "value")
-      .orderBy("doc_id", "bin")
+    }.toDF("doc_id", "dim", "value")
+      .orderBy("doc_id", "dim")
   }
+
+  /** m2's projection geometry — shared with the kernel spec so the
+    * hand-computed expectations pin the shipped config. */
+  private[graft] val m2Dims = 8
+  private[graft] val m2Period = 16
+
+  /** The fixed integer projection matrix W(j,b) = ((7j+3b+1) mod 13)−6
+    * — signed, rank-diverse, and restated verbatim in the DuckDB twin. */
+  private[graft] def m2Weights: Array[Array[Int]] =
+    Array.tabulate(m2Dims, m2Period)((j, b) => (7 * j + 3 * b + 1) % 13 - 6)
 
   /** m4 — image RESIZE on real decoded pixels (round 9; the stride
     * stub this replaces downsampled raw payload bytes): each payload
@@ -115,9 +145,8 @@ object MultimodalQueries {
     * codec is lossless and the mean is floor-integer, the oracle
     * recomputes every resized pixel arithmetically from the source
     * text — a codec regression OR a resize-arithmetic bug (stride,
-    * clipping, denominator) breaks the hash. Stubs now remain only
-    * where no in-sandbox codec exists (m1/m2's generic seam; m3's
-    * pre-demux sampler, superseded by m8's real MJPEG demux). */
+    * clipping, denominator) breaks the hash. The one remaining stub
+    * is m3's pre-demux sampler (superseded by m8's real MJPEG demux). */
   def m4Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = binaryPayloads(spark, dir)
@@ -590,16 +619,18 @@ object MultimodalQueries {
                      ELSE length(text) % 128 END) / 32.0)) AS BIGINT) AS hl
             FROM documents) t
       ORDER BY doc_id""",
-    // ASCII corpus: byte histogram == code-point histogram; the
-    // floor(x*1e6+0.5) spelling matches the Scala stub exactly. Long
-    // shape (doc_id, bin, value) — scalar columns only, oracle-hashable.
+    // m2 runs the real PNG roundtrip + the fixed integer projection on
+    // DECODED samples; losslessness (pixel i = byte i, zero padding
+    // contributes 0·w) lets the oracle restate every feature as exact
+    // integer arithmetic over the source text, with the weight formula
+    // ((7j+3b+1) % 13 − 6) spelled verbatim. ASCII corpus: ord == byte.
+    // Long shape (doc_id, dim, value) — scalar columns, oracle-hashable.
     "m2_feature_extract" ->
-      ("SELECT doc_id, CAST(bins.bin AS BIGINT) AS bin, " +
-        "floor(CAST(length(list_filter(list_transform(string_split(text, ''), c -> ord(c)), " +
-        "x -> x % 16 = bins.bin)) AS DOUBLE) " +
-        "/ greatest(1, length(text)) * 1000000.0 + 0.5) / 1000000.0 AS value " +
-        "FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bins " +
-        "ORDER BY doc_id, bin"),
+      ("SELECT doc_id, CAST(dims.dim AS BIGINT) AS dim, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), " +
+        "i -> ((7 * dims.dim + 3 * ((i - 1) % 16) + 1) % 13 - 6) * ord(text[i]))), 0) AS BIGINT) AS value " +
+        "FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) dims " +
+        "ORDER BY doc_id, dim"),
     "m3_frame_sample" ->
       ("SELECT doc_id, array_to_string(" +
         "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +
@@ -720,6 +751,25 @@ object MultimodalKernels {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** PNG → (width, height, band-0 samples row-major) via the decoded
+    * raster ONLY — the pixel-array sibling of [[decodePng]]; m2's
+    * featurizer consumes the raw decoded samples. */
+  def decodePngPixels(png: Array[Byte]): (Long, Long, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, s"payload (${png.length} bytes) is not a decodable PNG")
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w.toLong, h.toLong, px)
   }
 
   /** PNG → (width, height, pixel-sum mod P) via the decoded raster

@@ -31,6 +31,40 @@ class MultimodalKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("m2 decoded pixel array is the zero-padded byte sequence (lossless raster)") {
+    payloads.foreach { bytes =>
+      val (w, h, px) = MultimodalKernels.decodePngPixels(MultimodalKernels.encodePng(bytes))
+      assert(w == 32 && h == math.max(1, (bytes.length + 31) / 32))
+      assert(px.length == (w * h).toInt)
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        assert(px(i) == (b & 0xff), s"pixel $i diverged from byte $i")
+      }
+      (bytes.length until px.length).foreach(i =>
+        assert(px(i) == 0, s"padding pixel $i not zero"))
+    }
+  }
+
+  test("m2 linear features match a hand-computed projection on a tiny payload") {
+    // bytes 10, 20, 30 → feature_j = w(j,0)·10 + w(j,1)·20 + w(j,2)·30
+    // with w(j,b) = ((7j + 3b + 1) mod 13) − 6; padding contributes 0.
+    // j=0: w=(1−6, 4−6, 7−6)=(−5,−2,1) → −50−40+30 = −60
+    // j=1: w=((8%13)−6, (11%13)−6, (14%13)−6)=(2,5,−5) → 20+100−150 = −30
+    val bytes = Array[Byte](10, 20, 30)
+    val (_, _, px) = MultimodalKernels.decodePngPixels(MultimodalKernels.encodePng(bytes))
+    val w = graft.queries.MultimodalQueries.m2Weights
+    def feature(j: Int): Long =
+      px.zipWithIndex.map { case (p, i) => w(j)(i % 16).toLong * p }.sum
+    assert(feature(0) == -60L)
+    assert(feature(1) == -30L)
+    // every dim: the projection over the decoded raster equals the
+    // projection over the raw bytes (zero padding is invisible)
+    (0 until graft.queries.MultimodalQueries.m2Dims).foreach { j =>
+      val overBytes = bytes.zipWithIndex
+        .map { case (b, i) => w(j)(i % 16).toLong * (b & 0xff) }.sum
+      assert(feature(j) == overBytes)
+    }
+  }
+
   test("m4 area-average resize matches an independent reference on decoded pixels") {
     // independent reference: rebuild the lossless pixel grid straight
     // from the payload (pixel y*32+x = byte, zero pad) and floor-mean
