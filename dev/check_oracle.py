@@ -95,10 +95,17 @@ def main(sf_dir, out_dir, subset=None):
     # the SQL in oracle_sql.json stays self-contained and the driver
     # (which ignores oracle_shared.json) runs it unmodified.
     shared = {}
+    shared_path = f"{out_dir}/oracle_shared.json"
     try:
-        shared = json.load(open(f"{out_dir}/oracle_shared.json"))
-    except Exception:
-        pass
+        shared = json.load(open(shared_path))
+    except FileNotFoundError:
+        pass  # older Verify dumps carry no shared manifest — per-query SQL is self-contained
+    except Exception as e:
+        # a malformed manifest silently disables shared-CTE
+        # materialization and every tcent oracle retrains the quantizer
+        # from scratch (minutes each) — make the slow path attributable
+        print(f"WARN {shared_path} exists but failed to load ({e}); "
+              "falling back to per-query quantizer materialization", flush=True)
     materialized = set()
 
     def substitute_shared(sql):

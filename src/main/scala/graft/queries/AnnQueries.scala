@@ -801,7 +801,14 @@ object AnnQueries {
     * results stay correct, the work duplicates (ADVICE r9). A single
     * coarse lock is fine at this cadence (training happens once per
     * (session, dir)); it is reentrant, so d8Mined calling
-    * trainedCentroids → kmeansState under the same lock is safe. */
+    * trainedCentroids → kmeansState under the same lock is safe.
+    * KNOWN COARSENESS (ADVICE r10, accepted): the liveness count()
+    * probes also run under this lock, so a slow block scan on one
+    * (session, dir) key delays other keys' training consumers. At the
+    * current cadence (single-session Bench/Verify; probes are local
+    * block scans of id-width manifests) that wait is microseconds; if
+    * concurrent multi-session serving ever lands here, split into
+    * per-key locks with the probe double-checked outside. */
   private val trainLock = new Object
 
   private def d8Mined(spark: SparkSession, dir: String): (DataFrame, DataFrame) = trainLock.synchronized {

@@ -597,7 +597,11 @@ object MultimodalQueries {
     // residual — m9's arithmetic). All four encoders are
     // mono/grayscale -> channels = 1; px_check = plain byte sum for
     // the lossless kinds (sums sit far below the kernels' 1e9+7
-    // modulus), -1 for the lossy JPEG by contract.
+    // modulus), -1 for the lossy JPEG by contract. ASCII corpus:
+    // ord(text[i]) == byte i and length == octet_length (the shared
+    // m-suite invariant — the kernel consumes UTF-8 BYTES of text, so
+    // a non-ASCII regeneration would fail this oracle loudly, not
+    // silently).
     "m1_multimodal_decode" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'

@@ -262,6 +262,13 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // so the reference table grows ~10× with its slice while staying
       // broadcast-sized; wall must track the corpus scan
       "l27_bigram_quality" -> (graft.queries.LlmQueries.l27BigramQuality _),
+      // round-11: radius retrieval through the trained IVF cells — the
+      // candidate set grows with CELL OCCUPANCY (corpus/nlists per
+      // probed cell), exactly the term a 100× skeptic asks about; the
+      // timed arm includes the cleared-memo quantizer training (one
+      // scan per Lloyd round), so the composed wall must stay linear
+      // in rows across the second decade like s7's encode arm
+      "s17_ivf_radius" -> (graft.queries.AnnQueries.s17IvfRadius _),
       // round-9: the graph + collocation lines — the wedge/self-join
       // intermediates a 100× skeptic asks about. The graph slices
       // replicate the DISTINCT edge set per copy (see sf1eq doc), so
