@@ -571,31 +571,90 @@ object AnnQueries {
   private[graft] def clearTrainingMemo(): Unit = kmeansMemo.clear()
 
   /** Rounds run so far (+ convergence flag), guaranteed to cover
-    * `targetRounds` — or the fixpoint/cap when `toFixpoint`. */
+    * `targetRounds` — or the fixpoint/cap when `toFixpoint`. Round 11:
+    * behind the session memo sits a fingerprint-keyed STORED history
+    * ([[kmeansArtifact]]) — the trained quantizer is written once per
+    * corpus version and every later JVM (Verify, each Bench pass-1
+    * consumer, the oracles' Spark side) READS it instead of re-running
+    * the Lloyd jobs. One Lloyd round is a deterministic map, so a
+    * stored prefix is identical to an uninterrupted run; two artifacts
+    * exist because the two consumers need different coverage —
+    * `kmeans_q` (the fixed [[quantizerRounds]] budget the serving
+    * quantizer uses) and `kmeans_fix` (s12's fixpoint run, whose build
+    * RESUMES from the stored budget rounds). */
   private[graft] def kmeansState(spark: SparkSession, dir: String,
       targetRounds: Int, toFixpoint: Boolean): (Vector[Seq[(Long, Long, Seq[Double])]], Boolean) = trainLock.synchronized {
-    import spark.implicits._
     kmeansMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir)
     val cached = kmeansMemo.get(key)
     def enough(st: (Vector[Seq[(Long, Long, Seq[Double])]], Boolean)): Boolean =
       st._2 || (if (toFixpoint) false else st._1.size >= targetRounds)
     if (cached != null && enough(cached)) return cached
+    val state = kmeansArtifact(spark, dir, fix = toFixpoint)
+    kmeansMemo.put(key, state)
+    state
+  }
+
+  /** Build counter for the stored training histories (lifecycle pin). */
+  private[graft] val kmeansArtifactBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Load-or-train the stored k-means history. Build bodies are pure
+    * functions of (dir, quantizer params): `kmeans_q` always trains
+    * from the deterministic label-mean seed, `kmeans_fix` resumes from
+    * the stored budget rounds (deterministic continuation ⇒ the two
+    * artifacts agree on their common prefix by construction). Every
+    * stored cell is a long or an IEEE double (the meanMicro-quantized
+    * coordinates), so the parquet roundtrip is bit-exact. */
+  private def kmeansArtifact(spark: SparkSession, dir: String,
+      fix: Boolean): (Vector[Seq[(Long, Long, Seq[Double])]], Boolean) = {
+    val cap = if (fix) kmeansMaxRounds else quantizerRounds
+    val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
+      Seq(quantizerParams, s"hist=v1:cap=$cap"))
+    val name = if (fix) "kmeans_fix_v1" else "kmeans_q_v1"
+    val df = graft.core.ArtifactStore.getOrBuild(spark, name, fp, kmeansArtifactBuilds) {
+      val st =
+        if (fix) trainRounds(spark, dir, Some(kmeansArtifact(spark, dir, fix = false)), kmeansMaxRounds)
+        else trainRounds(spark, dir, None, quantizerRounds)
+      import spark.implicits._
+      st._1.zipWithIndex.flatMap { case (round, r) =>
+        round.flatMap { case (cl, n, cent) =>
+          cent.zipWithIndex.map { case (c, p) => (r, cl, n, p, c, st._2) }
+        }
+      }.toDF("round", "cluster", "n", "pos", "c", "converged")
+    }
+    val rows = df.collect()
+    val converged = rows.headOption.exists(_.getBoolean(5))
+    val hist = rows.groupBy(_.getInt(0)).toVector.sortBy(_._1).map { case (_, rs) =>
+      rs.groupBy(r => (r.getLong(1), r.getLong(2))).toSeq
+        .map { case ((cl, n), cs) =>
+          (cl, n, cs.sortBy(_.getInt(3)).map(_.getDouble(4)).toSeq)
+        }.sortBy(_._1)
+    }
+    (hist, converged)
+  }
+
+  /** The Lloyd loop itself — one deterministic round per iteration,
+    * resumable from any stored prefix. */
+  private def trainRounds(spark: SparkSession, dir: String,
+      seed: Option[(Vector[Seq[(Long, Long, Seq[Double])]], Boolean)],
+      cap: Int): (Vector[Seq[(Long, Long, Seq[Double])]], Boolean) = {
+    import spark.implicits._
     val e = Tables.loadSpread(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hist = Vector.newBuilder[Seq[(Long, Long, Seq[Double])]]
       var cur: Seq[(Long, Seq[Double])] =
-        if (cached != null) {
-          hist ++= cached._1
-          cached._1.last.map { case (cl, _, cent) => (cl, cent) }
-        } else centroids(Tables.load(spark, dir, "embeddings"))
-          .select(col("label").cast("long"), col("centroid"))
-          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-      var iters = if (cached != null) cached._1.size else 0
-      var converged = false
-      val cap = if (toFixpoint) kmeansMaxRounds else math.min(targetRounds, kmeansMaxRounds)
+        seed match {
+          case Some((prev, _)) =>
+            hist ++= prev
+            prev.last.map { case (cl, _, cent) => (cl, cent) }
+          case None => centroids(Tables.load(spark, dir, "embeddings"))
+            .select(col("label").cast("long"), col("centroid"))
+            .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+        }
+      var iters = seed.map(_._1.size).getOrElse(0)
+      var converged = seed.exists(_._2)
       while (!converged && iters < cap) {
         val assign = array_min(array(cur.map { case (cl, ct) =>
           struct(L2SquaredDistance(typedLit(ct), col("embedding")).as("d"),
@@ -613,9 +672,7 @@ object AnnQueries {
         hist += upd
         cur = next
       }
-      val state = (hist.result(), converged)
-      kmeansMemo.put(key, state)
-      state
+      (hist.result(), converged)
     } finally e.unpersist(blocking = false)
   }
 

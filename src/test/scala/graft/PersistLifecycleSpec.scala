@@ -187,6 +187,50 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("k-means training history is TRAINED once per fingerprint, READ by later JVM-equivalents") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("km_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    graft.queries.AnnQueries.clearTrainingMemo()
+    try {
+      val before = graft.queries.AnnQueries.kmeansArtifactBuilds.get()
+      // s12 (fixpoint) on a cold store builds BOTH artifacts: the
+      // budget prefix (kmeans_q) and the fixpoint run that resumes it
+      val first = graft.queries.AnnQueries.s12KmeansRun(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.kmeansArtifactBuilds.get() == before + 2,
+        "cold-store fixpoint training must build kmeans_q then kmeans_fix")
+      // a cleared memo simulates a fresh JVM: both consumers must READ
+      graft.queries.AnnQueries.clearTrainingMemo()
+      val second = graft.queries.AnnQueries.s12KmeansRun(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.kmeansArtifactBuilds.get() == before + 2,
+        "a fresh consumer must READ the stored history, not retrain")
+      assert(second == first, "stored-history s12 diverged from the training run")
+      graft.queries.AnnQueries.clearTrainingMemo()
+      graft.queries.AnnQueries.s4AnnIvf(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.AnnQueries.kmeansArtifactBuilds.get() == before + 2,
+        "a quantizer consumer must READ the stored budget history")
+      // kill-mid-write seam: a missing marker must trigger a retrain
+      // that reproduces the identical history (deterministic rounds)
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("kmeans_fix_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      graft.queries.AnnQueries.clearTrainingMemo()
+      val third = graft.queries.AnnQueries.s12KmeansRun(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.kmeansArtifactBuilds.get() == before + 3,
+        "a missing marker (kill mid-write) must trigger a retrain")
+      assert(third == first, "retrained history diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      graft.queries.AnnQueries.clearTrainingMemo()
+      releaseAll()
+    }
+  }
+
   test("p8 base manifest is BUILT once per input fingerprint, READ thereafter") {
     releaseAll()
     val work = java.nio.file.Files.createTempDirectory("p8_art").toString
