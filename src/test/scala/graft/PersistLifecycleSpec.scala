@@ -231,6 +231,41 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("d8 mining result is MINED once per fingerprint, READ by d8 and d17 thereafter") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("d8_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    graft.queries.AnnQueries.clearTrainingMemo()
+    try {
+      val before = graft.queries.AnnQueries.d8MinedBuilds.get()
+      val first = graft.queries.AnnQueries.d8SemanticDedup(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.d8MinedBuilds.get() == before + 1,
+        "first consumer must mine the stored d8 manifest")
+      graft.queries.AnnQueries.d17DedupEval(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.AnnQueries.d8MinedBuilds.get() == before + 1,
+        "d17 must READ the stored mining result, not re-mine")
+      val second = graft.queries.AnnQueries.d8SemanticDedup(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(second == first, "stored-manifest d8 diverged from the mining run")
+      // kill-mid-write seam
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("d8_mined_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val third = graft.queries.AnnQueries.d8SemanticDedup(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.d8MinedBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a re-mine")
+      assert(third == first, "re-mined d8 manifest diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      graft.queries.AnnQueries.clearTrainingMemo()
+      releaseAll()
+    }
+  }
+
   test("p8 base manifest is BUILT once per input fingerprint, READ thereafter") {
     releaseAll()
     val work = java.nio.file.Files.createTempDirectory("p8_art").toString
