@@ -588,4 +588,78 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(got == p2CleanManifest,
       s"executor loss broke exactly-once: ${got.size} rows vs clean ${p2CleanManifest.size}")
   }
+
+  test("artifact store survives a REAL SIGKILL mid-parquet-write; rebuild reproduces the manifest") {
+    // PersistLifecycleSpec simulates the aftermath (marker deleted by
+    // hand); this drives the actual failure: a consumer JVM is
+    // SIGKILLed DURING an artifact's parquet write — the moment
+    // data.parquet appears, before _graft_done can land — leaving
+    // half-written files on disk. The recovery contract: the next
+    // consumer sees no marker, rebuilds over the debris (overwrite
+    // mode), and reproduces the clean result bit-for-bit.
+    val sfDir = "/root/testdata/sf0.001"
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
+    var killedArt: java.io.File = null
+    var artDir: String = null
+    var attempts = 0
+    while (killedArt == null && attempts < 5) {
+      attempts += 1
+      val work = Files.createTempDirectory("chaos_art").toString
+      artDir = s"$work/artifacts"
+      val cmd = Seq("java") ++ addOpens ++ Seq(
+        "-Xmx2g", "-cp", cp, "graft.ChaosArtifactRunner", sfDir, artDir)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"$work/driver.log"))
+      val p = pb.start()
+      // poll for the FIRST artifact data dir (the kmeans_q history is
+      // written first, inside d8's build chain) and kill instantly
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      var target: java.io.File = null
+      while (target == null && p.isAlive && System.nanoTime() < deadline) {
+        val arts = Option(new java.io.File(artDir).listFiles()).getOrElse(Array.empty)
+        target = arts.map(d => new java.io.File(d, "data.parquet"))
+          .find(_.exists()).map(_.getParentFile).orNull
+        if (target == null) Thread.sleep(1)
+      }
+      if (target != null) p.destroyForcibly()
+      p.waitFor(60, TimeUnit.SECONDS)
+      // landed iff the targeted artifact has data but NO done marker
+      if (target != null && new java.io.File(target, "data.parquet").exists() &&
+          !new java.io.File(target, "_graft_done").exists())
+        killedArt = target
+    }
+    assert(killedArt != null,
+      s"could not land a SIGKILL inside an artifact write window in $attempts attempts")
+    // recovery on the SAME store: the half-written artifact must be
+    // rebuilt (no marker -> build), and the result must equal a clean
+    // run from a fresh store
+    graft.queries.AnnQueries.clearTrainingMemo()
+    spark.conf.set("spark.graft.artifacts.dir", artDir)
+    try {
+      val before = graft.queries.AnnQueries.kmeansArtifactBuilds.get() +
+        graft.queries.AnnQueries.d8MinedBuilds.get()
+      val recovered = graft.queries.AnnQueries.d8SemanticDedup(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.AnnQueries.kmeansArtifactBuilds.get() +
+        graft.queries.AnnQueries.d8MinedBuilds.get() > before,
+        "recovery run served the half-written artifact instead of rebuilding")
+      assert(new java.io.File(killedArt, "_graft_done").exists(),
+        "recovery did not complete the interrupted artifact")
+      graft.queries.AnnQueries.clearTrainingMemo()
+      spark.conf.set("spark.graft.artifacts.dir",
+        Files.createTempDirectory("chaos_art_clean").toString)
+      val clean = graft.queries.AnnQueries.d8SemanticDedup(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(recovered == clean,
+        s"rebuild over kill debris diverged: ${recovered.size} rows vs clean ${clean.size}")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      graft.queries.AnnQueries.clearTrainingMemo()
+    }
+  }
 }

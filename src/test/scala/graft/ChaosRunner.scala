@@ -213,3 +213,26 @@ object ChaosP34Runner {
     spark.stop()
   }
 }
+
+/** Driver main for the artifact-store kill-mid-write scenario: runs a
+  * d8 consumer with `spark.graft.artifacts.dir` pointed at the given
+  * dir; the PARENT process SIGKILLs this JVM the moment the first
+  * artifact's `data.parquet` directory appears — i.e. DURING a parquet
+  * write, before `_graft_done` can land — leaving a half-written
+  * artifact on disk for the recovery assertion. */
+object ChaosArtifactRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, artDir) = args
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("chaos_artifact")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.artifacts.dir", artDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.queries.AnnQueries.d8SemanticDedup(spark, sfDir).collect()
+    spark.stop()
+  }
+}
