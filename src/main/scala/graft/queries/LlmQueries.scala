@@ -708,13 +708,29 @@ object LlmQueries {
     * put winning — correct but duplicated work (ADVICE r9). */
   private val trainLock = new Object
 
+  /** Build counter for the stored merge table (lifecycle pin). */
+  private[graft] val mergesBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def learnedMerges(
       spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = trainLock.synchronized {
     mergesMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir)
     val cached = mergesMemo.get(key)
     if (cached != null) return cached
-    val learned = trainMerges(spark, dir)
+    // round 11: behind the memo sits the STORED merge table (the
+    // kmeans_q discipline) — a tokenizer is trained once per corpus
+    // version and every later JVM READS the released artifact; all
+    // cells are longs/strings, so the roundtrip is exact. The memo
+    // stays in front as the per-session cache.
+    val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
+      Seq(s"bpe=v1:rounds=$bpeRounds"))
+    val df = graft.core.ArtifactStore.getOrBuild(spark, "bpe_merges_v1", fp, mergesBuilds) {
+      import spark.implicits._
+      trainMerges(spark, dir).toDF("merge_round", "left_sym", "right_sym", "cnt")
+    }
+    val learned = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
     mergesMemo.put(key, learned)
     learned
   }

@@ -231,6 +231,42 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("BPE merge table is TRAINED once per fingerprint, READ by later JVM-equivalents") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    graft.queries.LlmQueries.clearTrainingMemo()
+    try {
+      val before = graft.queries.LlmQueries.mergesBuilds.get()
+      val first = graft.queries.LlmQueries.l19BpeTrain(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.LlmQueries.mergesBuilds.get() == before + 1,
+        "first consumer must train and store the merge table")
+      // a cleared memo simulates a fresh JVM: the consumer must READ
+      graft.queries.LlmQueries.clearTrainingMemo()
+      val second = graft.queries.LlmQueries.l19BpeTrain(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.LlmQueries.mergesBuilds.get() == before + 1,
+        "a fresh consumer must READ the stored merge table, not retrain")
+      assert(second == first, "stored merge table diverged from the training run")
+      // kill-mid-write seam
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("bpe_merges_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      graft.queries.LlmQueries.clearTrainingMemo()
+      val third = graft.queries.LlmQueries.l19BpeTrain(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.LlmQueries.mergesBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a retrain")
+      assert(third == first, "retrained merge table diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      graft.queries.LlmQueries.clearTrainingMemo()
+      releaseAll()
+    }
+  }
+
   test("d8 mining result is MINED once per fingerprint, READ by d8 and d17 thereafter") {
     releaseAll()
     val work = java.nio.file.Files.createTempDirectory("d8_art").toString
