@@ -301,45 +301,30 @@ object DedupQueries {
     clusterLabels(spark, dir).orderBy("doc_id")
   }
 
+  /** Build counter for the stored resemblance cluster labels. */
+  private[graft] val d4LabelBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** (doc_id, cluster) labels shared by d4 (the cluster dump), d5
     * (the survivor manifest) and d7 (the canonical picks) — cluster =
     * min doc_id of the connected component of d1's near-dup pairs.
     *
-    * MEMOIZED per (session, dir): ConnectedComponents.run is EAGER (it
-    * drives its star rounds with actions), so unlike the pair
-    * manifests the cache manager's canonicalized-plan dedup cannot
-    * share it — a fresh call would re-run the whole loop even with
-    * every input cached. The returned labels snapshot is already
-    * pinned (checkpointReleasable), so the memo just hands the same
-    * DataFrame back. The take(1) guard makes the memo self-healing:
-    * the snapshot is lineage-truncated, so if a cache sweep (Bench's
-    * family-boundary release) dropped its blocks, reading it throws —
-    * in that case the labels are recomputed instead of poisoning the
-    * caller. One driver-side row read, guard only, never row data. */
-  private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * Round 11: a fingerprint-keyed STORED artifact. The star-
+    * contraction loop is EAGER (driver-driven actions), so neither
+    * plan-cache dedup nor lazy lineage could ever share it — through
+    * round 10 a localCheckpoint memo with count() liveness probes
+    * stood in; the stored manifest retires that machinery (two id
+    * columns, exact roundtrip) and survives JVMs: the clustering runs
+    * once per corpus version, which is what a production dedup
+    * pipeline does with its cluster assignment table anyway. */
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // evict entries for STOPPED sessions so a long-lived process that
-    // cycles sessions (or tests over many temp dirs) can't pin dead
-    // sessions and their plans in this static map forever
-    labelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (spark, dir)
-    val cached = labelsMemo.get(key)
-    // count(), not take(1): a first-partition probe passes after
-    // PARTIAL block loss (executor death) and the consumer then fails
-    // on the lost blocks instead of self-healing (ADVICE r9); the
-    // labels are two id columns, so the full-block probe is cheap
-    if (cached != null && scala.util.Try(cached.count()).isSuccess) cached
-    else {
-      labelsMemo.remove(key) // drop a swept-cache (guard-failed) entry
+    val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
+      Seq(s"d4labels=v1:minhash16:bands=8x2:thr=$jacThreshold"))
+    graft.core.ArtifactStore.getOrBuild(spark, "d4_labels_v1", fp, d4LabelBuilds) {
       val pairs = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
-      val labels = graft.operators.ConnectedComponents.run(docs, pairs)
+      graft.operators.ConnectedComponents.run(docs, pairs)
         .select(col("id").as("doc_id"), col("cluster"))
-      labelsMemo.put(key, labels)
-      labels
     }
   }
 
@@ -410,33 +395,23 @@ object DedupQueries {
     * column never reaches CC. */
   def d14FullDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    mergedLabelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (spark, dir)
-    val cached = mergedLabelsMemo.get(key)
-    val labels =
-      if (cached != null && scala.util.Try(cached.count()).isSuccess) cached
-      else {
-        mergedLabelsMemo.remove(key)
-        val resemblance = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
-        val containment = containmentPairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
-        val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
-        val l = graft.operators.ConnectedComponents.run(docs, resemblance.union(containment))
-          .select(col("id").as("doc_id"), col("cluster"))
-        mergedLabelsMemo.put(key, l)
-        l
-      }
-    labels.orderBy("doc_id")
+    // the merged-modality labels are a STORED artifact (round 11, the
+    // clusterLabels discipline): the eager CC loop runs once per
+    // corpus version and every later call — in this JVM or the next —
+    // reads the stored (doc_id, cluster) manifest
+    val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
+      Seq(s"d14labels=v1:res-thr=$jacThreshold:con-thr=0.6"))
+    graft.core.ArtifactStore.getOrBuild(spark, "d14_labels_v1", fp, d14LabelBuilds) {
+      val resemblance = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+      val containment = containmentPairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
+      val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      graft.operators.ConnectedComponents.run(docs, resemblance.union(containment))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }.orderBy("doc_id")
   }
 
-  /** d14's merged-modality cluster labels, memoized per (session, dir)
-    * with the [[labelsMemo]] discipline: ConnectedComponents.run is
-    * EAGER (driver-driven star rounds), so the cache manager's
-    * canonicalized-plan dedup cannot share it across invocations —
-    * without the memo every d14 call re-runs the whole CC loop even
-    * with both pair manifests cached. Full-partition count() probe,
-    * same rationale as [[labelsMemo]]. */
-  private val mergedLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Build counter for the stored merged-modality labels. */
+  private[graft] val d14LabelBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
   // --- d7: quality-aware canonical representative per cluster ---------------
 

@@ -91,6 +91,11 @@ object ChaosD4Runner {
     val execPids = ChaosHarness.harvestExecutorPids(spark)
     spark.sparkContext.setCheckpointDir(ckpt)
     spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    // fresh artifact store: the labels are a stored artifact since
+    // round 11 — reading a prior run's parquet would skip the CC loop
+    // this scenario exists to kill mid-flight
+    spark.conf.set("spark.graft.artifacts.dir",
+      java.nio.file.Files.createTempDirectory("chaos_d4_art").toString)
     // the checkpoint dir is being actively written (temp part files
     // renamed into place) — a file vanishing between list and stat
     // throws from Files.walk; treat any IO race as "not yet" instead
@@ -122,6 +127,11 @@ object ChaosL19Runner {
     val execPids = ChaosHarness.harvestExecutorPids(spark)
     spark.sparkContext.setCheckpointDir(ckpt)
     spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    // fresh artifact store: the merge table is stored since round 11 —
+    // a prior run's parquet would skip the training loop this scenario
+    // exists to kill mid-flight
+    spark.conf.set("spark.graft.artifacts.dir",
+      java.nio.file.Files.createTempDirectory("chaos_l19_art").toString)
     def roundSnapshotExists(): Boolean =
       try {
         val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))

@@ -112,9 +112,41 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("d14 double-invoke reuses the memoized merged-CC labels (no re-run, no stacking)") {
+  test("d14 double-invoke reads the stored merged-CC labels (no re-run, no stacking)") {
     assertNoStacking("d14_full_dedup") {
       graft.queries.DedupQueries.d14FullDedup(spark, dir)
+    }
+  }
+
+  test("d4/d5/d7 share the stored cluster labels (clustered once per fingerprint)") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("d4_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val before = graft.queries.DedupQueries.d4LabelBuilds.get()
+      val first = graft.queries.DedupQueries.d4DedupClusters(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.DedupQueries.d4LabelBuilds.get() == before + 1,
+        "first consumer must run CC and store the labels")
+      graft.queries.DedupQueries.d5DedupSurvivors(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.DedupQueries.d7CanonicalDocs(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.DedupQueries.d4LabelBuilds.get() == before + 1,
+        "d5/d7 must READ the stored labels, not re-cluster")
+      // kill-mid-write seam
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("d4_labels_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val second = graft.queries.DedupQueries.d4DedupClusters(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.DedupQueries.d4LabelBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a re-cluster")
+      assert(second == first, "re-clustered labels diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
     }
   }
 
