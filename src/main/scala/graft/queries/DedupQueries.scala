@@ -516,15 +516,21 @@ object DedupQueries {
   def d9SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    // round 11: the duplicated positions come from the STORED mask
+    // manifest ([[spanMask]]) — n_spans is a per-row expression on the
+    // scan (size of the fused gram kernel's output), n_dup the
+    // per-doc mask-row count; the detection itself runs once per
+    // corpus version, not once per counting view
+    spanMask(spark, dir).createOrReplaceTempView("d11_mask")
     spark.sql("""
-      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-      g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
-      p AS (SELECT doc_id, h FROM g LATERAL VIEW explode(gs) AS h),
-      d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
-      SELECT p.doc_id, COUNT(*) AS n_spans, COUNT(d.h) AS n_dup
-      FROM p LEFT JOIN d ON p.h = d.h
-      GROUP BY p.doc_id
-      ORDER BY p.doc_id""")
+      WITH g AS (SELECT doc_id,
+                   CAST(size(gram_hashes(split(text, ' '), 5)) AS BIGINT) AS n_spans
+                 FROM documents WHERE size(split(text, ' ')) >= 5),
+      mc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+             FROM d11_mask GROUP BY doc_id)
+      SELECT g.doc_id, g.n_spans, coalesce(mc.n_dup, CAST(0 AS BIGINT)) AS n_dup
+      FROM g LEFT JOIN mc ON g.doc_id = mc.doc_id
+      ORDER BY g.doc_id""")
   }
 
   /** d10 — Bloom-filter MEMBERSHIP pre-filter + exact confirm: the
@@ -579,29 +585,46 @@ object DedupQueries {
       .orderBy("user_id", "event_type", "hod")
   }
 
+  /** Build counter for the stored span-mask manifest. */
+  private[graft] val d11MaskBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The duplicated-span MASK MANIFEST (doc_id, pos) — since round 11
+    * a fingerprint-keyed STORED artifact, which is what d11's own doc
+    * always claimed it is ("the artifact a pipeline actually
+    * consumes"): detected once per corpus version, read by d9 (the
+    * counts view), d11 (the manifest dump), and d12 (the cut job).
+    * The detection shuffles only (id, pos, hash) rows; text never
+    * moves; all stored cells are longs. */
+  private def spanMask(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
+      Seq("d11mask=v1:gram=5"))
+    graft.core.ArtifactStore.getOrBuild(spark, "d11_mask_v1", fp, d11MaskBuilds) {
+      Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+      spark.sql("""
+        WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
+        p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, h
+              FROM g LATERAL VIEW posexplode(gs) AS pos, h),
+        d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT p.doc_id, p.pos
+        FROM p JOIN d ON p.h = d.h""")
+    }
+  }
+
   /** d11 — the SPAN MASK MANIFEST: d9's duplicated-span detection
     * emitted as the artifact a pipeline actually consumes — one
     * (doc_id, pos) row per 5-gram span whose hash occurs in another
     * document, i.e. the start offsets (token index, 0-based) of the
-    * regions to mask or cut before training. Same plan as d9 with
+    * regions to mask or cut before training. The detection runs with
     * `posexplode` carrying the position through the hash join (the
     * shuffled row grows from 16 to 24 bytes — still id+hash width,
-    * text still never moves); the manifest joins back to the corpus
-    * by doc_id at cut time, so the wide column is read exactly once
-    * by whichever job applies the mask. */
-  def d11SpanMask(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
-    spark.sql("""
-      WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-      g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
-      p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, h
-            FROM g LATERAL VIEW posexplode(gs) AS pos, h),
-      d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
-      SELECT p.doc_id, p.pos
-      FROM p JOIN d ON p.h = d.h
-      ORDER BY p.doc_id, p.pos""")
-  }
+    * text still never moves); since round 11 the manifest is STORED
+    * ([[spanMask]]) and the cut job reads it back by doc_id, so the
+    * wide column is read exactly once by whichever job applies the
+    * mask. */
+  def d11SpanMask(spark: SparkSession, dir: String): DataFrame =
+    spanMask(spark, dir).orderBy("doc_id", "pos")
 
   /** d12 — the SPAN CUT: d11's mask manifest APPLIED, producing the
     * cleaned corpus — Lee et al.'s pipeline endpoint (detect → localize
@@ -621,15 +644,15 @@ object DedupQueries {
   def d12SpanCut(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
+    // the STORED mask manifest (round 11) — the cut job reads the
+    // artifact instead of re-running the detection; the mask view's
+    // plan is a plain parquet read, so the WITH wrap is safe (the d16
+    // CTE hazard needs a CTE chain inside the wrapped view)
+    spanMask(spark, dir).createOrReplaceTempView("d11_mask")
     spark.sql("""
       WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-      g AS (SELECT doc_id, gram_hashes(w, 5) AS gs FROM toks WHERE size(w) >= 5),
-      p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, h
-            FROM g LATERAL VIEW posexplode(gs) AS pos, h),
-      d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
       m AS (SELECT doc_id, sort_array(collect_list(pos)) AS starts
-            FROM (SELECT p.doc_id, p.pos FROM p JOIN d ON p.h = d.h)
-            GROUP BY doc_id)
+            FROM d11_mask GROUP BY doc_id)
       SELECT t.doc_id,
              CASE WHEN m.starts IS NULL THEN array_join(t.w, ' ')
                   ELSE span_cut(t.w, m.starts, 5) END AS cleaned_text

@@ -299,6 +299,38 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("span-mask manifest is DETECTED once per fingerprint, READ by d9/d11/d12 thereafter") {
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("mask_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val before = graft.queries.DedupQueries.d11MaskBuilds.get()
+      val first = graft.queries.DedupQueries.d11SpanMask(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.DedupQueries.d11MaskBuilds.get() == before + 1,
+        "first consumer must detect and store the span mask")
+      graft.queries.DedupQueries.d9SpanDedup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.DedupQueries.d12SpanCut(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(graft.queries.DedupQueries.d11MaskBuilds.get() == before + 1,
+        "d9/d12 must READ the stored mask, not re-detect")
+      // kill-mid-write seam
+      val art = new java.io.File(work).listFiles()
+        .find(_.getName.startsWith("d11_mask_v1_")).get
+      assert(new java.io.File(art, "_graft_done").delete(),
+        "test setup: marker should exist after a build")
+      val second = graft.queries.DedupQueries.d11SpanMask(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(graft.queries.DedupQueries.d11MaskBuilds.get() == before + 2,
+        "a missing marker (kill mid-write) must trigger a re-detect")
+      assert(second == first, "re-detected mask manifest diverged")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
+  }
+
   test("d8 mining result is MINED once per fingerprint, READ by d8 and d17 thereafter") {
     releaseAll()
     val work = java.nio.file.Files.createTempDirectory("d8_art").toString
