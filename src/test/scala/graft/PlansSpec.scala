@@ -513,13 +513,15 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  test("d9: span dedup shuffles only 8-byte hashes — fused gram kernel, no nested loop") {
+  test("d9: counts = fused gram kernel in the scan + stored-mask equi-join, no nested loop") {
     val p = plan("d9_span_dedup")
     // the positional kernel, not interpreted transform(slice(...))
     assert(p.toLowerCase.contains("gramhashes") || p.contains("gram_hashes"), p.take(3000))
-    // duplicated-hash gate joins back on h: equi-join, never cartesian
+    // round 11: the detection lives in the stored-mask BUILD; the
+    // counts view reads the artifact and joins by doc_id — equi only
+    assert(p.contains("d11_mask_v1_"), p.take(3000))
     assert(!p.toLowerCase.contains("cartesian") && !p.contains("NestedLoop"), p.take(3000))
-    // distinct-doc count is a partial+final aggregate
+    // mask-row count per doc is a partial+final aggregate
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
   }
 
