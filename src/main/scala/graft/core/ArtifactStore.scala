@@ -18,12 +18,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    table or changing a build knob changes the key, so a stale
   *    stored artifact can never serve a new corpus or an old config —
   *    the hand-bumped-version-tag-only keying ADVICE r10 flagged.
-  *  - The `_graft_done` marker is created strictly AFTER the parquet
-  *    write: a kill mid-write leaves data without the marker and the
-  *    next consumer REBUILDS (ChaosRecoverySpec / PersistLifecycleSpec
-  *    kill-mid-write scenarios). The build runs under one JVM-global
-  *    lock — one builder per process; concurrent sessions re-check
-  *    the marker under the lock.
+  *  - Publication is ATOMIC ACROSS PROCESSES (round 12; ADVICE r11):
+  *    a build writes into a process-unique `.tmp_` directory, creates
+  *    the `_graft_done` marker there, and atomically RENAMES the whole
+  *    directory into `<name>_<fp>/` — data and marker appear in one
+  *    filesystem operation, so two cold JVMs racing the same key can
+  *    never interleave part files under the served path. The rename
+  *    loser discards its temp build and reads the winner's artifact
+  *    (duplicate WORK on a cross-process race, never duplicate DATA).
+  *    A kill at any point leaves either nothing or a `.tmp_` directory
+  *    that no reader ever resolves; the next consumer sees no marker
+  *    and rebuilds (ChaosRecoverySpec drives a real SIGKILL through
+  *    the write window; PersistLifecycleSpec pins the thread-level
+  *    race with the JVM lock bypassed).
+  *  - RETENTION (round 12): a successful publish prunes (a) sibling
+  *    `<name>_<otherFp>` directories whose recorded input scope (the
+  *    corpus dir, kept in `_graft_meta`) matches this build's — a
+  *    regenerated corpus or changed knob re-keys the artifact, so the
+  *    old key for the SAME corpus dir can never be read again — and
+  *    (b) `.tmp_<name>_` debris whose embedded pid is no longer alive
+  *    (crashed builders). Artifacts of OTHER corpus dirs (the sf0.001/
+  *    sf0.01/sf0.1 stores share one root) are never touched, and a
+  *    concurrently LIVE builder's temp dir is never touched. The one
+  *    documented hazard: a process still reading an old-fp artifact
+  *    while another process publishes the re-keyed build loses its
+  *    input files mid-scan and fails loudly — acceptable for a store
+  *    whose keys change only when the corpus itself is regenerated.
   *  - Only exactly-representable cells (integers, strings, IEEE
   *    doubles — parquet roundtrips all of them bit-for-bit) may be
   *    stored, so a read-back artifact is indistinguishable from the
@@ -41,7 +61,11 @@ object ArtifactStore {
 
   /** One builder per JVM; concurrent consumers of different artifacts
     * serialize too — acceptable at this cadence (builds are rare and
-    * the common path is a marker check). */
+    * the common path is a marker check). Lock ORDER invariant with
+    * AnnQueries.trainLock (ADVICE r11): trainLock, where held, is
+    * always taken BEFORE this lock (kmeansState), and no build thunk
+    * may call into trainLock-guarded state — consumers whose build
+    * depends on the trained quantizer hoist it out of the thunk. */
   private val buildLock = new Object
 
   private def root(spark: SparkSession): java.io.File =
@@ -58,7 +82,9 @@ object ArtifactStore {
   def fingerprint(dir: String, names: Seq[String], params: Seq[String]): String = {
     def walk(f: java.io.File, rel: String): Seq[String] =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq
+        // listFiles is null on an IO/permission error — fail soft to
+        // "no children" like Compaction's walk, never NPE
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toSeq
           .flatMap(c => walk(c, s"$rel/${c.getName}"))
       else Seq(s"$rel:${f.length}:${f.lastModified}")
     val desc = (new java.io.File(dir).getAbsolutePath +: names.flatMap { n =>
@@ -71,25 +97,127 @@ object ArtifactStore {
   }
 
   /** Read the artifact `<name>_<fp>` if its marker exists, else run
-    * `build`, store it, mark done, and read it back. `builds`
-    * increments on every real build — the lifecycle specs pin
+    * `build`, publish it atomically, and read it back. `scope` is the
+    * corpus dir the artifact derives from — recorded in the artifact's
+    * `_graft_meta` so retention can tell a re-keyed build of the SAME
+    * corpus (prunable) from a sibling corpus's artifact (kept).
+    * `builds` increments on every real build — the lifecycle specs pin
     * built-once/read-thereafter and the kill-mid-write rebuild against
     * it. The returned DataFrame is always the parquet READ (never the
     * build plan), so first and later consumers execute identical
     * plans. */
-  def getOrBuild(spark: SparkSession, name: String, fp: String,
+  def getOrBuild(spark: SparkSession, name: String, fp: String, scope: String,
       builds: java.util.concurrent.atomic.AtomicLong)(build: => DataFrame): DataFrame =
     buildLock.synchronized {
-      val art = new java.io.File(root(spark), s"${name}_$fp")
-      val marker = new java.io.File(art, "_graft_done")
-      val data = new java.io.File(art, "data.parquet")
-      if (!marker.exists) {
-        builds.incrementAndGet()
-        build.write.mode("overwrite").parquet(data.getAbsolutePath)
-        // marker AFTER the write: a kill mid-write leaves no marker and
-        // the next consumer rebuilds
-        marker.createNewFile()
-      }
-      spark.read.parquet(data.getAbsolutePath)
+      getOrBuildUnlocked(spark, name, fp, scope, builds)(build)
     }
+
+  /** The lock-free body — exactly what a SECOND JVM (which does not
+    * share [[buildLock]]) executes. Exposed `private[graft]` so the
+    * lifecycle spec can drive the cross-process publish race from two
+    * threads with the JVM serialization removed. */
+  private[graft] def getOrBuildUnlocked(spark: SparkSession, name: String, fp: String,
+      scope: String, builds: java.util.concurrent.atomic.AtomicLong)
+      (build: => DataFrame): DataFrame = {
+    val rootDir = root(spark)
+    val art = new java.io.File(rootDir, s"${name}_$fp")
+    val marker = new java.io.File(art, "_graft_done")
+    val data = new java.io.File(art, "data.parquet")
+    if (!marker.exists) {
+      builds.incrementAndGet()
+      // build into a process-unique temp dir: data, meta, then marker —
+      // a kill at any point leaves only unreferenced debris
+      val nonce = java.lang.Long.toHexString(System.nanoTime())
+      val tmp = new java.io.File(rootDir,
+        s".tmp_${name}_${fp}_${ProcessHandle.current().pid()}_$nonce")
+      build.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "data.parquet").getAbsolutePath)
+      writeMeta(new java.io.File(tmp, "_graft_meta"), scope)
+      require(new java.io.File(tmp, "_graft_done").createNewFile(),
+        s"could not create done marker under $tmp")
+      publish(tmp, art, marker)
+      if (marker.exists) retainOnly(rootDir, name, fp, scope)
+    }
+    spark.read.parquet(data.getAbsolutePath)
+  }
+
+  /** Atomically move the fully-built `tmp` into place at `art`. The
+    * rename is the publication point: dir, data, meta and marker
+    * appear in one operation. Losing the race (another process
+    * published first) discards `tmp`; a marker-less `art` (debris of
+    * a pre-round-12 in-place build that was killed mid-write) is
+    * swept and replaced. */
+  private def publish(tmp: java.io.File, art: java.io.File, marker: java.io.File): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      if (marker.exists) {
+        // another builder won the race: serve theirs, drop ours
+        deleteRec(tmp)
+        done = true
+      } else {
+        // a marker-less target is pre-atomic-publish debris (an
+        // in-place build killed mid-write, or a spec-broken marker) —
+        // atomic publishes always carry their marker, so sampling
+        // `art` BEFORE re-sampling `marker` means a rename landing in
+        // between flips the marker to true and the sweep is skipped;
+        // a concurrently-published artifact is never deleted
+        if (art.exists && !marker.exists) deleteRec(art)
+        try {
+          java.nio.file.Files.move(tmp.toPath, art.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          done = true
+        } catch {
+          case _: java.nio.file.FileSystemException if attempts < 16 =>
+          // target (re)appeared between the sweep and the move — loop:
+          // either its marker now exists (we lose) or we sweep again
+        }
+      }
+    }
+  }
+
+  private def writeMeta(f: java.io.File, scope: String): Unit =
+    java.nio.file.Files.write(f.toPath,
+      new java.io.File(scope).getAbsolutePath.getBytes("UTF-8"))
+
+  private def readMeta(d: java.io.File): Option[String] = {
+    val f = new java.io.File(d, "_graft_meta")
+    if (f.exists)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    else None
+  }
+
+  /** Post-publish retention sweep for `name`: prune re-keyed siblings
+    * of the SAME corpus scope and `.tmp_` debris of dead builders.
+    * Directories without a readable meta (pre-round-12 layout) and
+    * other corpora's artifacts are left alone; a LIVE builder's temp
+    * dir is left alone. */
+  private def retainOnly(rootDir: java.io.File, name: String, fp: String,
+      scope: String): Unit = {
+    val keep = s"${name}_$fp"
+    val scopeAbs = new java.io.File(scope).getAbsolutePath
+    val fpPat = s"""\\Q${name}\\E_[0-9a-f]{16}""".r
+    val tmpPat = s"""\\.tmp_\\Q${name}\\E_[0-9a-f]{16}_(\\d+)_[0-9a-f]+""".r
+    Option(rootDir.listFiles()).getOrElse(Array.empty).foreach { d =>
+      d.getName match {
+        case _ if d.getName == keep => // the just-published build
+        case fpPat() if readMeta(d).contains(scopeAbs) =>
+          deleteRec(d) // re-keyed sibling of the same corpus: dead key
+        case tmpPat(pid) if !ProcessHandle.of(pid.toLong).asScala.exists(_.isAlive) =>
+          deleteRec(d) // crashed builder's debris
+        case _ => // other corpus, live builder, or unknown layout: keep
+      }
+    }
+  }
+
+  private implicit class OptCompat[T](val o: java.util.Optional[T]) extends AnyVal {
+    def asScala: Option[T] = if (o.isPresent) Some(o.get) else None
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
 }

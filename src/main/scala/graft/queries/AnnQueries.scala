@@ -591,6 +591,12 @@ object AnnQueries {
       st._2 || (if (toFixpoint) false else st._1.size >= targetRounds)
     if (cached != null && enough(cached)) return cached
     val state = kmeansArtifact(spark, dir, fix = toFixpoint)
+    // a loaded artifact is capped at quantizerRounds (q) / kmeansMaxRounds
+    // (fix) — a future caller asking for MORE rounds than the stored cap
+    // must fail loudly, not silently get a truncated history (ADVICE r11)
+    require(enough(state), s"stored kmeans history covers ${state._1.size} " +
+      s"rounds (converged=${state._2}) < requested $targetRounds — " +
+      "raise the artifact cap or fold the budget into its fingerprint")
     kmeansMemo.put(key, state)
     state
   }
@@ -611,7 +617,7 @@ object AnnQueries {
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
       Seq(quantizerParams, s"hist=v1:cap=$cap"))
     val name = if (fix) "kmeans_fix_v1" else "kmeans_q_v1"
-    val df = graft.core.ArtifactStore.getOrBuild(spark, name, fp, kmeansArtifactBuilds) {
+    val df = graft.core.ArtifactStore.getOrBuild(spark, name, fp, dir, kmeansArtifactBuilds) {
       val st =
         if (fix) trainRounds(spark, dir, Some(kmeansArtifact(spark, dir, fix = false)), kmeansMaxRounds)
         else trainRounds(spark, dir, None, quantizerRounds)
@@ -771,11 +777,17 @@ object AnnQueries {
     * AND the quantizer config (the codebooks are trained-centroid
     * slices) — any knob change re-keys the artifact. */
   private def pqCodesStored(spark: SparkSession, dir: String): DataFrame = {
+    // the trained quantizer is materialized BEFORE entering the store's
+    // build lock: trainedCentroids takes trainLock, and a thunk-internal
+    // call would acquire buildLock -> trainLock — the inverse of
+    // kmeansState's trainLock -> buildLock, a deadlock under two
+    // concurrent cold callers (ADVICE r11). Lock order is now
+    // trainLock-before-buildLock everywhere.
+    val sub = pqCodebook(trainedCentroids(spark, dir))
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
       Seq(s"pq=v1:m=$pqSubspaces:subdim=$pqSubDim", quantizerParams))
-    graft.core.ArtifactStore.getOrBuild(spark, "pq_codes_v1", fp, pqCodesBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "pq_codes_v1", fp, dir, pqCodesBuilds) {
       val e = Tables.load(spark, dir, "embeddings")
-      val sub = pqCodebook(trainedCentroids(spark, dir))
       val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
         .select(col("vec_id"), explode(expr(
           s"transform(sequence(0, ${pqSubspaces - 1}), m -> struct(m AS m, slice(embedding, m * $pqSubDim + 1, $pqSubDim) AS v))")).as("p"))
@@ -845,18 +857,17 @@ object AnnQueries {
   /** Build counter for the stored d8 mining result (lifecycle pin). */
   private[graft] val d8MinedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Guards the check-then-act of the training/mining paths in this
-    * file (kmeansState's memo, d8Mined): without it two concurrent
-    * first callers each run the full expensive job and the last put
-    * wins — results stay correct, the work duplicates (ADVICE r9). A
-    * single coarse lock is fine at this cadence (training happens once
-    * per corpus fingerprint now that the artifacts are stored); it is
-    * reentrant, so d8Mined calling trainedCentroids → kmeansState
-    * under the same lock is safe. The r10-flagged coarseness — memo
-    * liveness count() probes running Spark jobs under this lock — is
-    * RETIRED with the probes themselves: the stored artifacts replaced
-    * the lineage-truncated memos, and the remaining kmeans memo holds
-    * driver-side k×d state needing no probe. */
+  /** Guards the check-then-act of kmeansState's memo: without it two
+    * concurrent first callers each run the full training job and the
+    * last put wins — results stay correct, the work duplicates
+    * (ADVICE r9). Lock ORDER invariant (ADVICE r11): this lock is
+    * always taken BEFORE ArtifactStore's build lock (kmeansState →
+    * kmeansArtifact → getOrBuild), and no getOrBuild thunk anywhere
+    * may call back into trainLock-guarded state — consumers whose
+    * build needs the trained quantizer (pqCodesStored, d8Mined, p8's
+    * base manifest) hoist trainedCentroids OUT of the thunk, so the
+    * inverse buildLock → trainLock acquisition never happens and two
+    * concurrent cold callers (say s4 and s7) cannot deadlock. */
   private val trainLock = new Object
 
   /** d8's mining result — since round 11 ONE fingerprint-keyed STORED
@@ -868,15 +879,18 @@ object AnnQueries {
     * too (embeddings exist only inside the build's pair verify). This
     * retires the localCheckpoint memo and its liveness probes: every
     * call is a plain parquet read, across JVMs. */
-  private def d8Mined(spark: SparkSession, dir: String): (DataFrame, DataFrame) = trainLock.synchronized {
+  private def d8Mined(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // the TRAINED quantizer (shared with s4/s7/s15/p6): better-fitted
+    // cells both tighten the within-cluster pair space and raise the
+    // chance a planted twin lands with its base vector. Materialized
+    // BEFORE the store's build lock — the trainLock-before-buildLock
+    // order every consumer follows (ADVICE r11); the store's own lock
+    // makes the former trainLock wrapper here redundant.
+    val cent = trainedCentroids(spark, dir)
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
       Seq(quantizerParams, "d8=v1:thr=0.85:plant=mod10"))
-    val mined = graft.core.ArtifactStore.getOrBuild(spark, "d8_mined_v1", fp, d8MinedBuilds) {
+    val mined = graft.core.ArtifactStore.getOrBuild(spark, "d8_mined_v1", fp, dir, d8MinedBuilds) {
       val e = Tables.load(spark, dir, "embeddings")
-      // the TRAINED quantizer (shared with s4/s7/s15/p6): better-fitted
-      // cells both tighten the within-cluster pair space and raise the
-      // chance a planted twin lands with its base vector
-      val cent = trainedCentroids(spark, dir)
       val corpus = Tables.spread(spark,
         plantTwins(e.select(col("vec_id"), col("embedding"))))
       def l2sq(c: Column, emb: Column): Column = L2SquaredDistance(c, emb)

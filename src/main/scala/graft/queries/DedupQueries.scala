@@ -127,7 +127,7 @@ object DedupQueries {
     registerIds(spark, dir)
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"d1pairs=v1:minhash16:bands=8x2:thr=$jacThreshold"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d1_pairs_v1", fp, d1PairBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d1_pairs_v1", fp, dir, d1PairBuilds) {
       resemblancePairsPlan(spark, dir)
     }
   }
@@ -221,7 +221,7 @@ object DedupQueries {
       .createOrReplaceTempView("ids")
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq("d13pairs=v1:prefix=0.4:thr=0.6"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, d13PairBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, dir, d13PairBuilds) {
       containmentPairsPlan(spark, dir)
     }
   }
@@ -320,7 +320,7 @@ object DedupQueries {
     import org.apache.spark.sql.functions.col
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"d4labels=v1:minhash16:bands=8x2:thr=$jacThreshold"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d4_labels_v1", fp, d4LabelBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d4_labels_v1", fp, dir, d4LabelBuilds) {
       val pairs = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
       graft.operators.ConnectedComponents.run(docs, pairs)
@@ -401,7 +401,7 @@ object DedupQueries {
     // reads the stored (doc_id, cluster) manifest
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"d14labels=v1:res-thr=$jacThreshold:con-thr=0.6"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d14_labels_v1", fp, d14LabelBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d14_labels_v1", fp, dir, d14LabelBuilds) {
       val resemblance = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val containment = containmentPairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
@@ -599,7 +599,7 @@ object DedupQueries {
     GraftFunctions.register(spark)
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq("d11mask=v1:gram=5"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d11_mask_v1", fp, d11MaskBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d11_mask_v1", fp, dir, d11MaskBuilds) {
       Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
       spark.sql("""
         WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),

@@ -340,17 +340,21 @@ object PipelineQueries {
     * must change the KEY — the `v1` tag alone relied on a hand bump). */
   private def p8BaseManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // trained quantizer materialized BEFORE the store's build lock —
+    // the trainLock-before-buildLock order (ADVICE r11: a thunk-internal
+    // trainedCentroids call inverts the order kmeansState establishes
+    // and can deadlock two concurrent cold callers)
+    val cent = AnnQueries.trainedCentroids(spark, dir)
     val fp = graft.core.ArtifactStore.fingerprint(dir,
       Seq("documents.parquet", "embeddings.parquet"),
       Seq("manifest=v1", AnnQueries.quantizerParams))
-    graft.core.ArtifactStore.getOrBuild(spark, "p8_base_v1", fp, p8BaseBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "p8_base_v1", fp, dir, p8BaseBuilds) {
       val docs = Tables.loadSpread(spark, dir, "documents")
         .filter(col("doc_id") % 5 =!= 4)
       val terms = p8TermAgg(docs)
         .select(lit("term").as("kind"), col("term").as("key"),
           col("df").as("n1"), col("cf").as("n2"))
       val e = Tables.load(spark, dir, "embeddings")
-      val cent = AnnQueries.trainedCentroids(spark, dir)
       val cells = AnnQueries.assignCells(
           e.filter(col("vec_id") % 5 =!= 4).select(col("vec_id"), col("embedding")), cent)
         .groupBy("clabel").agg(count(lit(1)).as("n1"))

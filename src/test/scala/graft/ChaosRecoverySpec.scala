@@ -591,12 +591,15 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
 
   test("artifact store survives a REAL SIGKILL mid-parquet-write; rebuild reproduces the manifest") {
     // PersistLifecycleSpec simulates the aftermath (marker deleted by
-    // hand); this drives the actual failure: a consumer JVM is
-    // SIGKILLed DURING an artifact's parquet write — the moment
-    // data.parquet appears, before _graft_done can land — leaving
-    // half-written files on disk. The recovery contract: the next
-    // consumer sees no marker, rebuilds over the debris (overwrite
-    // mode), and reproduces the clean result bit-for-bit.
+    // hand) and the cross-process publish race (two unlocked threads);
+    // this drives the actual failure: a consumer JVM is SIGKILLed
+    // DURING an artifact's parquet write — the moment data.parquet
+    // appears inside the builder's process-unique `.tmp_` directory,
+    // before the atomic rename can publish it — leaving half-written
+    // debris that no reader ever resolves. The recovery contract: the
+    // next consumer sees no marker at the FINAL path, rebuilds,
+    // publishes atomically, prunes the dead builder's debris, and
+    // reproduces the clean result bit-for-bit.
     val sfDir = "/root/testdata/sf0.001"
     val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
     val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
@@ -616,25 +619,35 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       pb.redirectErrorStream(true)
       pb.redirectOutput(new java.io.File(s"$work/driver.log"))
       val p = pb.start()
-      // poll for the FIRST artifact data dir (the kmeans_q history is
-      // written first, inside d8's build chain) and kill instantly
+      // poll for the FIRST in-flight `.tmp_` build dir with data (the
+      // kmeans_q history is written first, inside d8's build chain)
+      // and kill instantly
       val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
       var target: java.io.File = null
       while (target == null && p.isAlive && System.nanoTime() < deadline) {
         val arts = Option(new java.io.File(artDir).listFiles()).getOrElse(Array.empty)
-        target = arts.map(d => new java.io.File(d, "data.parquet"))
+        target = arts.filter(_.getName.startsWith(".tmp_"))
+          .map(d => new java.io.File(d, "data.parquet"))
           .find(_.exists()).map(_.getParentFile).orNull
         if (target == null) Thread.sleep(1)
       }
       if (target != null) p.destroyForcibly()
       p.waitFor(60, TimeUnit.SECONDS)
-      // landed iff the targeted artifact has data but NO done marker
-      if (target != null && new java.io.File(target, "data.parquet").exists() &&
-          !new java.io.File(target, "_graft_done").exists())
+      // landed iff the kill froze the build before its atomic rename:
+      // the tmp debris is still on disk and the final path is unmarked
+      if (target != null && target.exists())
         killedArt = target
     }
     assert(killedArt != null,
       s"could not land a SIGKILL inside an artifact write window in $attempts attempts")
+    // the debris names its intended final artifact: .tmp_<name>_<fp>_<pid>_<nonce>
+    val tmpName = """^\.tmp_(.+_[0-9a-f]{16})_\d+_[0-9a-f]+$""".r
+    val finalName = killedArt.getName match {
+      case tmpName(nf) => nf
+      case other => fail(s"unexpected tmp debris name: $other")
+    }
+    assert(!new java.io.File(new java.io.File(artDir, finalName), "_graft_done").exists(),
+      "kill landed after publication — no recovery to exercise")
     // recovery on the SAME store: the half-written artifact must be
     // rebuilt (no marker -> build), and the result must equal a clean
     // run from a fresh store
@@ -648,8 +661,10 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       assert(graft.queries.AnnQueries.kmeansArtifactBuilds.get() +
         graft.queries.AnnQueries.d8MinedBuilds.get() > before,
         "recovery run served the half-written artifact instead of rebuilding")
-      assert(new java.io.File(killedArt, "_graft_done").exists(),
-        "recovery did not complete the interrupted artifact")
+      assert(new java.io.File(new java.io.File(artDir, finalName), "_graft_done").exists(),
+        "recovery did not publish the interrupted artifact")
+      assert(!killedArt.exists(),
+        "recovery did not prune the dead builder's tmp debris")
       graft.queries.AnnQueries.clearTrainingMemo()
       spark.conf.set("spark.graft.artifacts.dir",
         Files.createTempDirectory("chaos_art_clean").toString)

@@ -401,4 +401,107 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       releaseAll()
     }
   }
+
+  test("artifact publish is atomic under a cross-process race (JVM build lock bypassed)") {
+    // Two JVMs share no buildLock — this drives getOrBuildUnlocked
+    // (exactly what a second process executes) from two overlapping
+    // threads with DIFFERENT sentinel contents. The atomic-rename
+    // contract: the published artifact is exactly ONE builder's whole
+    // output (never interleaved part files), both contenders serve the
+    // same winner, and the loser's temp build is discarded.
+    import spark.implicits._
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("art_race").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicLong(0)
+      val fp = "00deadbeef00cafe"
+      // both contenders must pass the no-marker check before either
+      // publishes — the gate holds each build until both have started
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      def contend(tag: String): Seq[String] =
+        graft.core.ArtifactStore.getOrBuildUnlocked(
+            spark, "race_probe_v1", fp, dir, builds) {
+          gate.countDown()
+          assert(gate.await(60, java.util.concurrent.TimeUnit.SECONDS),
+            "race setup: both builders must overlap")
+          Seq.fill(40)(tag).toDF("v")
+        }.collect().map(_.getString(0)).toSeq
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = contend("A") })
+        val fb = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = contend("B") })
+        val ra = fa.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        val rb = fb.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        assert(builds.get() == 2,
+          "race setup: both contenders should have run a real build")
+        assert(ra.size == 40 && ra.distinct.size == 1,
+          s"published artifact interleaves both builds: ${ra.distinct.sorted}")
+        assert(ra == rb, "the two contenders served different artifacts")
+        val art = new java.io.File(work, s"race_probe_v1_$fp")
+        assert(new java.io.File(art, "_graft_done").exists,
+          "winner's marker missing after the race")
+        val leftovers = Option(new java.io.File(work).listFiles())
+          .getOrElse(Array.empty).filter(_.getName.startsWith(".tmp_"))
+        assert(leftovers.isEmpty,
+          s"loser's temp build not discarded: ${leftovers.map(_.getName).toSeq}")
+      } finally pool.shutdownNow()
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
+  }
+
+  test("artifact retention prunes re-keyed siblings of the same corpus and dead-builder debris only") {
+    import spark.implicits._
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("art_gc").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicLong(0)
+      def build(fp: String, scope: String): Unit = {
+        graft.core.ArtifactStore.getOrBuild(
+          spark, "gc_probe_v1", fp, scope, builds) { Seq(1, 2, 3).toDF("v") }
+          .write.format("noop").mode("overwrite").save()
+      }
+      def dirs(): Set[String] = Option(new java.io.File(work).listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+      // corpus A at key 1, a SIBLING corpus B, and unrelated-name noise
+      build("aaaaaaaaaaaaaaa1", "/root/testdata/sf0.001")
+      build("bbbbbbbbbbbbbbb1", "/root/testdata/sf0.01")
+      graft.core.ArtifactStore.getOrBuild(
+        spark, "other_probe_v1", "cccccccccccccccc", "/root/testdata/sf0.001",
+        builds) { Seq(9).toDF("v") }.write.format("noop").mode("overwrite").save()
+      // dead-builder debris (pid 1 is init — never a builder JVM — but
+      // use an impossibly-large pid so the liveness probe says dead)
+      // and a LIVE builder's in-flight temp (our own pid)
+      val deadTmp = new java.io.File(work,
+        s".tmp_gc_probe_v1_dddddddddddddddd_999999999_ff")
+      val liveTmp = new java.io.File(work,
+        s".tmp_gc_probe_v1_eeeeeeeeeeeeeeee_${ProcessHandle.current().pid()}_ff")
+      assert(deadTmp.mkdirs() && liveTmp.mkdirs(), "test setup: tmp debris dirs")
+      // corpus A regenerates: same name + scope, NEW fingerprint
+      build("aaaaaaaaaaaaaaa2", "/root/testdata/sf0.001")
+      val after = dirs()
+      assert(!after.contains("gc_probe_v1_aaaaaaaaaaaaaaa1"),
+        "re-keyed sibling of the same corpus must be pruned")
+      assert(after.contains("gc_probe_v1_aaaaaaaaaaaaaaa2"), "fresh build missing")
+      assert(after.contains("gc_probe_v1_bbbbbbbbbbbbbbb1"),
+        "sibling CORPUS's artifact must survive another corpus's re-key")
+      assert(after.contains("other_probe_v1_cccccccccccccccc"),
+        "other artifact names must survive")
+      assert(!after.contains(deadTmp.getName), "dead builder debris must be pruned")
+      assert(after.contains(liveTmp.getName), "a live builder's temp must survive")
+      // the re-keyed read still serves (prune never touches the fresh key)
+      val got = graft.core.ArtifactStore.getOrBuild(
+        spark, "gc_probe_v1", "aaaaaaaaaaaaaaa2", "/root/testdata/sf0.001",
+        builds) { Seq(-1).toDF("v") }.collect().map(_.getInt(0)).toSet
+      assert(got == Set(1, 2, 3), "pruning corrupted the retained artifact")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
+  }
 }
