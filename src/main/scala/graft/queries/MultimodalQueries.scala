@@ -12,17 +12,16 @@ import graft.core.Tables
   * for libjpeg/ffmpeg-style libraries that can't be expressed as
   * Catalyst expressions.
   *
-  * m1, m2, and m4–m13 run REAL codecs (the JDK's PNG/WAV/JPEG/MJPEG/
-  * GIF/TIFF implementations in [[MultimodalKernels]]) behind an
-  * imperative per-partition seam, with losslessness making the
-  * decoded metadata oracle-computable; m2's featurizer projects REAL
-  * decoded pixels through a fixed weight matrix (only the weight
-  * values stand in for a trained head). The one remaining
-  * deterministic STUB kernel is m3's pre-demux frame sampler
-  * (superseded by m8's real MJPEG demux): there the stub's arithmetic
-  * is reproducible in SQL, and everything AROUND it — binary column
-  * handling, the Dataset encoder round-trip, per-partition batching,
-  * the output schema — is real and oracle-checked.
+  * m1–m13 all run REAL container parsing and codecs (the JDK's
+  * PNG/WAV/JPEG/MJPEG/GIF/TIFF implementations in
+  * [[MultimodalKernels]], plus the decode-free SOF header walk behind
+  * m3) behind an imperative per-partition seam, with losslessness
+  * making the decoded metadata oracle-computable; m2's featurizer
+  * projects REAL decoded pixels through a fixed weight matrix (only
+  * the weight VALUES stand in for a trained head — the suite's sole
+  * remaining synthetic constant; no stub kernels remain as of round
+  * 12, m3's token-stride stand-in having been upgraded to a real
+  * demux + header probe).
   */
 object MultimodalQueries {
 
@@ -145,8 +144,7 @@ object MultimodalQueries {
     * codec is lossless and the mean is floor-integer, the oracle
     * recomputes every resized pixel arithmetically from the source
     * text — a codec regression OR a resize-arithmetic bug (stride,
-    * clipping, denominator) breaks the hash. The one remaining stub
-    * is m3's pre-demux sampler (superseded by m8's real MJPEG demux). */
+    * clipping, denominator) breaks the hash. */
   def m4Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = binaryPayloads(spark, dir)
@@ -277,9 +275,9 @@ object MultimodalQueries {
     * independent JDK-encoded JPEG, concatenated), the kernel DEMUXES
     * the container on JPEG frame boundaries (EOI scan — sound for
     * baseline JPEG, see [[MultimodalKernels.demuxMjpeg]]) and decodes
-    * only every 2nd frame — m3's frame-sampling pattern upgraded from
-    * a stub to genuine container parsing + codec decode, the "decode
-    * only the sampled frames" economics a video pipeline lives on.
+    * only every 2nd frame — the "decode only the sampled frames"
+    * economics a video pipeline lives on (m3 is the decode-FREE
+    * header-probe half of the same economics).
     * Emitted metadata (frame count, sampled count, summed decoded
     * frame heights) is all geometry, so the lossy codec is still
     * oracle-exact. */
@@ -309,23 +307,50 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  /** m3 — frame sampling: treat the payload as a sequence and keep every
-    * k-th unit (the video-frame-sampling access pattern: decode only the
-    * sampled frames). Units here are whitespace tokens; a real pipeline
-    * would slice container chunks the same way.
-    *
-    * The kernel is the codegen [[graft.functions.StrideSampleTokens]] —
-    * the builtin `filter(transform(split(...)))` spelling routes through
-    * CodegenFallback higher-order functions (interpreted closure per
-    * token per row) and was the most expensive line of the r04 bench
-    * (3.95 s at sf0.1); the fused byte-walk is scan-speed (equivalence
-    * to the builtin spelling pinned in ExpressionsSpec). */
+  /** m3 — PRE-DECODE frame sampling over a REAL container (round 12;
+    * retires the suite's last stub kernel): the payload becomes the m8
+    * MJPEG stream, the kernel demuxes it on genuine JPEG frame
+    * boundaries (the EOI scan shared with m8) and keeps every 3rd
+    * frame — but instead of decoding the kept frames it probes each
+    * one's geometry by PARSING ITS SOF HEADER ONLY
+    * ([[MultimodalKernels.probeJpegDims]]): marker-segment walk, two
+    * big-endian reads, zero entropy decode. This is the sampling half
+    * of the video economics m8 completes — m8 pays the codec for the
+    * frames a pipeline keeps; m3 is the ffprobe-class pass that
+    * DECIDES what to keep, at header-parse cost, which is why it can
+    * afford to touch every stored stream. Emitted geometry (frame
+    * count, sampled count, summed header heights) is deterministic
+    * from the container layout, so the oracle restates it exactly —
+    * a demux or header-walk bug breaks the hash, and the kernel spec
+    * gates the probe against the full decoder on every frame plus the
+    * foreign-encoder fixtures. (The former token-stride spelling this
+    * replaces lives on as the `stride_sample` SQL function, still
+    * equivalence-pinned in ExpressionsSpec.) */
   def m3FrameSample(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
-    spark.sql("""
-      SELECT doc_id, stride_sample(text, 8) AS sampled
-      FROM documents ORDER BY doc_id""")
+    import spark.implicits._
+    val bin = binaryPayloads(spark, dir)
+    bin.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val frames = MultimodalKernels.demuxMjpeg(
+            MultimodalKernels.encodeMjpeg(bytes))
+          var hSum = 0L
+          var sampled = 0L
+          var k = 0
+          while (k < frames.length) {
+            if (k % 3 == 0) {
+              val (w, h) = MultimodalKernels.probeJpegDims(frames(k))
+              require(w == 32, s"header width $w diverged from the 32-wide layout")
+              hSum += h
+              sampled += 1
+            }
+            k += 1
+          }
+          (id, frames.length.toLong, sampled, hSum)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled", "h_sum")
+      .orderBy("doc_id")
   }
 
   /** m9 — the animated-image access pattern with a LOSSLESS container
@@ -635,10 +660,24 @@ object MultimodalQueries {
         "i -> ((7 * dims.dim + 3 * ((i - 1) % 16) + 1) % 13 - 6) * ord(text[i]))), 0) AS BIGINT) AS value " +
         "FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) dims " +
         "ORDER BY doc_id, dim"),
+    // m3's demux + header-probe geometry, restated: nf 128-byte frames
+    // (empty doc -> one empty frame), every frame's SOF header carries
+    // 32 x 4 for a full chunk and 32 x hl for the last (residual)
+    // chunk; every 3rd frame (0, 3, ...) is sampled, so the last frame
+    // contributes hl iff its index (nf-1) is divisible by 3
     "m3_frame_sample" ->
-      ("SELECT doc_id, array_to_string(" +
-        "list_filter(string_split(text, ' '), (t, i) -> (i - 1) % 8 = 0), ' ') AS sampled " +
-        "FROM documents ORDER BY doc_id"),
+      """SELECT doc_id, nf AS n_frames,
+           CAST((nf - 1) // 3 + 1 AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN (nf - 1) % 3 = 0
+                THEN ((nf - 1) // 3) * 4 + hl
+                ELSE ((nf - 1) // 3 + 1) * 4 END AS BIGINT) AS h_sum
+      FROM (SELECT doc_id,
+              CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nf,
+              CAST(greatest(1, ceil((CASE WHEN length(text) = 0 THEN 0
+                     WHEN length(text) % 128 = 0 THEN 128
+                     ELSE length(text) % 128 END) / 32.0)) AS BIGINT) AS hl
+            FROM documents) t
+      ORDER BY doc_id""",
     // m4 runs the real PNG roundtrip + 2×2 floor-mean downsample on
     // decoded samples; the oracle rebuilds every resized pixel from
     // the source text (lossless layout: pixel y·32+x = byte, zero
@@ -920,6 +959,42 @@ object MultimodalKernels {
       s"MJPEG stream has ${stream.length - start} bytes after the last EOI " +
         "(truncated frame or trailing garbage)")
     out.toSeq
+  }
+
+  /** Header-only JPEG geometry probe: walk the marker segments to the
+    * SOF frame header and read (width, height) with two big-endian
+    * loads — NO entropy decode, no IDCT, no pixel buffer. This is the
+    * pre-decode pass a video pipeline runs over every stored frame to
+    * decide WHICH frames are worth paying the codec for (ffprobe-class
+    * work: parse headers, skip entropy-coded data); m3 serves it.
+    * Segment grammar: standalone markers (SOI, TEM, RST0–7) carry no
+    * length; every other segment is FF xx + a 2-byte big-endian length
+    * that includes the length field itself; the frame headers SOF0–15
+    * (minus DHT/JPG/DAC at C4/C8/CC) carry precision(1), height(2),
+    * width(2). Baseline JPEG always places its SOF before the
+    * entropy-coded scan, so the walk terminates without touching
+    * compressed data. (Fill bytes — FF padding between segments —
+    * would desync the walk; no mainstream encoder emits them and the
+    * kernel spec gates the probe on foreign-encoder fixtures.) */
+  def probeJpegDims(jpeg: Array[Byte]): (Long, Long) = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      s"payload (${jpeg.length} bytes) is not a JPEG: missing SOI")
+    var i = 2
+    while (i + 3 < jpeg.length) {
+      require((jpeg(i) & 0xff) == 0xff, s"JPEG segment walk desynced at byte $i")
+      val marker = jpeg(i + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        val h = ((jpeg(i + 5) & 0xff) << 8) | (jpeg(i + 6) & 0xff)
+        val w = ((jpeg(i + 7) & 0xff) << 8) | (jpeg(i + 8) & 0xff)
+        return (w.toLong, h.toLong)
+      }
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else i += 2 + (((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff))
+    }
+    throw new IllegalArgumentException(
+      s"no SOF header found in ${jpeg.length}-byte JPEG before entropy data")
   }
 
   /** bytes → a real ANIMATED GIF: the payload chunked into 128-byte

@@ -180,6 +180,32 @@ class MultimodalKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("m3 header probe reads SOF geometry without decoding; matches the full decoder on every frame") {
+    payloads.foreach { bytes =>
+      val frames = MultimodalKernels.demuxMjpeg(MultimodalKernels.encodeMjpeg(bytes))
+      frames.zipWithIndex.foreach { case (f, k) =>
+        val (pw, ph) = MultimodalKernels.probeJpegDims(f)
+        val (dw, dh, _) = MultimodalKernels.decodeJpeg(f)
+        assert(pw == dw && ph == dh,
+          s"frame $k header probe ${pw}x$ph != decoded ${dw}x$dh")
+      }
+    }
+    // non-JDK encoders place APP/comment segments the JDK never emits —
+    // the segment walk must skip them all and still land on the SOF
+    Seq("foreign_2x2.jpg" -> (2L, 2L), "foreign_logo.jpg" -> null).foreach {
+      case (name, want) =>
+        val f = fixture(name)
+        val (pw, ph) = MultimodalKernels.probeJpegDims(f)
+        val (dw, dh, _) = MultimodalKernels.decodeJpeg(f)
+        assert(pw == dw && ph == dh, s"$name header probe ${pw}x$ph != decoded ${dw}x$dh")
+        if (want != null) assert((pw, ph) == want, s"$name probed ${pw}x$ph")
+    }
+    // garbage and truncation fail loudly, never return fabricated dims
+    intercept[IllegalArgumentException] {
+      MultimodalKernels.probeJpegDims(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   private def fixture(name: String): Array[Byte] = {
     val is = getClass.getResourceAsStream(s"/fixtures/$name")
     assert(is != null, s"missing checked-in fixture $name")

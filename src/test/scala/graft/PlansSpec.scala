@@ -358,14 +358,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p.take(3000))
   }
 
-  test("m3: frame sampling runs the codegen kernel, not interpreted higher-order builtins") {
+  test("m3: pre-decode frame probe runs the per-partition kernel seam over the spread scan") {
     val p = plan("m3_frame_sample")
-    // the fused byte-walk expression is in the projection...
-    assert(p.toLowerCase.contains("stridesample"), p.take(2000))
-    // ...and the CodegenFallback lambda machinery it replaced is gone
-    // (ArrayTransform/ArrayFilter are the physical spellings of
-    // transform()/filter() and run one interpreted closure per element)
-    assert(!p.contains("transform("), p.take(2000))
+    // the demux + header walk is an imperative kernel behind the
+    // object seam, like the rest of the media suite — one pass, no
+    // shuffle before the presentation sort
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(p.contains("SerializeFromObject"), p.take(2000))
   }
 
   test("l8: per-source thresholds broadcast onto the scan — no corpus-wide shuffle join") {
