@@ -593,8 +593,13 @@ object AnnQueries {
     val state = kmeansArtifact(spark, dir, fix = toFixpoint)
     // a loaded artifact is capped at quantizerRounds (q) / kmeansMaxRounds
     // (fix) — a future caller asking for MORE rounds than the stored cap
-    // must fail loudly, not silently get a truncated history (ADVICE r11)
-    require(enough(state), s"stored kmeans history covers ${state._1.size} " +
+    // must fail loudly, not silently get a truncated history (ADVICE
+    // r11). Hitting the fix cap UNCONVERGED is a valid terminal state
+    // ("fixpoint or cap" is the fix artifact's contract — sf1eq-scale
+    // corpora legitimately run out the 25-round budget).
+    require(state._2 || state._1.size >=
+        (if (toFixpoint) kmeansMaxRounds else targetRounds),
+      s"stored kmeans history covers ${state._1.size} " +
       s"rounds (converged=${state._2}) < requested $targetRounds — " +
       "raise the artifact cap or fold the budget into its fingerprint")
     kmeansMemo.put(key, state)

@@ -186,23 +186,34 @@ object DedupQueries {
     * asymmetric and EXACT: if containment(A,B) ≥ t with |A| ≤ |B|,
     * then at most (1−t)·|A| of A's shingles are outside B, so ANY
     * ⌊(1−t)·|A|⌋+1 of A's shingles must include one that B contains.
-    * Each doc therefore probes the full inverted index with its
-    * ⌊0.4·sz⌋+1 smallest shingle HASHES (hash order — correctness is
-    * subset-independent, so the prefix comes straight off
-    * array_sort(ids) + slice inside the scan: no doc-frequency join,
-    * no per-doc row_number window; the rarest-first spelling those
-    * stages bought only shortened probed posting lists, and measured
-    * at sf0.1 its join+window+sort prep cost ~3× more than the longer
-    * postings it saved), and only strictly-not-larger docs probe.
-    * Recall is 1 by construction — which is why the DuckDB twin is the
-    * ALL-PAIRS ground truth, so the oracle gates the candidate
-    * scheme's recall itself, not a shared blind spot.
+    * Each doc probes the full inverted index with its ⌊0.4·sz⌋+1
+    * RAREST shingles (global document frequency, ties by hash — the
+    * Bayardo/SSJoin ordering), and only strictly-not-larger docs
+    * probe. WHICH prefix a doc uses is correctness-free (any
+    * large-enough subset works), so the ordering is purely a cost
+    * knob — and it is scale-dependent, measured at two scales:
+    * at sf0.1 the hash-ordered prefix (no df join, no window) was ~3×
+    * cheaper end-to-end, but the third scaling decade (sf10eq, round
+    * 12) showed WHY rarest-first is the literature's default — random
+    * prefixes include frequent boilerplate shingles whose postings
+    * manufacture ~2000 candidates per true pair (50M candidates for
+    * 25.6k verified pairs at 500k docs), and the verify join, which
+    * must carry both docs' shingle arrays, stops broadcasting at that
+    * scale and shuffles tens of GB (measured 17× wall on 10× rows).
+    * Rarest-first makes prefix postings short by construction (a
+    * df=1 shingle contributes zero candidate pairs), so candidates
+    * track true structure and the verify stays broadcast-sized at
+    * every measured scale; its df-aggregate + per-doc window prep is
+    * id-width and linear. Recall is 1 by construction either way —
+    * which is why the DuckDB twin is the ALL-PAIRS ground truth, so
+    * the oracle gates the candidate scheme's recall itself, not a
+    * shared blind spot.
     *
-    * 100 TB shape: the prefix is a per-row expression over the already
-    * persisted ids table (scan-speed), candidates are one hash-keyed
-    * equi join of prefix rows against the exploded inverted index —
-    * never all-pairs; exact set arithmetic only on candidate
-    * survivors. */
+    * 100 TB shape: one id-width df aggregate + one per-doc top-k
+    * window over the exploded grams (both linear, both id-width),
+    * candidates from one hash-keyed equi join of rare-prefix rows
+    * against the exploded inverted index — never all-pairs; exact set
+    * arithmetic only on candidate survivors. */
   def d13Containment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(spark, dir).orderBy("doc_id_a", "doc_id_b")
 
@@ -219,8 +230,13 @@ object DedupQueries {
     spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .createOrReplaceTempView("ids")
+    // v2 (round 12): rarest-first prefixes + hash-join verify — the
+    // verified pair set is IDENTICAL to v1 (recall is 1 under any
+    // prefix ordering), but the build algorithm changed, so the key
+    // bumps: every consumer exercises the new mining plan and
+    // retention prunes the v1 artifact
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
-      Seq("d13pairs=v1:prefix=0.4:thr=0.6"))
+      Seq("d13pairs=v2:prefix=0.4:thr=0.6"))
     graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, dir, d13PairBuilds) {
       containmentPairsPlan(spark, dir)
     }
@@ -234,14 +250,19 @@ object DedupQueries {
     registerIds(spark, dir)
     spark.sql(s"""
       WITH ex AS (SELECT doc_id, size(ids) AS sz, explode(ids) AS g FROM ids),
-      pref AS (SELECT doc_id, size(ids) AS sz,
-                 explode(slice(array_sort(ids), 1, CAST(floor(0.4 * size(ids)) + 1 AS INT))) AS g
-               FROM ids),
+      df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+      pref AS (SELECT doc_id, sz, g FROM (
+                 SELECT e.doc_id, e.sz, e.g,
+                        row_number() OVER (PARTITION BY e.doc_id
+                                           ORDER BY d.df, e.g) AS rn
+                 FROM ex e JOIN df d ON e.g = d.g) r
+               WHERE rn <= CAST(floor(0.4 * sz) + 1 AS INT)),
       cand AS (SELECT DISTINCT least(p.doc_id, x.doc_id) AS i,
                       greatest(p.doc_id, x.doc_id) AS j
                FROM pref p JOIN ex x ON p.g = x.g
                WHERE p.sz < x.sz OR (p.sz = x.sz AND p.doc_id <> x.doc_id)),
-      ver AS (SELECT c.i AS doc_id_a, c.j AS doc_id_b,
+      ver AS (SELECT /*+ SHUFFLE_HASH(ia), SHUFFLE_HASH(ib) */
+                c.i AS doc_id_a, c.j AS doc_id_b,
                 round(CAST(size(array_intersect(ia.ids, ib.ids)) AS DOUBLE)
                       / least(size(ia.ids), size(ib.ids)), 6) AS containment
               FROM cand c JOIN ids ia ON ia.doc_id = c.i JOIN ids ib ON ib.doc_id = c.j)

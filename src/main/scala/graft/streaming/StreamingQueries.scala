@@ -349,6 +349,44 @@ object StreamingQueries {
     root.toString
   }
 
+  /** x31's feed at 10× volume — the stream-stream JOIN sibling of
+    * [[throughputFeedFor]] (round 12): events replicated 10 ways with
+    * BOTH ids offset per replica (event_id AND user_id + r·10⁹), so
+    * the join graph replicates exactly — each replica's purchases
+    * match only that replica's views (matches ×10, never the ×100
+    * cross-product a shared user space would manufacture). Same
+    * two-source layout and sequencing as [[joinFeedFor]]: the views
+    * load into join state first, then the purchases stream through
+    * the buffered state. Serves StreamJoinThroughputSpec — the
+    * 4-batch demo feeds measure the per-trigger fixed-cost floor
+    * (StreamingFloorProbe), x51 measures keyed-dedup state
+    * throughput, and this feed completes the streaming cost model
+    * with rows/s through the FOUR join state stores. */
+  private[graft] def joinThroughputFeedFor(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_x31tp_feed_${feedKey(dir, "events", "_v1")}")
+    if (!new java.io.File(root, "_FEED_READY").exists()) {
+      val scratch = Files.createTempDirectory("graft_x31tp_build").toFile
+      val vDir = new java.io.File(scratch, "views")
+      val pDir = new java.io.File(scratch, "purchases")
+      require(vDir.mkdirs() && pDir.mkdirs(), s"cannot create feed dirs under $scratch")
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .crossJoin(broadcast(spark.range(10).toDF("r")))
+        .select((col("event_id") + col("r") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("r") * 1000000000L).as("user_id"),
+          col("event_type"))
+      val t0 = 1600000000000L
+      writeOne(vDir)(events.filter(col("event_type") === "view"), "a", t0)
+      writeOne(pDir)(events.filter(lit(false)), "e", t0)
+      writeOne(pDir)(events.filter(col("event_type") === "purchase"), "b", t0 + 60000L)
+      new java.io.File(scratch, "_FEED_READY").createNewFile()
+      commitFeed(scratch, root)
+    }
+    root.toString
+  }
+
   /** x31 — STREAM-STREAM inner join, the canonical hard streaming
     * operator: purchases joined to the same user's views from the
     * preceding day, both sides watermarked, with the event-time range

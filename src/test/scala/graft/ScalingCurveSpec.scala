@@ -161,7 +161,15 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     *    EXACTLY while no shingle collides across copies (cross-copy
     *    jaccard/containment = 0). A naive 10× tiling would give every
     *    doc 9 byte-identical twins — pair counts ×100, a different
-    *    corpus, not a scaled one.
+    *    corpus, not a scaled one. The tag ([[copyTag]], round 12) is
+    *    the copy id's digits TRIPLED ("x444222" for copy 42): two
+    *    distinct copies always differ in ≥ 3 tag positions with LCS
+    *    ≤ len−3, so cross-copy 16-char prefixes sit at Levenshtein
+    *    ≥ 3 and t11's edit-distance-2 join finds NO cross-copy pairs
+    *    — the round-12 third-decade run proved the old 1-digit tag
+    *    ("x42" vs "x43" = one edit) made every doc truly match its
+    *    C−1 cross-copy twins, quadratic REAL output in the copy
+    *    count: a different corpus again, just more subtly.
     *  - embeddings: copy c's vectors are dimension-ROTATED by 7c mod
     *    64 — intra-copy pairwise cosines are preserved exactly (both
     *    sides rotate together) while a vector and its cross-copy
@@ -182,11 +190,21 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     *
     * n_chars is carried unchanged (the scaling queries never read it
     * for mining). Built once under target/ (gitignored), ~30 MB. */
+  /** The per-copy token tag: copy id as two digits, each tripled,
+    * behind an 'x' — any two distinct copies differ in ≥ 3 positions
+    * (if both digits differ, the 6-digit parts share LCS ≤ 3; if one
+    * digit matches, the other contributes 3 mismatches), so
+    * Levenshtein(tag_c, tag_c') ≥ len − LCS ≥ 3 and no edit-distance-2
+    * metric can bridge copies. */
+  private def copyTag(c: Int): String =
+    "x" + f"$c%02d".flatMap(d => s"$d$d$d")
+
   private lazy val sf1eq: String = {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File("target/sf1eq").getAbsolutePath
-    // v2: round 9 added orders/lineitem to the slice
-    val done = new java.io.File(s"$dir/_done_v2")
+    // v3: round 12 moved the copy tag to the Levenshtein-≥3 code
+    // (v2 added orders/lineitem)
+    val done = new java.io.File(s"$dir/_done_v3")
     if (!done.exists) {
       val docs = spark.read.parquet(s"$big/documents.parquet")
       (0 until 10).map { c =>
@@ -194,7 +212,7 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
         else docs.select(
           (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"x$c"))), " ").as("text"),
+            t => concat(t, lit(copyTag(c)))), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _).coalesce(8)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -243,11 +261,13 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       "s5_lsh_near_dup_prod" -> (graft.queries.AnnQueries.s5LshNearDupProd _),
       "s12_kmeans_run" -> (graft.queries.AnnQueries.s12KmeansRun _),
       // round-8: the new join modality and the heaviest new scan line.
-      // t11's per-copy token suffixes change every 16-char prefix, so
-      // cross-copy candidates stay near zero — the quadratic term must
-      // track per-copy structure, not corpus size². l22 trains over a
-      // 10×-vocab word table then applies 8 fold layers per row — both
-      // stages must follow corpus size.
+      // t11's per-copy tags sit at Levenshtein ≥ 3 from each other
+      // (copyTag), so cross-copy 16-char prefixes can never be within
+      // the join's distance-2 bound — the quadratic term must track
+      // per-copy structure, not corpus size² (round 12 proved the old
+      // 1-edit tag violated exactly this). l22 trains over a 10×-vocab
+      // word table then applies 8 fold layers per row — both stages
+      // must follow corpus size.
       "t11_fuzzy_join" -> (graft.queries.TextQueries.t11FuzzyJoin _),
       "l22_bpe_apply" -> (graft.queries.LlmQueries.l22BpeApply _),
       // round-10: the PQ encode arm (s16's eval made it a first-class
@@ -303,6 +323,93 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       val ratio = tb / ts
       val exponent = math.log10(math.max(ratio, 1e-9))
       info(f"$name%-22s sf0.1 $ts%6.2f s -> sf1eq $tb%6.2f s   wall ratio ${ratio}%5.2f   exponent ${exponent}%4.2f (data 10x)")
+      assert(ratio <= 15.0,
+        f"$name wall-time grew ${ratio}%.1fx on 10x data — super-linear beyond the envelope")
+    }
+  }
+
+  /** The sf10-EQUIVALENT slice: 100× the sf0.1 rows, built from sf0.1
+    * with the SAME structure-preserving per-copy rules as [[sf1eq]]
+    * (token suffixes keep cross-copy shingle/prefix/deletion-variant
+    * spaces disjoint so densities replicate; order-key offsets
+    * replicate the identical distinct edge set per copy). Only the
+    * tables the third-decade lines read are materialized — documents,
+    * orders, lineitem; embeddings are NOT (the 7c mod 64 rotation rule
+    * aliases at c ≥ 64: copy c and c+64 would rotate identically and
+    * become exact semantic twins — a different corpus, not a scaled
+    * one — so embedding-space claims stay on the two measured decades
+    * plus the per-query structural arguments). ~1.3 GB under target/
+    * (gitignored), built once. */
+  private lazy val sf10eq: String = {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("target/sf10eq").getAbsolutePath
+    // v2: the Levenshtein-≥3 copy tag (see copyTag)
+    val done = new java.io.File(s"$dir/_done_v2")
+    if (!done.exists) {
+      val docs = spark.read.parquet(s"$big/documents.parquet")
+      (0 until 100).map { c =>
+        if (c == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(copyTag(c)))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).repartition(16)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val orders = spark.read.parquet(s"$big/orders.parquet")
+      (0 until 100).map { c =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
+      }.reduce(_ unionByName _).repartition(16)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$big/lineitem.parquet")
+      (0 until 100).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 100000000L))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** THIRD decade (round 12): the sf0.1 → sf1eq curve said the
+    * heaviest shuffles are linear across one decade; this measures the
+    * NEXT one (sf1eq → sf10eq, 100× the sf0.1 rows) for exactly the
+    * lines where a superlinear term would first surface — the span
+    * explode (d9), the prefix-filter containment join (d13), the
+    * deletion-neighborhood fuzzy join (t11), the wedge enumeration
+    * (x70) — plus one stored-artifact BUILD (d1's banded pair mine;
+    * releaseCaches rotates the artifact dir, so the timed arm pays the
+    * real mining job, not a parquet read). Same ≤ 15× envelope per
+    * decade; a candidate-space blowup would show ~100×. */
+  test("heaviest shuffle/join lines scale near-linearly on the third decade (sf1eq -> sf10eq)") {
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d9_span_dedup" -> (graft.queries.DedupQueries.d9SpanDedup _),
+      "d13_containment" -> (graft.queries.DedupQueries.d13Containment _),
+      "t11_fuzzy_join" -> (graft.queries.TextQueries.t11FuzzyJoin _),
+      "x70_triangle_count" -> (graft.queries.SqlSurfaceQueries.x70TriangleCount _),
+      "d1_minhash_lsh" -> (graft.queries.DedupQueries.d1MinhashLsh _),
+    )
+    val mid = sf1eq
+    val bigDir = sf10eq
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      releaseCaches()
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.foreach { case (_, fn) => run(fn, small) } // JIT warmup, untimed
+    val best = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (_ <- 1 to 2; (name, fn) <- queries; dir <- Seq(mid, bigDir)) {
+      val t = run(fn, dir)
+      val k = (name, dir)
+      best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+    }
+    queries.foreach { case (name, _) =>
+      val ts = best((name, mid))
+      val tb = best((name, bigDir))
+      val ratio = tb / ts
+      val exponent = math.log10(math.max(ratio, 1e-9))
+      info(f"$name%-22s sf1eq $ts%6.2f s -> sf10eq $tb%6.2f s   wall ratio ${ratio}%5.2f   exponent ${exponent}%4.2f (data 10x)")
       assert(ratio <= 15.0,
         f"$name wall-time grew ${ratio}%.1fx on 10x data — super-linear beyond the envelope")
     }
