@@ -181,12 +181,18 @@ object ArtifactStore {
     java.nio.file.Files.write(f.toPath,
       new java.io.File(scope).getAbsolutePath.getBytes("UTF-8"))
 
-  private def readMeta(d: java.io.File): Option[String] = {
-    val f = new java.io.File(d, "_graft_meta")
-    if (f.exists)
-      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    else None
-  }
+  private def readMeta(d: java.io.File): Option[String] =
+    try {
+      val f = new java.io.File(d, "_graft_meta")
+      if (f.exists)
+        Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      else None
+    } catch {
+      // the dir can vanish between the listing and the read when two
+      // publishers sweep concurrently — an unreadable meta just means
+      // "don't prune this one", never a failed query
+      case _: java.io.IOException => None
+    }
 
   /** Post-publish retention sweep for `name`: prune re-keyed siblings
     * of the SAME corpus scope and `.tmp_` debris of dead builders.
@@ -200,14 +206,16 @@ object ArtifactStore {
     val fpPat = s"""\\Q${name}\\E_[0-9a-f]{16}""".r
     val tmpPat = s"""\\.tmp_\\Q${name}\\E_[0-9a-f]{16}_(\\d+)_[0-9a-f]+""".r
     Option(rootDir.listFiles()).getOrElse(Array.empty).foreach { d =>
-      d.getName match {
+      // housekeeping is best-effort: a sweep racing another publisher's
+      // sweep (or a vanished dir) must never fail the query serving path
+      try d.getName match {
         case _ if d.getName == keep => // the just-published build
         case fpPat() if readMeta(d).contains(scopeAbs) =>
           deleteRec(d) // re-keyed sibling of the same corpus: dead key
         case tmpPat(pid) if !ProcessHandle.of(pid.toLong).asScala.exists(_.isAlive) =>
           deleteRec(d) // crashed builder's debris
         case _ => // other corpus, live builder, or unknown layout: keep
-      }
+      } catch { case _: java.io.IOException | _: SecurityException => }
     }
   }
 

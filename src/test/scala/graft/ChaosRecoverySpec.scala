@@ -589,6 +589,68 @@ class ChaosRecoverySpec extends AnyFunSuite with SparkSuite {
       s"executor loss broke exactly-once: ${got.size} rows vs clean ${p2CleanManifest.size}")
   }
 
+  test("artifact publish race between two REAL JVMs: one whole build wins, both serve it, no debris") {
+    // PersistLifecycleSpec drives the same race through two threads
+    // with the JVM lock bypassed; this is the genuine article — two
+    // separate processes (no shared buildLock at all) provably both
+    // past the no-marker check (a file barrier gates both build
+    // bodies), racing their atomic renames into the same key.
+    val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
+    val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
+    val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
+    val work = Files.createTempDirectory("chaos_art_race").toString
+    val artDir = s"$work/artifacts"
+    val syncDir = new java.io.File(work, "sync")
+    require(syncDir.mkdirs(), "test setup: sync dir")
+    def launch(tag: String): Process = {
+      val cmd = Seq("java") ++ addOpens ++ Seq(
+        "-Xmx2g", "-cp", cp, "graft.ChaosArtifactRaceRunner", artDir,
+        syncDir.toString, tag)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"$work/driver_$tag.log"))
+      pb.start()
+    }
+    val pa = launch("A")
+    val pb2 = launch("B")
+    try {
+      // both builders must announce before the barrier opens
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      def started() = Option(syncDir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("started_"))
+      while (started() < 2 && pa.isAlive && pb2.isAlive &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      assert(started() == 2,
+        s"only ${started()} builders announced — no race to drive")
+      assert(new java.io.File(syncDir, "barrier").createNewFile())
+      assert(pa.waitFor(120, TimeUnit.SECONDS) && pa.exitValue() == 0,
+        s"runner A failed: ${scala.io.Source.fromFile(s"$work/driver_A.log").mkString.takeRight(2000)}")
+      assert(pb2.waitFor(120, TimeUnit.SECONDS) && pb2.exitValue() == 0,
+        s"runner B failed: ${scala.io.Source.fromFile(s"$work/driver_B.log").mkString.takeRight(2000)}")
+    } finally { pa.destroyForcibly(); pb2.destroyForcibly() }
+    val servedFiles = Option(syncDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("served_")).toSeq
+    assert(servedFiles.size == 2, s"expected 2 served reports, got $servedFiles")
+    val reports = servedFiles.map { f =>
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      (lines.head, lines.tail)
+    }
+    reports.foreach { case (builds, rows) =>
+      assert(builds == "builds=1", s"each process should build exactly once: $builds")
+      assert(rows.size == 40 && rows.distinct.size == 1,
+        s"served artifact interleaves builds: ${rows.distinct.sorted}")
+    }
+    assert(reports.map(_._2).distinct.size == 1,
+      "the two processes served different artifacts")
+    val art = new java.io.File(artDir, "race2_probe_v1_feedfacefeedface")
+    assert(new java.io.File(art, "_graft_done").exists, "winner's marker missing")
+    val tmps = Option(new java.io.File(artDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".tmp_"))
+    assert(tmps.isEmpty, s"race left temp debris: ${tmps.map(_.getName).toSeq}")
+  }
+
   test("artifact store survives a REAL SIGKILL mid-parquet-write; rebuild reproduces the manifest") {
     // PersistLifecycleSpec simulates the aftermath (marker deleted by
     // hand) and the cross-process publish race (two unlocked threads);

@@ -246,3 +246,48 @@ object ChaosArtifactRunner {
     spark.stop()
   }
 }
+
+/** Two-JVM publish-race driver (round 12): each instance builds the
+  * SAME artifact key with its own sentinel content. The build body
+  * (a) announces readiness via a per-pid `started_` file, (b) blocks
+  * on a shared `barrier` file the orchestrating test creates only
+  * after BOTH processes have announced — so both JVMs are provably
+  * past the no-marker check before either publishes (the exact
+  * cross-process scenario the JVM build lock cannot cover), and
+  * (c) returns 40 rows of this process's tag. What the process
+  * ultimately SERVED (the winner's rows — possibly its own) plus its
+  * build count is written to `served_<pid>.txt` for the parent's
+  * atomicity assertions. */
+object ChaosArtifactRaceRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(artDir, syncDir, tag) = args
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("chaos_artifact_race")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.artifacts.dir", artDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val builds = new java.util.concurrent.atomic.AtomicLong(0)
+    val pid = ProcessHandle.current().pid()
+    val df = graft.core.ArtifactStore.getOrBuild(
+        spark, "race2_probe_v1", "feedfacefeedface", "/root/testdata/sf0.001",
+        builds) {
+      require(new java.io.File(syncDir, s"started_$pid").createNewFile(),
+        "could not announce build start")
+      val barrier = new java.io.File(syncDir, "barrier")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!barrier.exists && System.nanoTime() < deadline) Thread.sleep(5)
+      require(barrier.exists, "race barrier never arrived")
+      Seq.fill(40)(tag).toDF("v")
+    }
+    val served = df.collect().map(_.getString(0)).toSeq
+    java.nio.file.Files.write(
+      new java.io.File(syncDir, s"served_$pid.txt").toPath,
+      (s"builds=${builds.get}" +: served).mkString("\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
