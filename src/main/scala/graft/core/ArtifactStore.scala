@@ -130,11 +130,18 @@ object ArtifactStore {
       val nonce = java.lang.Long.toHexString(System.nanoTime())
       val tmp = new java.io.File(rootDir,
         s".tmp_${name}_${fp}_${ProcessHandle.current().pid()}_$nonce")
-      build.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "data.parquet").getAbsolutePath)
-      writeMeta(new java.io.File(tmp, "_graft_meta"), scope)
-      require(new java.io.File(tmp, "_graft_done").createNewFile(),
-        s"could not create done marker under $tmp")
+      try {
+        build.write.mode("overwrite")
+          .parquet(new java.io.File(tmp, "data.parquet").getAbsolutePath)
+        writeMeta(new java.io.File(tmp, "_graft_meta"), scope)
+        require(new java.io.File(tmp, "_graft_done").createNewFile(),
+          s"could not create done marker under $tmp")
+      } catch { case e: Throwable =>
+        // a FAILED build (not a kill) cleans its own debris — the
+        // dead-pid sweep can't reach a temp dir whose process lives on
+        deleteRec(tmp)
+        throw e
+      }
       publish(tmp, art, marker)
       if (marker.exists) retainOnly(rootDir, name, fp, scope)
     }
