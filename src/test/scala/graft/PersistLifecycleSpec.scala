@@ -454,6 +454,37 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a FAILED artifact build cleans its own temp dir and the key stays buildable") {
+    import spark.implicits._
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("art_fail").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicLong(0)
+      val boom = intercept[RuntimeException] {
+        graft.core.ArtifactStore.getOrBuild(
+          spark, "fail_probe_v1", "0123456789abcdef", dir, builds) {
+          throw new RuntimeException("deliberate build failure")
+        }
+      }
+      assert(boom.getMessage.contains("deliberate"))
+      val leftovers = Option(new java.io.File(work).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(".tmp_"))
+      assert(leftovers.isEmpty,
+        s"failed build stranded temp debris (live pid — the dead-pid sweep " +
+          s"can never reach it): ${leftovers.map(_.getName).toSeq}")
+      // the key is not poisoned: a later good build publishes normally
+      val got = graft.core.ArtifactStore.getOrBuild(
+        spark, "fail_probe_v1", "0123456789abcdef", dir, builds) {
+        Seq(7).toDF("v")
+      }.collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(7) && builds.get() == 2)
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
+  }
+
   test("artifact retention prunes re-keyed siblings of the same corpus and dead-builder debris only") {
     import spark.implicits._
     releaseAll()
