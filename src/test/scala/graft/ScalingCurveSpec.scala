@@ -334,12 +334,15 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     * spaces disjoint so densities replicate; order-key offsets
     * replicate the identical distinct edge set per copy). Only the
     * tables the third-decade lines read are materialized — documents,
-    * orders, lineitem; embeddings are NOT (the 7c mod 64 rotation rule
-    * aliases at c ≥ 64: copy c and c+64 would rotate identically and
-    * become exact semantic twins — a different corpus, not a scaled
-    * one — so embedding-space claims stay on the two measured decades
-    * plus the per-query structural arguments). ~1.3 GB under target/
-    * (gitignored), built once. */
+    * orders, lineitem; embeddings are not part of THIS slice (the
+    * plain 7c mod 64 rotation rule aliases at c ≥ 64: copy c and c+64
+    * would rotate identically and become exact semantic twins).
+    * AnnScaleProbe extends the rule — rotation PLUS an odd-coordinate
+    * sign flip for c ≥ 64, an orthogonal transform that preserves
+    * intra-copy cosines exactly — and measures the embedding-space
+    * third decade as an instrument (s7/s17 exponents recorded in
+    * PLANS.md round 12). ~1.3 GB under target/ (gitignored), built
+    * once. */
   private lazy val sf10eq: String = {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File("target/sf10eq").getAbsolutePath
