@@ -153,8 +153,24 @@ object ArtifactStore {
     * appear in one operation. Losing the race (another process
     * published first) discards `tmp`; a marker-less `art` (debris of
     * a pre-round-12 in-place build that was killed mid-write) is
-    * swept and replaced. */
+    * swept and replaced.
+    *
+    * Debris is swept by ATOMIC MOVE-ASIDE, never delete-in-place
+    * (ADVICE r12): sampling `!marker.exists` and then deleting `art`
+    * leaves a window where a racing publisher's rename lands in
+    * between and the delete destroys the freshly PUBLISHED artifact —
+    * equivalent data would be re-published, but a reader that already
+    * resolved the marker could lose data.parquet mid-read. Renaming
+    * `art` into this process's own `.tmp_` namespace instead is one
+    * atomic operation: whatever it grabbed is inspected THERE — a
+    * marker inside means a publish raced in, so it is moved straight
+    * back (restore target re-occupied ⇒ the occupant is equivalent
+    * data under the same key, drop the copy); only genuinely
+    * marker-less debris is deleted. The aside name reuses the build
+    * temp-dir layout, so a crash mid-sweep leaves debris the dead-pid
+    * retention pass reclaims like any other abandoned build. */
   private def publish(tmp: java.io.File, art: java.io.File, marker: java.io.File): Unit = {
+    val rootDir = art.getParentFile
     var attempts = 0
     var done = false
     while (!done) {
@@ -164,21 +180,48 @@ object ArtifactStore {
         deleteRec(tmp)
         done = true
       } else {
-        // a marker-less target is pre-atomic-publish debris (an
-        // in-place build killed mid-write, or a spec-broken marker) —
-        // atomic publishes always carry their marker, so sampling
-        // `art` BEFORE re-sampling `marker` means a rename landing in
-        // between flips the marker to true and the sweep is skipped;
-        // a concurrently-published artifact is never deleted
-        if (art.exists && !marker.exists) deleteRec(art)
+        if (art.exists && !marker.exists) {
+          val aside = new java.io.File(rootDir,
+            s".tmp_${art.getName}_${ProcessHandle.current().pid()}_" +
+              java.lang.Long.toHexString(System.nanoTime()))
+          val moved =
+            try {
+              java.nio.file.Files.move(art.toPath, aside.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            } catch {
+              // `art` vanished (another sweep) or is contended — loop
+              case _: java.nio.file.FileSystemException => false
+            }
+          if (moved) {
+            if (new java.io.File(aside, "_graft_done").exists) {
+              // grabbed a concurrently PUBLISHED artifact, not debris:
+              // restore it and lose the race on the next iteration
+              try java.nio.file.Files.move(aside.toPath, art.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileSystemException => deleteRec(aside) }
+            } else deleteRec(aside)
+          }
+        }
         try {
           java.nio.file.Files.move(tmp.toPath, art.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           done = true
         } catch {
-          case _: java.nio.file.FileSystemException if attempts < 16 =>
-          // target (re)appeared between the sweep and the move — loop:
-          // either its marker now exists (we lose) or we sweep again
+          case e: java.nio.file.FileSystemException =>
+            // target (re)appeared between the sweep and the move — loop:
+            // either its marker now exists (we lose) or we sweep again.
+            // On exhaustion clean our own temp FIRST (the builder pid is
+            // alive, so the dead-pid sweep could never reclaim it) and
+            // fail with the artifact contract named (ADVICE r12)
+            if (attempts >= 16) {
+              deleteRec(tmp)
+              throw new IllegalStateException(
+                s"ArtifactStore could not publish ${art.getName} after $attempts " +
+                  s"atomic-rename attempts under $rootDir — the store root is under " +
+                  "pathological publish contention or the filesystem rejects " +
+                  "ATOMIC_MOVE; the temp build was discarded, rerun to rebuild", e)
+            }
         }
       }
     }

@@ -985,6 +985,12 @@ object MultimodalKernels {
       val marker = jpeg(i + 1) & 0xff
       if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        // the loop bound only guarantees the 2-byte length field — a
+        // stream truncated INSIDE the SOF payload must fail with the
+        // same loud diagnosis as the other malformed paths, not an
+        // ArrayIndexOutOfBounds (ADVICE r12)
+        require(i + 8 < jpeg.length,
+          s"JPEG truncated inside SOF header at byte $i (${jpeg.length} bytes)")
         val h = ((jpeg(i + 5) & 0xff) << 8) | (jpeg(i + 6) & 0xff)
         val w = ((jpeg(i + 7) & 0xff) << 8) | (jpeg(i + 8) & 0xff)
         return (w.toLong, h.toLong)

@@ -370,8 +370,19 @@ object StreamingQueries {
       val vDir = new java.io.File(scratch, "views")
       val pDir = new java.io.File(scratch, "purchases")
       require(vDir.mkdirs() && pDir.mkdirs(), s"cannot create feed dirs under $scratch")
-      val events = Tables.load(spark, dir, "events")
+      val base = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      // the r·10⁹ replica offset assumes every base id fits below it; on
+      // a larger corpus silent id collisions would merge replicas' user
+      // spaces and manufacture exactly the cross-replica matches the
+      // design excludes — fail loudly instead (ADVICE r12)
+      val maxId = base.agg(greatest(max(col("event_id")), max(col("user_id"))))
+        .head.getLong(0)
+      require(maxId < 1000000000L,
+        s"joinThroughputFeedFor: max base id $maxId >= 1e9 — the per-replica " +
+          "offset would collide across replicas and change the join graph; " +
+          "widen the offset before trusting the throughput number")
+      val events = base
         .crossJoin(broadcast(spark.range(10).toDF("r")))
         .select((col("event_id") + col("r") * 1000000000L).as("event_id"),
           col("ts"),

@@ -204,6 +204,20 @@ class MultimodalKernelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MultimodalKernels.probeJpegDims(Array[Byte](1, 2, 3, 4))
     }
+    // a stream cut INSIDE the SOF payload (SOI + SOF0 marker + length,
+    // then nothing) is the same loud diagnosis, not an index error
+    val cutInsideSof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08)
+      .map(_.toByte)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalKernels.probeJpegDims(cutInsideSof)
+    }
+    assert(e.getMessage.contains("truncated inside SOF"), e.getMessage)
+    // and so is a real frame truncated mid-header (cut 3 bytes in)
+    val realFrame =
+      MultimodalKernels.demuxMjpeg(MultimodalKernels.encodeMjpeg(Array.fill[Byte](64)(7))).head
+    intercept[IllegalArgumentException] {
+      MultimodalKernels.probeJpegDims(realFrame.take(5))
+    }
   }
 
   private def fixture(name: String): Array[Byte] = {
