@@ -42,8 +42,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    concurrently LIVE builder's temp dir is never touched. The one
   *    documented hazard: a process still reading an old-fp artifact
   *    while another process publishes the re-keyed build loses its
-  *    input files mid-scan and fails loudly — acceptable for a store
-  *    whose keys change only when the corpus itself is regenerated.
+  *    input files mid-scan and fails loudly (FAILED_READ_FILE, spec-
+  *    pinned: a reader parked pre-open across the prune errors, never
+  *    returns a silent short result) — acceptable for a store whose
+  *    keys change only when the corpus itself is regenerated.
   *  - Only exactly-representable cells (integers, strings, IEEE
   *    doubles — parquet roundtrips all of them bit-for-bit) may be
   *    stored, so a read-back artifact is indistinguishable from the

@@ -535,4 +535,81 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       releaseAll()
     }
   }
+
+  test("retention reader hazard FAILS LOUDLY: a scan caught by a re-key prune errors, never returns silently") {
+    // The store's one documented hazard (ArtifactStore scaladoc): a
+    // process still scanning an old-fp artifact when the re-keyed build
+    // publishes loses its input files mid-scan. The contract is "fails
+    // loudly, never serves wrong data" — this pins the loud half. Every
+    // scan task parks BEFORE opening its parquet split; the re-keyed
+    // publish prunes the old key while they are parked; the released
+    // scan must then surface a missing-file error, never a silent
+    // short (or empty) result.
+    import spark.implicits._
+    releaseAll()
+    val work = java.nio.file.Files.createTempDirectory("art_hazard").toString
+    spark.conf.set("spark.graft.artifacts.dir", work)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicLong(0)
+      val scope = "/root/testdata/sf0.001"
+      ArtifactStoreHazardGate.reset()
+      val df1 = graft.core.ArtifactStore.getOrBuild(
+        spark, "hazard_probe_v1", "aaaaaaaaaaaaaaa1", scope, builds) {
+        // ONE parquet split: the suite session is local[4], so the
+        // parked reader must hold exactly one slot — parking a task per
+        // split would starve the very publish job the scenario waits on
+        spark.range(0, 80000).toDF("v").coalesce(1)
+      }
+      val gated = df1.as[Long].mapPartitions { it =>
+        ArtifactStoreHazardGate.await(); it
+      }
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      try {
+        val slow = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = gated.count()
+        })
+        // re-key the SAME name+scope while every scan task is parked
+        // pre-open; retention prunes the old-fp directory
+        graft.core.ArtifactStore.getOrBuild(
+          spark, "hazard_probe_v1", "aaaaaaaaaaaaaaa2", scope, builds) {
+          Seq(0L).toDF("v")
+        }.write.format("noop").mode("overwrite").save()
+        assert(!new java.io.File(work, "hazard_probe_v1_aaaaaaaaaaaaaaa1").exists,
+          "test setup: the re-keyed publish should have pruned the old key")
+        ArtifactStoreHazardGate.release()
+        val outcome =
+          try Left(slow.get(120, java.util.concurrent.TimeUnit.SECONDS))
+          catch { case e: java.util.concurrent.ExecutionException => Right(e) }
+        outcome match {
+          case Left(n) =>
+            fail(s"reader of the pruned artifact returned SILENTLY ($n rows) — " +
+              "the hazard contract requires a loud read error")
+          case Right(e) =>
+            val chain = Iterator.iterate(e.getCause)(_.getCause)
+              .takeWhile(_ != null).take(16).toSeq
+            assert(chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+                c.getMessage != null && c.getMessage.contains("FileNotFound")),
+              s"expected a missing-file error in the cause chain, got: " +
+                chain.map(_.getClass.getName).mkString(" <- "))
+        }
+      } finally pool.shutdownNow()
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      releaseAll()
+    }
+  }
+}
+
+/** Task-side gate for the reader-hazard scenario: local-mode tasks and
+  * the driver share this JVM-static latch, so the spec can hold every
+  * scan task BEFORE it opens its parquet split and release them only
+  * after the re-keyed publish has pruned the directory under scan. */
+object ArtifactStoreHazardGate {
+  @volatile private var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = latch = new java.util.concurrent.CountDownLatch(1)
+  def release(): Unit = latch.countDown()
+  def await(): Unit = {
+    require(latch.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "hazard gate never released")
+  }
 }
