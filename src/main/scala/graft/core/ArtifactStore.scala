@@ -127,6 +127,12 @@ object ArtifactStore {
     val data = new java.io.File(art, "data.parquet")
     if (!marker.exists) {
       builds.incrementAndGet()
+      // operational breadcrumb (stderr, never stdout — Bench's metric
+      // line owns stdout): which process paid which one-time build is
+      // the first question a cold-start investigation asks, and the
+      // two-JVM soak reads its build/read split from exactly this line
+      System.err.println(
+        s"[artifact] build ${name}_$fp pid=${ProcessHandle.current().pid()} scope=$scope")
       // build into a process-unique temp dir: data, meta, then marker —
       // a kill at any point leaves only unreferenced debris
       val nonce = java.lang.Long.toHexString(System.nanoTime())
