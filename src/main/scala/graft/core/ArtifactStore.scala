@@ -188,29 +188,7 @@ object ArtifactStore {
         deleteRec(tmp)
         done = true
       } else {
-        if (art.exists && !marker.exists) {
-          val aside = new java.io.File(rootDir,
-            s".tmp_${art.getName}_${ProcessHandle.current().pid()}_" +
-              java.lang.Long.toHexString(System.nanoTime()))
-          val moved =
-            try {
-              java.nio.file.Files.move(art.toPath, aside.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              true
-            } catch {
-              // `art` vanished (another sweep) or is contended — loop
-              case _: java.nio.file.FileSystemException => false
-            }
-          if (moved) {
-            if (new java.io.File(aside, "_graft_done").exists) {
-              // grabbed a concurrently PUBLISHED artifact, not debris:
-              // restore it and lose the race on the next iteration
-              try java.nio.file.Files.move(aside.toPath, art.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: java.nio.file.FileSystemException => deleteRec(aside) }
-            } else deleteRec(aside)
-          }
-        }
+        if (art.exists && !marker.exists) sweepAside(rootDir, art)
         try {
           java.nio.file.Files.move(tmp.toPath, art.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -232,6 +210,38 @@ object ArtifactStore {
             }
         }
       }
+    }
+  }
+
+  /** The TOCTOU-free debris sweep (ADVICE r12): atomically rename
+    * whatever sits at `art` into this process's `.tmp_` namespace and
+    * inspect it THERE. Marker-less ⇒ genuine debris, deleted. Marker
+    * present ⇒ a publish raced in between the caller's sample and the
+    * move — restore it atomically (restore target re-occupied ⇒ the
+    * occupant is equivalent data under the same key; drop the copy).
+    * Exposed `private[graft]` so the lifecycle spec can pin both
+    * branches deterministically — the restore interleaving is too
+    * narrow to drive reliably through a live race. */
+  private[graft] def sweepAside(rootDir: java.io.File, art: java.io.File): Unit = {
+    val aside = new java.io.File(rootDir,
+      s".tmp_${art.getName}_${ProcessHandle.current().pid()}_" +
+        java.lang.Long.toHexString(System.nanoTime()))
+    val moved =
+      try {
+        java.nio.file.Files.move(art.toPath, aside.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        // `art` vanished (another sweep) or is contended — the caller
+        // loops and re-samples
+        case _: java.nio.file.FileSystemException => false
+      }
+    if (moved) {
+      if (new java.io.File(aside, "_graft_done").exists) {
+        try java.nio.file.Files.move(aside.toPath, art.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException => deleteRec(aside) }
+      } else deleteRec(aside)
     }
   }
 

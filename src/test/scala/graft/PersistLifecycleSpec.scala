@@ -536,6 +536,43 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("publish's debris sweep restores a raced-in published artifact and deletes only true debris") {
+    // The TOCTOU fix (ADVICE r12): the sweep renames `art` aside and
+    // inspects it there. The restore branch fires only when a publish
+    // lands between the caller's marker sample and the move — an
+    // interleaving too narrow to drive reliably through a live race,
+    // so both branches are pinned by direct calls: the sweep invoked
+    // AS IF the sample had just said "no marker".
+    val root = java.nio.file.Files.createTempDirectory("art_sweep").toFile
+    def tmps(): Seq[String] = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(".tmp_")).toSeq
+    // (a) a PUBLISHED artifact (marker present — a racing publish beat
+    // the sweep to the path) must come back unharmed, payload intact
+    val art = new java.io.File(root, "sweep_probe_v1_0123456789abcdef")
+    val data = new java.io.File(art, "data.parquet")
+    assert(data.mkdirs(), "test setup")
+    java.nio.file.Files.write(
+      new java.io.File(data, "part-00000").toPath, "payload".getBytes("UTF-8"))
+    assert(new java.io.File(art, "_graft_done").createNewFile(), "test setup")
+    graft.core.ArtifactStore.sweepAside(root, art)
+    assert(art.exists && new java.io.File(art, "_graft_done").exists,
+      "sweep must RESTORE a concurrently published artifact, not delete it")
+    assert(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(data, "part-00000").toPath), "UTF-8") == "payload",
+      "restored artifact lost its payload")
+    assert(tmps().isEmpty, s"sweep left aside debris: ${tmps()}")
+    // (b) genuinely marker-less debris is deleted
+    val debris = new java.io.File(root, "sweep_probe_v1_fedcba9876543210")
+    assert(new java.io.File(debris, "data.parquet").mkdirs(), "test setup")
+    graft.core.ArtifactStore.sweepAside(root, debris)
+    assert(!debris.exists, "marker-less debris must be swept")
+    assert(tmps().isEmpty, s"sweep left aside debris: ${tmps()}")
+    // (c) a vanished target (another sweep won) is a silent no-op
+    graft.core.ArtifactStore.sweepAside(root,
+      new java.io.File(root, "sweep_probe_v1_0000000000000000"))
+    assert(tmps().isEmpty)
+  }
+
   test("retention reader hazard FAILS LOUDLY: a scan caught by a re-key prune errors, never returns silently") {
     // The store's one documented hazard (ArtifactStore scaladoc): a
     // process still scanning an old-fp artifact when the re-keyed build
