@@ -17,6 +17,29 @@ object SqlSurfaceQueries {
   private def view(spark: SparkSession, dir: String, name: String): Unit =
     Tables.load(spark, dir, name).createOrReplaceTempView(name)
 
+  /** Checkpoint a relation the consuming query references several
+    * times, releasing the PREVIOUS invocation's blocks (x65/x70's
+    * graph relations are rebuilt per call; without the swap a
+    * long-lived session re-invoking the query stacks a superseded
+    * block set per call — the ConnectedComponents "unpersist the
+    * superseded round" contract, applied at the query boundary).
+    * Unpersisting blocks Bench's family sweep already released is a
+    * no-op, so the swap composes with session-level cache hygiene. */
+  private def checkpointSwapping(
+      ref: java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]],
+      df: DataFrame): DataFrame = {
+    val (out, rdd) = org.apache.spark.sql.GraftShims.checkpointReleasable(df)
+    Option(ref.getAndSet(rdd)).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  private val x70OrientedHandle =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]]()
+  private val x65EdgesHandle =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]]()
+  private val x65DegHandle =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]]()
+
   /** x40 — UNPIVOT: lineitem's four measure columns melted to long form
     * (the inverse of x22's pivot). Plans as one Expand (4 rows per
     * input, same node CUBE/rollup use) — scan-shaped, no join, no
@@ -479,17 +502,23 @@ object SqlSurfaceQueries {
     // ONE oriented-list materialization: the triangle join references
     // it 3 times, and re-deriving edges+degrees+orientation per
     // reference would run the fact-table scan and two aggregates 3×.
-    // The raw/deg stages deliberately stay INLINE CTEs — measured at
-    // sf0.1 persisting each stage cost MORE (8.1 s vs 6.7) than the
-    // one redundant cheap re-derivation it saves: persist is a full
-    // materialization barrier AQE can't plan across, the x65 knife
-    // cutting the other way at this stage count.
-    spark.sql(
-      s"""WITH ${triangleEdgesSql("DIV")},
-      deg AS (${triangleDegSql("raw")})
-      ${triangleOrientSql("raw", "deg")}""")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .createOrReplaceTempView("x70_oriented")
+    // checkpointReleasable, NOT persist+view (round 13): the cache
+    // manager never matched the WithCTE subtree against the view's
+    // expansion inside the consuming query's own WITH — measured with
+    // a plan probe, the "cached" plan re-derived the oriented list per
+    // reference (15 parquet FileScans where the design says one pass).
+    // A lineage-truncated checkpoint makes the reuse STRUCTURAL: the
+    // view wraps a LogicalRDD leaf, so all 3 references share the
+    // materialized blocks by construction — nothing for a cache
+    // matcher to miss. The raw/deg stages inside the build stay INLINE
+    // CTEs — measured at sf0.1 materializing each stage cost MORE than
+    // the one redundant cheap re-derivation it saves.
+    val oriented = checkpointSwapping(x70OrientedHandle,
+      spark.sql(
+        s"""WITH ${triangleEdgesSql("DIV")},
+        deg AS (${triangleDegSql("raw")})
+        ${triangleOrientSql("raw", "deg")}"""))
+    oriented.createOrReplaceTempView("x70_oriented")
     spark.sql(triangleTopSql("x70_oriented", triangleCornersSpark))
   }
 
@@ -537,18 +566,22 @@ object SqlSurfaceQueries {
     view(spark, dir, "lineitem")
     // Catalyst inlines CTEs, so an `edges` CTE would re-run the
     // orders⋈lineitem build once PER ITERATION (and `deg` with it) —
-    // persist both once instead; iterations then reference the cached
-    // relations, the real iterative-workload contract. At sf0.1 the
-    // line's wall (~3.4 s) barely moves because the first-use cache
-    // materialization costs what the two avoided rebuilds did, but at
-    // 100 TB the rebuild is a full fact-table join per iteration while
-    // the cache is a one-time cost amortized over every round
-    val edges = spark.sql(pagerankEdgesSql)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the iterations must reference a MATERIALIZED edge list, the real
+    // iterative-workload contract (at 100 TB the rebuild is a full
+    // fact-table join per iteration; the materialization is a one-time
+    // cost amortized over every round). checkpointReleasable, NOT
+    // persist+view (round 13): the cache manager never matched the
+    // WithCTE edge plan against its expansion inside the iteration
+    // query's own WITH chain — a plan probe showed the "cached" run
+    // re-deriving the fact join per reference (28 parquet FileScans).
+    // Lineage-truncated checkpoints make the reuse structural: both
+    // views wrap LogicalRDD leaves every iteration shares by
+    // construction.
+    val edges = checkpointSwapping(x65EdgesHandle, spark.sql(pagerankEdgesSql))
     edges.createOrReplaceTempView("pr_edges")
-    spark.sql("SELECT src, COUNT(*) AS outdeg FROM pr_edges GROUP BY src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .createOrReplaceTempView("pr_deg")
+    val deg = checkpointSwapping(x65DegHandle,
+      spark.sql("SELECT src, COUNT(*) AS outdeg FROM pr_edges GROUP BY src"))
+    deg.createOrReplaceTempView("pr_deg")
     spark.sql(s"WITH ${pagerankIterSql("DIV", "pr_edges", "pr_deg")}")
   }
 

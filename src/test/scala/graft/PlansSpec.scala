@@ -74,6 +74,14 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     // the wedge join runs ONCE: corners is a lateral explode of tri,
     // never a 3-way UNION that would inline the join per branch
     assert("Generate explode".r.findAllMatchIn(p).size == 1, p.take(4000))
+    // the oriented list is materialized ONCE and every triangle-join
+    // reference reads the checkpointed blocks — round 13 found the old
+    // persist+view spelling silently re-deriving it per reference (the
+    // cache manager never matches a WithCTE subtree inside the
+    // consumer's own WITH chain): the consuming plan must carry ZERO
+    // parquet scans, only the LogicalRDD leaves
+    assert(!p.contains("FileScan parquet"), p.take(4000))
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
   }
 
   test("s13: BM25 stats broadcast as one row; top-20 is a bounded heap, no window") {
@@ -714,6 +722,13 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.toLowerCase.contains("cartesian"), p.take(4000))
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
     assert("(Hash|Sort)Aggregate".r.findAllMatchIn(p).size >= 4, p.take(4000))
+    // the edge list and degree table are materialized ONCE and every
+    // iteration reads the checkpointed blocks — round 13 found the old
+    // persist+view spelling silently re-running the orders⋈lineitem
+    // fact join per iteration reference (28 parquet FileScans in the
+    // "cached" plan): the iteration plan must carry ZERO parquet scans
+    assert(!p.contains("FileScan parquet"), p.take(4000))
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
   }
 
   test("p4: release report — fused repetition kernel, broadcast cutoffs, id-only keep joins") {
