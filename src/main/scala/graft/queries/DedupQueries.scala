@@ -27,6 +27,12 @@ object DedupQueries {
   private val jacThreshold = "0.5"
   private val hamThreshold = 4
 
+  // materialize-once handles for the shingle-id table's SQL-WITH
+  // consumers (see [[Materialize]]; the superseded invocation's blocks
+  // are released on re-invoke)
+  private val d6IdsHandle = Materialize.handle()
+  private val d13IdsHandle = Materialize.handle()
+
   // --- shared Spark SQL fragments -----------------------------------------
 
   /** doc_id + distinct 3-gram shingle array (docs with >=3 tokens). */
@@ -248,6 +254,16 @@ object DedupQueries {
     * mines. */
   private[graft] def containmentPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     registerIds(spark, dir)
+    // the mining WITH chain references ids four times (ex feeds df and
+    // cand, plus both verify sides) — a SQL-WITH consumer, so the lazy
+    // registerIds persist never substitutes (see [[Materialize]]);
+    // checkpoint the shingle table once for the build. This build runs
+    // once per corpus fingerprint; resemblancePairsPlan deliberately
+    // keeps the un-checkpointed CTE chain because that exact plan shape
+    // is the CTE-pushdown canary's pinned reproduction target
+    // (CteWorkaroundCanarySpec — retire together).
+    Materialize.swap(d13IdsHandle, spark.table("ids"))
+      .createOrReplaceTempView("ids")
     spark.sql(s"""
       WITH ex AS (SELECT doc_id, size(ids) AS sz, explode(ids) AS g FROM ids),
       df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
@@ -476,16 +492,19 @@ object DedupQueries {
     * composes by running l1/d1 over the accepted set afterwards. */
   def d6IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // plain load, not loadSpread — same reasoning as d1: the persist
-    // right below is the barrier that matters, and matching d1's exact
-    // ids plan lets the cache manager (which dedups by canonicalized
-    // plan) share ONE materialization across d1/d4/d5/d6 in a session
+    // plain load, not loadSpread — the materialization barrier right
+    // below is what parallelism would buy, and the single-task shingle
+    // kernel measured cheaper than a spread's extra shuffle (d1's
+    // reasoning)
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
-    // the plan references ids four times (mh, band side b via mh, and
-    // both verify sides) — persist it like d1 does, or the shingle
-    // kernel recomputes per reference
-    spark.sql(s"WITH $idsCteSpark SELECT * FROM ids")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the consuming WITH chain references ids three times (mh and both
+    // verify sides) — and because it is a SQL-WITH consumer, a
+    // persist+view would silently re-run the shingle kernel per
+    // reference (round 13, measured: 0 cache hits, 7 parquet scans).
+    // [[Materialize.swap]] checkpoints the ids table once; the three
+    // references share the LogicalRDD leaf by construction
+    Materialize.swap(d6IdsHandle,
+        spark.sql(s"WITH $idsCteSpark SELECT * FROM ids"))
       .createOrReplaceTempView("ids")
     spark.sql(s"""
       WITH mh AS (SELECT doc_id, minhash16(ids) AS mh FROM ids),

@@ -17,28 +17,12 @@ object SqlSurfaceQueries {
   private def view(spark: SparkSession, dir: String, name: String): Unit =
     Tables.load(spark, dir, name).createOrReplaceTempView(name)
 
-  /** Checkpoint a relation the consuming query references several
-    * times, releasing the PREVIOUS invocation's blocks (x65/x70's
-    * graph relations are rebuilt per call; without the swap a
-    * long-lived session re-invoking the query stacks a superseded
-    * block set per call — the ConnectedComponents "unpersist the
-    * superseded round" contract, applied at the query boundary).
-    * Unpersisting blocks Bench's family sweep already released is a
-    * no-op, so the swap composes with session-level cache hygiene. */
-  private def checkpointSwapping(
-      ref: java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]],
-      df: DataFrame): DataFrame = {
-    val (out, rdd) = org.apache.spark.sql.GraftShims.checkpointReleasable(df)
-    Option(ref.getAndSet(rdd)).foreach(_.unpersist(blocking = false))
-    out
-  }
-
-  private val x70OrientedHandle =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]]()
-  private val x65EdgesHandle =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]]()
-  private val x65DegHandle =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]]()
+  // materialize-once handles for the multiply-referenced graph
+  // relations — see [[Materialize]] for why persist+view cannot serve
+  // a SQL-WITH consumer and why the swap releases superseded blocks
+  private val x70OrientedHandle = Materialize.handle()
+  private val x65EdgesHandle = Materialize.handle()
+  private val x65DegHandle = Materialize.handle()
 
   /** x40 — UNPIVOT: lineitem's four measure columns melted to long form
     * (the inverse of x22's pivot). Plans as one Expand (4 rows per
@@ -513,7 +497,7 @@ object SqlSurfaceQueries {
     // matcher to miss. The raw/deg stages inside the build stay INLINE
     // CTEs — measured at sf0.1 materializing each stage cost MORE than
     // the one redundant cheap re-derivation it saves.
-    val oriented = checkpointSwapping(x70OrientedHandle,
+    val oriented = Materialize.swap(x70OrientedHandle,
       spark.sql(
         s"""WITH ${triangleEdgesSql("DIV")},
         deg AS (${triangleDegSql("raw")})
@@ -577,9 +561,9 @@ object SqlSurfaceQueries {
     // Lineage-truncated checkpoints make the reuse structural: both
     // views wrap LogicalRDD leaves every iteration shares by
     // construction.
-    val edges = checkpointSwapping(x65EdgesHandle, spark.sql(pagerankEdgesSql))
+    val edges = Materialize.swap(x65EdgesHandle, spark.sql(pagerankEdgesSql))
     edges.createOrReplaceTempView("pr_edges")
-    val deg = checkpointSwapping(x65DegHandle,
+    val deg = Materialize.swap(x65DegHandle,
       spark.sql("SELECT src, COUNT(*) AS outdeg FROM pr_edges GROUP BY src"))
     deg.createOrReplaceTempView("pr_deg")
     spark.sql(s"WITH ${pagerankIterSql("DIV", "pr_edges", "pr_deg")}")

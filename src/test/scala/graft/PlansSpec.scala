@@ -358,6 +358,12 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     val p = plan("d6_incremental_dedup")
     assert("LeftAnti".r.findAllMatchIn(p).size >= 2, p.take(3000))
     assert(!p.contains("NestedLoop"), p.take(3000))
+    // the shingle kernel runs ONCE: all ids references read the
+    // checkpointed table (round 13 — the old persist+view spelling
+    // re-ran the kernel per SQL-WITH reference); the only parquet
+    // scans left are the exact-dup pair and the final accept gate
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    assert("FileScan parquet".r.findAllMatchIn(p).size <= 3, p.take(3000))
   }
 
   test("x34: sliding windows plan one Expand into a partial+final aggregate") {
@@ -695,6 +701,11 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
       p.take(4000))
     assert(p.contains("Join") && p.contains("hashpartitioning"), p.take(4000))
+    // the build mines from the checkpointed shingle table — its four
+    // ids references must never re-run the kernel (round 13): zero
+    // parquet scans in the mining plan
+    assert(!p.contains("FileScan parquet"), p.take(4000))
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
     assert(plan("d13_containment").contains("d13_pairs_v1_"))
   }
 
