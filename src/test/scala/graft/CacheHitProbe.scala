@@ -37,6 +37,11 @@ object CacheHitProbe {
       val rddScan = "Scan ExistingRDD".r.findAllIn(plan).length
       val fs = "FileScan parquet".r.findAllIn(plan).length
       println(s"[cacheprobe] $name: InMemoryTableScan=$mem ExistingRDD=$rddScan FileScan=$fs")
+      // PROBE_DUMP=1: one line per parquet scan (the file + pushed
+      // schema) so an excess count is attributable to a relation
+      if (sys.env.get("PROBE_DUMP").contains("1"))
+        "FileScan parquet [^\\n]*".r.findAllIn(plan)
+          .foreach(l => println("  " + l.take(200)))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
