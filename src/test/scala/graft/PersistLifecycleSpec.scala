@@ -58,6 +58,32 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x65 under reliable checkpoint mode survives a full cache sweep with identical results") {
+    releaseAll()
+    // default mode first: the checkpointed graph relations live only in
+    // executor storage, so the result must be CONSUMED before a sweep
+    val expected = graft.queries.SqlSurfaceQueries.x65Pagerank(spark, dir)
+      .collect().map(_.toString).toSeq
+    releaseAll()
+    // reliable mode (the 100 TB executor-churn knob, GraftShims): the
+    // relations also write through RDD.checkpoint, so the SAME result
+    // DataFrame must stay readable after every cached block is dropped
+    // — the local-mode stand-in for losing an executor mid-consume
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val df = graft.queries.SqlSurfaceQueries.x65Pagerank(spark, dir)
+      releaseAll() // drop ALL cached blocks before the first read
+      val got = df.collect().map(_.toString).toSeq
+      assert(got == expected,
+        "reliable-mode x65 diverged from the default-mode result")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      releaseAll()
+    }
+  }
+
   test("d16 double-invoke reuses the shared pair-manifest cache entries") {
     assertNoStacking("d16_sketch_calibration") {
       graft.queries.DedupQueries.d16SketchCalibration(spark, dir)
