@@ -253,16 +253,22 @@ object DedupQueries {
     * keep the never-all-pairs shape pinned on the plan that actually
     * mines. */
   private[graft] def containmentPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    registerIds(spark, dir)
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
     // the mining WITH chain references ids four times (ex feeds df and
-    // cand, plus both verify sides) — a SQL-WITH consumer, so the lazy
-    // registerIds persist never substitutes (see [[Materialize]]);
-    // checkpoint the shingle table once for the build. This build runs
-    // once per corpus fingerprint; resemblancePairsPlan deliberately
-    // keeps the un-checkpointed CTE chain because that exact plan shape
-    // is the CTE-pushdown canary's pinned reproduction target
+    // cand, plus both verify sides) — a SQL-WITH consumer, so a lazy
+    // persist never substitutes (see [[Materialize]]); checkpoint the
+    // shingle table once for the build, from the RAW plan, not from
+    // registerIds' persisted view: routing through the view (round 13)
+    // made the checkpoint's materializing count() ALSO populate the
+    // session cache entry, holding the largest dedup relation twice
+    // (InMemoryRelation + checkpoint blocks) for the rest of the
+    // session (ADVICE r13). This build runs once per corpus
+    // fingerprint; resemblancePairsPlan deliberately keeps the
+    // un-checkpointed CTE chain because that exact plan shape is the
+    // CTE-pushdown canary's pinned reproduction target
     // (CteWorkaroundCanarySpec — retire together).
-    Materialize.swap(d13IdsHandle, spark.table("ids"))
+    Materialize.swap(d13IdsHandle, spark.sql(s"WITH $idsCteSpark SELECT * FROM ids"))
       .createOrReplaceTempView("ids")
     spark.sql(s"""
       WITH ex AS (SELECT doc_id, size(ids) AS sz, explode(ids) AS g FROM ids),

@@ -25,11 +25,31 @@ import org.apache.spark.sql.DataFrame
   * re-invoke (the ConnectedComponents "unpersist the superseded round"
   * contract at the query boundary). Unpersisting blocks a session
   * cache sweep already released is a no-op, so the swap composes with
-  * Bench's family-boundary hygiene. */
+  * Bench's family-boundary hygiene.
+  *
+  * CONTRACT (single-threaded per query): the handle is one slot per
+  * query builder, and re-invoking the builder releases the PREVIOUS
+  * invocation's blocks — lineage is truncated, so a still-unconsumed
+  * DataFrame from a superseded invocation fails on read rather than
+  * silently recomputing (that failure is loud by design: the caller
+  * held a handle across a re-invoke it wasn't entitled to). Two
+  * CONCURRENT invocations of the same query in one session would race
+  * the slot; the engine's query surface is invoke-then-consume per key
+  * (Bench/Verify/the CLI all serialize per query), so the slot matches
+  * the real call pattern. The release itself is tolerant: a handle
+  * left over from a stopped SparkContext (stop()+recreate in one JVM —
+  * the probe-main pattern) is dropped without calling into the dead
+  * BlockManager, and any release failure degrades to a leaked-block
+  * warning, never a failed query. */
 private[graft] object Materialize {
   def swap(ref: AtomicReference[RDD[_]], df: DataFrame): DataFrame = {
     val (out, rdd) = org.apache.spark.sql.GraftShims.checkpointReleasable(df)
-    Option(ref.getAndSet(rdd)).foreach(_.unpersist(blocking = false))
+    Option(ref.getAndSet(rdd))
+      .filter(old => !old.sparkContext.isStopped)
+      .foreach { old =>
+        try old.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     out
   }
 

@@ -52,7 +52,20 @@ object GraftShims {
     * drops the cached copy (reads fall back to the checkpoint files);
     * checkpoint files themselves are GC'd by the ContextCleaner when
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, else at
-    * checkpoint-dir cleanup. */
+    * checkpoint-dir cleanup.
+    *
+    * STATS: the returned frame's leaf is `LogicalRDD.fromDataset` —
+    * the same constructor `Dataset.localCheckpoint` uses — which
+    * carries the ORIGIN plan's `Statistics` (plus constraints and the
+    * physical output partitioning/ordering) into the new leaf. Round
+    * 13 built the leaf with `internalCreateDataFrame`, whose LogicalRDD
+    * has no origin stats and so estimates `defaultSizeInBytes` (huge):
+    * every join DOWNSTREAM of a checkpoint silently lost broadcast
+    * candidacy at static planning, which is exactly how d13's
+    * doc-frequency join fell off a cliff on the third decade
+    * (ScalingCurveSpec red, 18.8× wall on 10× rows). The fix is
+    * structural — stats survive for every caller — and is pinned by
+    * GraftExtensionsSpec's checkpoint-stats case. */
   def checkpointReleasable(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
@@ -72,6 +85,16 @@ object GraftShims {
       rdd.localCheckpoint()
     }
     rdd.count()
-    (spark.internalCreateDataFrame(rdd, ds.schema), rdd)
+    val leaf = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, leaf), rdd)
   }
+
+  /** Size estimate of every LogicalRDD (checkpoint) leaf in a frame's
+    * optimized plan — PlansSpec instrumentation for the
+    * stats-preservation pin above (a stats-less leaf reports
+    * defaultSizeInBytes and silently flips downstream join selection). */
+  def checkpointLeafSizes(df: DataFrame): Seq[BigInt] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: execution.LogicalRDD => l.stats.sizeInBytes
+    }
 }

@@ -21,9 +21,16 @@ object D13ScaleProbe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
-      val n = graft.queries.DedupQueries.containmentPairsPlan(spark, abs).count()
+      val df = graft.queries.DedupQueries.containmentPairsPlan(spark, abs)
+      val n = df.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE dir=$dir pairs=$n%d secs=$secs%.2f")
+      // post-AQE join strategies — the round-14 attribution axis: a
+      // stats-less checkpoint leaf flips broadcasts to sort-merge
+      val plan = df.queryExecution.executedPlan.toString
+      val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|NestedLoop)".r
+        .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k=${v.size}" }
+        .toSeq.sorted.mkString(",")
+      println(f"PROBE dir=$dir pairs=$n%d secs=$secs%.2f joins=$joins")
     }
     arm("/root/testdata/sf0.01") // warmup
     arm("/root/testdata/sf0.1")

@@ -709,6 +709,53 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
     assert(plan("d13_containment").contains("d13_pairs_v1_"))
   }
 
+  test("checkpointReleasable carries origin stats into the new leaf (round-14 d13 fix, pinned)") {
+    // round 13 built the checkpoint leaf via internalCreateDataFrame —
+    // a LogicalRDD with NO origin stats, estimating defaultSizeInBytes:
+    // every join downstream of a swap silently lost broadcast candidacy
+    // at static planning (ScalingCurveSpec's d13 third-decade red). The
+    // leaf must now report the ORIGIN plan's estimate, and a join
+    // against a small checkpointed side must still plan a broadcast.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val origin = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (out, rdd) = org.apache.spark.sql.GraftShims.checkpointReleasable(docs)
+    try {
+      val leafSizes = org.apache.spark.sql.GraftShims.checkpointLeafSizes(out)
+      assert(leafSizes == Seq(origin),
+        s"checkpoint leaf stats $leafSizes != origin $origin — stats lost across the swap")
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val joined = fact.join(out, fact("l_orderkey") === out("doc_id"))
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        joined.queryExecution.executedPlan.toString.take(3000))
+    } finally rdd.unpersist(blocking = true)
+  }
+
+  test("every Materialize.swap leaf carries finite stats; d13's hinted/broadcast joins survive the swap") {
+    // VERDICT r13 #4: the swap could silently change join selection
+    // anywhere it's introduced, and only d13 had a curve test watching.
+    // Pin the hazard class itself: every swapped build's LogicalRDD
+    // leaves must estimate REAL sizes (a stats-less leaf reports
+    // defaultSizeInBytes ≈ 2^63 and kills broadcast for the whole
+    // downstream plan), for all four swap consumers.
+    val builds = Seq(
+      "d13_build" -> graft.queries.DedupQueries.containmentPairsPlan(spark, sfDir),
+      "d6" -> SparkEntry.queries("d6_incremental_dedup")(spark, sfDir),
+      "x65" -> SparkEntry.queries("x65_pagerank")(spark, sfDir),
+      "x70" -> SparkEntry.queries("x70_triangle_count")(spark, sfDir))
+    for ((name, df) <- builds) {
+      val leaves = org.apache.spark.sql.GraftShims.checkpointLeafSizes(df)
+      assert(leaves.nonEmpty, s"$name: no checkpoint leaf in the plan — the swap disappeared?")
+      leaves.foreach(s => assert(s < (BigInt(1L) << 40),
+        s"$name: swapped leaf estimates $s bytes — stats-less leaf, downstream joins lose broadcast candidacy"))
+    }
+    // ...and the join strategies d13's build claims: the verify join
+    // keeps its SHUFFLE_HASH hint, and the doc-frequency/prefix side
+    // joins keep broadcast at this SF (they did before the swap)
+    val p = explained(graft.queries.DedupQueries.containmentPairsPlan(spark, sfDir))
+    assert("ShuffledHashJoin".r.findAllMatchIn(p).size >= 2, p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("d1: the banded minhash join mines the stored manifest; serving READS it") {
     val p = explained(graft.queries.DedupQueries.resemblancePairsPlan(spark, sfDir))
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),

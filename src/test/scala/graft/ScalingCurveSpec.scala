@@ -24,6 +24,33 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
   private val small = "/root/testdata/sf0.01"
   private val big = "/root/testdata/sf0.1"
 
+  /** VERDICT r13 #5: the envelope tests are wall-clock ratios on a
+    * co-tenant VM — the round's most valuable tripwire and its most
+    * noise-exposed. Sample the hypervisor steal counter over a short
+    * window first and CANCEL (loudly, not fail) when the box is hot,
+    * so a red here really means superlinear work, never box weather.
+    * 32 hw threads × 100 Hz × 3 s ≈ 9600 tick-capacity; >200 ticks
+    * (~2% stolen) is the bench-noise protocol's "co-tenant burst in
+    * progress" line. */
+  private def requireQuietBox(): Unit = {
+    def steal(): Option[Long] =
+      scala.util.Try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong)
+        finally src.close()
+      }.toOption.flatten
+    for (s0 <- steal()) {
+      Thread.sleep(3000)
+      for (s1 <- steal()) {
+        val d = s1 - s0
+        info(s"quiet-box probe: $d steal ticks in 3 s")
+        assume(d <= 200,
+          s"box is hot ($d steal ticks in 3 s > 200) — wall-clock envelope " +
+            "would measure co-tenant weather, not this engine; re-run on a quiet box")
+      }
+    }
+  }
+
   private def releaseCaches(): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -41,6 +68,7 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("dedup/ANN suite scales near-linearly from sf0.01 to sf0.1 (10x rows)") {
+    requireQuietBox()
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d1_minhash_lsh" -> (graft.queries.DedupQueries.d1MinhashLsh _),
       "d2_simhash" -> (graft.queries.DedupQueries.d2Simhash _),
@@ -254,6 +282,7 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     * its ratio carries a rounds factor on top of the row factor —
     * reported, and still far inside the envelope. */
   test("heavy dedup/iterative lines scale near-linearly on the second decade (sf0.1 -> sf1eq)") {
+    requireQuietBox()
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d1_minhash_lsh" -> (graft.queries.DedupQueries.d1MinhashLsh _),
       "d13_containment" -> (graft.queries.DedupQueries.d13Containment _),
@@ -385,6 +414,7 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     * real mining job, not a parquet read). Same ≤ 15× envelope per
     * decade; a candidate-space blowup would show ~100×. */
   test("heaviest shuffle/join lines scale near-linearly on the third decade (sf1eq -> sf10eq)") {
+    requireQuietBox()
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d9_span_dedup" -> (graft.queries.DedupQueries.d9SpanDedup _),
       "d13_containment" -> (graft.queries.DedupQueries.d13Containment _),
