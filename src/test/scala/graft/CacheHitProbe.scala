@@ -16,7 +16,8 @@ object CacheHitProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
       else Seq("x65_pagerank", "x70_triangle_count")
     val spark = SparkSession.builder()
       .master("local[8]")
