@@ -24,7 +24,26 @@ import org.apache.spark.sql.SparkSession
   * cold-path story stays auditable.
   */
 object Bench {
+  /** Cumulative hypervisor steal ticks (field 9 of /proc/stat's cpu
+    * line), or -1 where unreadable. Captured around the whole run and
+    * emitted in the metric JSON so every archived bench carries its
+    * own weather evidence — rounds 12–14 each spent reruns attributing
+    * diffuse per-query drift to co-tenancy after the fact (round 14:
+    * two same-binary cold-store runs read 144.6 s at 0.63 % steal and
+    * 136.6 s at 0.35 %; the median per-query ratio, not the total, was
+    * the only way to tell). Steal only accrues while THIS guest wants
+    * CPU, so an idle-time probe cannot stand in for the in-run delta. */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
+    val steal0 = stealTicks()
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -129,8 +148,19 @@ object Bench {
     // goes to target/bench_full.json for offline attribution.
     val totalR = num(total, 3)
     val qsCold = jsonMap(results.map(r => (r._1, r._3)), 9)
+    // weather stamp: steal ticks stolen from this guest across the
+    // WHOLE run (warmup + both passes) and the fraction of the box's
+    // tick capacity they represent — sub-1 % already moves the 175-key
+    // total by several percent diffusely (see stealTicks)
+    val steal1 = stealTicks()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val stealDelta = if (steal0 < 0 || steal1 < 0) -1L else steal1 - steal0
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val stealPct =
+      if (stealDelta < 0) "-1" else num(100.0 * stealDelta / (wallSec * nCpu * 100.0), 2)
+    val stealJson = s""""steal_ticks":$stealDelta,"steal_pct":$stealPct"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(r => (r._1, r._2)), 9)},"queries_cold":$qsCold,"passes":2,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(r => (r._1, r._2)), 9)},"queries_cold":$qsCold,"passes":2,$stealJson,"sf":"$sfDir"}"""
     // ...and since round 12 ALSO to bench/ (not gitignored): the
     // committed per-round copy is what lets a later judge diff all 175
     // per-query values across rounds — the compact stdout line carries
@@ -176,7 +206,7 @@ object Bench {
     // 12 slowest lines (the window can't fit all of them) — say so IN
     // the schema ("queries_partial") so a consumer can't mistake the
     // subset for the full per-query map (that lives in "full").
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(slow.map(r => (r._1, r._2)), 3)},"queries_partial":"slowest ${slow.size} of ${results.size}","families":${jsonMap(famSums, 3)},"passes":2,"cold_total":$coldTotal,"cold_top_deltas":${jsonMap(coldTop, 3)},"sf":"$sfDir","full":"target/bench_full.json","total_sec":$totalR}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(slow.map(r => (r._1, r._2)), 3)},"queries_partial":"slowest ${slow.size} of ${results.size}","families":${jsonMap(famSums, 3)},"passes":2,"cold_total":$coldTotal,"cold_top_deltas":${jsonMap(coldTop, 3)},$stealJson,"sf":"$sfDir","full":"target/bench_full.json","total_sec":$totalR}""")
     spark.stop()
   }
 }
