@@ -32,14 +32,18 @@ object Bench {
     * two same-binary cold-store runs read 144.6 s at 0.63 % steal and
     * 136.6 s at 0.35 %; the median per-query ratio, not the total, was
     * the only way to tell). Steal only accrues while THIS guest wants
-    * CPU, so an idle-time probe cannot stand in for the in-run delta. */
+    * CPU, so an idle-time probe cannot stand in for the in-run delta.
+    * Ticks are USER_HZ units; steal_pct assumes the near-universal
+    * USER_HZ=100 and says so in the emitted JSON ("steal_tick_hz") —
+    * on a kernel with a different CLK_TCK the percentage is off by
+    * that ratio while the raw tick delta stays exact. */
   private def stealTicks(): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu "))
         .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
       finally src.close()
-    } catch { case _: Throwable => -1L }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   def main(args: Array[String]): Unit = {
     val steal0 = stealTicks()
@@ -158,7 +162,8 @@ object Bench {
     val nCpu = Runtime.getRuntime.availableProcessors()
     val stealPct =
       if (stealDelta < 0) "-1" else num(100.0 * stealDelta / (wallSec * nCpu * 100.0), 2)
-    val stealJson = s""""steal_ticks":$stealDelta,"steal_pct":$stealPct"""
+    val stealJson =
+      s""""steal_ticks":$stealDelta,"steal_pct":$stealPct,"steal_tick_hz":100"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(r => (r._1, r._2)), 9)},"queries_cold":$qsCold,"passes":2,$stealJson,"sf":"$sfDir"}"""
     // ...and since round 12 ALSO to bench/ (not gitignored): the

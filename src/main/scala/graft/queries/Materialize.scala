@@ -48,7 +48,14 @@ private[graft] object Materialize {
       .filter(old => !old.sparkContext.isStopped)
       .foreach { old =>
         try old.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          // the documented degradation is a WARNING, not silence — a
+          // leaked superseded block must stay observable to leak audits
+          System.err.println(
+            s"[graft] Materialize.swap: releasing superseded checkpoint " +
+              s"RDD ${old.id} failed (${e.getClass.getName}: ${e.getMessage}) " +
+              "— its blocks may stay resident until session end")
+        }
       }
     out
   }

@@ -65,7 +65,9 @@ object GraftShims {
     * doc-frequency join fell off a cliff on the third decade
     * (ScalingCurveSpec red, 18.8× wall on 10× rows). The fix is
     * structural — stats survive for every caller — and is pinned by
-    * GraftExtensionsSpec's checkpoint-stats case. */
+    * PlansSpec ("checkpointReleasable carries origin stats" and the
+    * Materialize.swap leaf-stats cases) plus CheckpointContractSpec's
+    * two release-contract cases. */
   def checkpointReleasable(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
