@@ -18,30 +18,92 @@ import org.scalatest.funsuite.AnyFunSuite
   * compilation + C2 otherwise lands on the first timed arm), then two
   * INTERLEAVED passes over (query × sf) with min-per-cell — a co-tenant
   * CPU burst lands on one pass, not both — and caches released before
-  * every timed run so no arm inherits another's materialization. */
+  * every timed run so no arm inherits another's materialization.
+  *
+  * WEATHER (round 15, VERDICT r14 #2): every timed arm stamps its OWN
+  * /proc/stat steal delta (the Bench pattern) — a 3-s pre-flight probe
+  * cannot protect a ~9-min arm, and round 14 closed red on a burst
+  * that began minutes into the d13 sf10eq arm and outlasted both
+  * interleaved passes. A hot arm (> [[armStealPctMax]] steal over its
+  * own window) is DISCARDED and re-run; after [[armRetries]] hot
+  * re-runs the test cancels loudly. A red here therefore really means
+  * superlinear work: every number that reaches an assert was measured
+  * on a quiet window.
+  *
+  * ENVELOPE PAIRING (VERDICT r14 #4, from the PLANS.md noise ladder):
+  * quiet arms measure d13's decade-3 ratio at 8.8–9.2×; a 1.6 %-steal
+  * window measured 15.5×; a true quadratic would be ~100×. The assert
+  * stays at 15× BECAUSE arms above 1 % steal are rejected — the pair
+  * (per-arm ≤ 1 %, envelope ≤ 15×) is one instrument: weather can no
+  * longer reach the line, while a candidate blowup still clears it by
+  * an order of magnitude. Moving either side means re-deriving the
+  * other from the measured ladder. */
 class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
 
   private val small = "/root/testdata/sf0.01"
   private val big = "/root/testdata/sf0.1"
 
-  /** VERDICT r13 #5: the envelope tests are wall-clock ratios on a
-    * co-tenant VM — the round's most valuable tripwire and its most
-    * noise-exposed. Sample the hypervisor steal counter over a short
-    * window first and CANCEL (loudly, not fail) when the box is hot,
-    * so a red here really means superlinear work, never box weather.
-    * 32 hw threads × 100 Hz × 3 s ≈ 9600 tick-capacity; >200 ticks
-    * (~2% stolen) is the bench-noise protocol's "co-tenant burst in
-    * progress" line. */
+  /** Cumulative hypervisor steal ticks (field 9 of /proc/stat's cpu
+    * line; USER_HZ=100 units like Bench), -1 where unreadable. */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Accept an arm only below this steal share of its own window (see
+    * the class doc's envelope pairing before changing it). */
+  private val armStealPctMax = 1.0
+  /** Hot re-runs allowed per arm before the test cancels. */
+  private val armRetries = 2
+
+  /** Time one arm under its own steal stamp. `prepare` (cache release)
+    * runs untimed before EVERY attempt, so a retry never inherits the
+    * discarded attempt's materialization; the accepted wall is the
+    * first attempt whose window stayed quiet. Unreadable counters
+    * accept the arm — no weather evidence either way, and the pre-15
+    * behavior (no guard at all) is the honest fallback. `ticks` is
+    * injectable because real steal cannot be planted from inside the
+    * guest (in-guest load doesn't increment the hypervisor counter) —
+    * the discard/retry/cancel contract is pinned by this spec's
+    * instrument self-test with a scripted counter instead. */
+  private def timedArm(label: String, prepare: () => Unit,
+                       ticks: () => Long = () => stealTicks())(body: => Unit): Double = {
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    var attempt = 0
+    while (true) {
+      prepare()
+      val s0 = ticks()
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s1 = ticks()
+      val d = if (s0 < 0 || s1 < 0) -1L else s1 - s0
+      val pct = if (d < 0) -1.0 else 100.0 * d / (dt * nCpu * 100.0)
+      info(f"arm $label%-34s $dt%8.2f s   steal $d ticks ($pct%.2f%% of window)")
+      if (pct <= armStealPctMax) return dt
+      attempt += 1
+      if (attempt > armRetries) cancel(
+        f"$label: ${armRetries + 1} consecutive arms above $armStealPctMax%.1f%% steal " +
+          f"(last $pct%.2f%%) — the wall-clock envelope would measure co-tenant " +
+          "weather, not this engine; re-run on a quiet box")
+      info(s"arm $label: hot window, measurement discarded (retry $attempt/$armRetries)")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Cheap pre-flight early-out kept from round 13 (why start a long
+    * run into a known-hot box?); the per-arm stamps above are what
+    * actually protect the measurements. 32 hw threads × 100 Hz × 3 s
+    * ≈ 9600 tick-capacity; >200 ticks ≈ 2 % stolen. */
   private def requireQuietBox(): Unit = {
-    def steal(): Option[Long] =
-      scala.util.Try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong)
-        finally src.close()
-      }.toOption.flatten
-    for (s0 <- steal()) {
+    val s0 = stealTicks()
+    if (s0 >= 0) {
       Thread.sleep(3000)
-      for (s1 <- steal()) {
+      val s1 = stealTicks()
+      if (s1 >= 0) {
         val d = s1 - s0
         info(s"quiet-box probe: $d steal ticks in 3 s")
         assume(d <= 200,
@@ -65,6 +127,48 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     // arm must pay the real build, not read a prior run's parquet
     spark.conf.set("spark.graft.artifacts.dir",
       java.nio.file.Files.createTempDirectory("scaling_art").toString)
+  }
+
+  /** Untimed run (JIT warmup): no stamp, no retry. */
+  private def runPlain(fn: (SparkSession, String) => DataFrame, dir: String): Unit = {
+    releaseCaches()
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
+  }
+
+  /** One timed arm: cache release untimed per attempt, wall accepted
+    * only from a quiet steal window (see [[timedArm]]). */
+  private def runStamped(name: String, fn: (SparkSession, String) => DataFrame,
+                         dir: String): Double =
+    timedArm(s"$name @ ${new java.io.File(dir).getName}", () => releaseCaches()) {
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+
+  /** VERDICT r14 #2's "done" condition, made checkable without real
+    * weather: a burst landing inside a timed arm's window must get the
+    * measurement discarded and re-run on the next window, and a burst
+    * outlasting every retry must CANCEL the test — never a red
+    * assert. A scripted counter stands in for /proc/stat because
+    * in-guest load cannot raise the hypervisor's steal counter. */
+  test("arm harness: a hot window is discarded and re-run; sustained heat cancels, never fails") {
+    // window 1 hot (10k ticks over ~10 ms: far above 1 %), window 2 quiet
+    val script = Iterator(0L, 10000L, 10000L, 10000L)
+    var runs = 0
+    val dt = timedArm("selftest_burst", () => (), () => script.next()) {
+      runs += 1; Thread.sleep(10)
+    }
+    assert(runs == 2, "the hot first window must be discarded and the arm re-run")
+    assert(dt > 0.0)
+    // every window hot: bounded retries, then a loud CANCEL (the board
+    // shows skipped — check_close.sh warns — instead of a weather red)
+    var calls = 0L
+    var hotRuns = 0
+    val ex = intercept[org.scalatest.exceptions.TestCanceledException] {
+      timedArm("selftest_sustained", () => (), () => { calls += 100000L; calls }) {
+        hotRuns += 1; Thread.sleep(5)
+      }
+    }
+    assert(hotRuns == armRetries + 1, "cancel must come only after the bounded retries")
+    assert(ex.getMessage.contains("steal"), s"cancel must name the weather: ${ex.getMessage}")
   }
 
   test("dedup/ANN suite scales near-linearly from sf0.01 to sf0.1 (10x rows)") {
@@ -155,17 +259,11 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       // vocabulary, not the corpus)
       "l27_bigram_quality" -> (graft.queries.LlmQueries.l27BigramQuality _),
     )
-    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      releaseCaches()
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    queries.foreach { case (_, fn) => run(fn, "/root/testdata/sf0.001") } // JIT warmup, untimed
+    queries.foreach { case (_, fn) => runPlain(fn, "/root/testdata/sf0.001") } // JIT warmup, untimed
 
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
     for (_ <- 1 to 2; (name, fn) <- queries; dir <- Seq(small, big)) {
-      val t = run(fn, dir)
+      val t = runStamped(name, fn, dir)
       val k = (name, dir)
       best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
     }
@@ -333,16 +431,10 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       "t12_collocations" -> (graft.queries.TextQueries.t12Collocations _),
     )
     val bigDir = sf1eq
-    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      releaseCaches()
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    queries.foreach { case (_, fn) => run(fn, small) } // JIT warmup, untimed
+    queries.foreach { case (_, fn) => runPlain(fn, small) } // JIT warmup, untimed
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
     for (_ <- 1 to 2; (name, fn) <- queries; dir <- Seq(big, bigDir)) {
-      val t = run(fn, dir)
+      val t = runStamped(name, fn, dir)
       val k = (name, dir)
       best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
     }
@@ -424,16 +516,10 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     )
     val mid = sf1eq
     val bigDir = sf10eq
-    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      releaseCaches()
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    queries.foreach { case (_, fn) => run(fn, small) } // JIT warmup, untimed
+    queries.foreach { case (_, fn) => runPlain(fn, small) } // JIT warmup, untimed
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
     for (_ <- 1 to 2; (name, fn) <- queries; dir <- Seq(mid, bigDir)) {
-      val t = run(fn, dir)
+      val t = runStamped(name, fn, dir)
       val k = (name, dir)
       best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
     }
