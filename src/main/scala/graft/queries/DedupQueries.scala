@@ -722,10 +722,13 @@ object DedupQueries {
     // DataFrame joins, deliberately no WITH: wrapping the persisted
     // pair view (whose plan already carries the ids CTE chain) in
     // another CTE trips Catalyst's CTE pushdown bookkeeping
-    // (PushdownPredicatesAndPruneColumnsForCTEDef: key not found).
-    // CteWorkaroundCanarySpec pins that the WITH spelling STILL
-    // throws on this Spark — when an upgrade fixes the rule, that
-    // spec fails and this workaround should be retired with it
+    // (PushdownPredicatesAndPruneColumnsForCTEDef.scala:74 on Spark
+    // 4.1.2: key not found: <defId>). CteWorkaroundCanarySpec pins
+    // that the WITH spelling STILL throws on this Spark, and (round
+    // 15) carries a MINIMIZED graft-free repro — four stock-SQL
+    // statements, the upstream-reportable form — as a second pin.
+    // When an upgrade fixes the rule both canary tests fail and this
+    // workaround retires with them
     val sigs = spark.sql("SELECT doc_id, minhash16(ids) AS mh FROM ids")
     pairs
       .join(sigs.select(col("doc_id").as("doc_id_a"), col("mh").as("mha")), "doc_id_a")

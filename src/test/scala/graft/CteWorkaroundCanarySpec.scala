@@ -19,7 +19,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * depends on what ran before it in the JVM cannot ship. */
 object CteCanaryRunner {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir) = args
+    val minimal = args.contains("--minimal")
+    val sfDir = args.filterNot(_.startsWith("--")).head
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .appName("cte_canary")
@@ -31,17 +32,46 @@ object CteCanaryRunner {
     try {
       // round 11: resemblancePairs itself became a stored-artifact READ
       // (no CTE chain in its plan) — the canary must target the CTE-
-      // chained BUILD plan, the shape the defect fires on
-      val pairs = DedupQueries.resemblancePairsPlan(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.createOrReplaceTempView("canary_pairs")
+      // chained BUILD plan, the shape the defect fires on.
+      // round 15 (--minimal): the MINIMIZED graft-free repro of the
+      // same defect — four statements of stock SQL, scalar columns, no
+      // persist, no UDF — hitting the identical `key not found: <defId>`
+      // at PushdownPredicatesAndPruneColumnsForCTEDef.scala:74 (Spark
+      // 4.1.2). The load-bearing structure (each piece verified by a
+      // fresh-JVM ablation, round 15): THREE stacked temp views each
+      // carrying a WithCTE in its analyzed plan (base → ids → pairs),
+      // then one more WITH that references BOTH the doubly-nested view
+      // and a fresh CTE over the middle one. Dropping pairs' WITH
+      // chain, or joining s to s without pairs, analyzes clean;
+      // persist(), arrays, self-joins and double references are all
+      // immaterial. This is what an upstream report would contain.
+      if (minimal) {
+        spark.range(100)
+          .selectExpr("id AS doc_id", "id + 1 AS v")
+          .createOrReplaceTempView("base")
+        spark.sql("WITH w AS (SELECT doc_id, v FROM base) SELECT * FROM w")
+          .createOrReplaceTempView("ids")
+        spark.sql("WITH a AS (SELECT doc_id, v FROM ids) SELECT doc_id AS i FROM a")
+          .createOrReplaceTempView("canary_pairs")
+      } else {
+        val pairs = DedupQueries.resemblancePairsPlan(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.createOrReplaceTempView("canary_pairs")
+      }
       try {
-        spark.sql(
-          """WITH s AS (SELECT doc_id, minhash16(ids) AS mh FROM ids)
-            SELECT p.doc_id_a, p.doc_id_b, sa.mh AS mha, sb.mh AS mhb, p.jac
-            FROM canary_pairs p
-            JOIN s sa ON sa.doc_id = p.doc_id_a
-            JOIN s sb ON sb.doc_id = p.doc_id_b""").collect()
+        if (minimal) {
+          spark.sql(
+            """WITH s AS (SELECT doc_id, v FROM ids)
+              SELECT p.i, sa.v FROM canary_pairs p
+              JOIN s sa ON sa.doc_id = p.i""").collect()
+        } else {
+          spark.sql(
+            """WITH s AS (SELECT doc_id, minhash16(ids) AS mh FROM ids)
+              SELECT p.doc_id_a, p.doc_id_b, sa.mh AS mha, sb.mh AS mhb, p.jac
+              FROM canary_pairs p
+              JOIN s sa ON sa.doc_id = p.doc_id_a
+              JOIN s sb ON sb.doc_id = p.doc_id_b""").collect()
+        }
         System.err.println("[canary] WITH spelling ran clean — defect gone")
         System.exit(2)
       } catch {
@@ -79,7 +109,21 @@ object CteCanaryRunner {
   * rule the runner exits 2, this test fails, and that's the signal to
   * retire the workaround: flip d16 to the WITH spelling, then delete
   * the canary. Inverted-assertion canaries are how a workaround gets
-  * un-written instead of fossilizing. */
+  * un-written instead of fossilizing.
+  *
+  * Round 15 (VERDICT r14 #5): the defect is MINIMIZED to four
+  * statements of stock SQL — no graft functions, no persist, scalar
+  * columns (see [[CteCanaryRunner]]'s `--minimal` branch, each
+  * structural element verified load-bearing by fresh-JVM ablation).
+  * The second test pins that repro, which is exactly what an upstream
+  * Spark report would contain (this sandbox has no network; the repro
+  * stands in for the issue id). Retire-together condition, now
+  * checkable against stock Spark: when the minimal repro runs clean
+  * under a Spark upgrade, both tests fail together — flip d16 to the
+  * WITH spelling, delete the canary AND the workaround. If the
+  * minimal test ever goes clean while the graft-shaped one still
+  * fires, the minimization lost a load-bearing element — re-ablate
+  * before retiring anything. */
 class CteWorkaroundCanarySpec extends AnyFunSuite {
 
   private val addOpens = Seq(
@@ -92,13 +136,16 @@ class CteWorkaroundCanarySpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("cold-JVM WITH-wrap of the pair view still trips CTE pushdown (else retire the d16 workaround)") {
+  /** Launch [[CteCanaryRunner]] in a fresh JVM (the defect only fires
+    * on cold CTE-def id alignment) and return (exitCode, log). */
+  private def runCanary(extraArgs: String*): (Int, String) = {
     val work = Files.createTempDirectory("cte_canary").toString
     val mainClasses = Paths.get("target/scala-2.13/classes").toAbsolutePath.toString
     val testClasses = Paths.get("target/scala-2.13/test-classes").toAbsolutePath.toString
     val cp = Seq("/opt/spark/jars/*", mainClasses, testClasses).mkString(":")
     val cmd = Seq("java") ++ addOpens ++ Seq(
-      "-Xmx2g", "-cp", cp, "graft.queries.CteCanaryRunner", "/root/testdata/sf0.001")
+      "-Xmx2g", "-cp", cp, "graft.queries.CteCanaryRunner") ++
+      extraArgs ++ Seq("/root/testdata/sf0.001")
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     pb.redirectOutput(new java.io.File(s"$work/canary.log"))
@@ -107,10 +154,26 @@ class CteWorkaroundCanarySpec extends AnyFunSuite {
     if (!finished) p.destroyForcibly()
     val log = new String(Files.readAllBytes(Paths.get(s"$work/canary.log")))
     assert(finished, s"canary runner timed out; log tail:\n${log.takeRight(2000)}")
-    assert(p.exitValue() != 2,
+    (p.exitValue(), log)
+  }
+
+  test("cold-JVM WITH-wrap of the pair view still trips CTE pushdown (else retire the d16 workaround)") {
+    val (exit, log) = runCanary()
+    assert(exit != 2,
       "the WITH spelling no longer throws the CTE-pushdown defect in a cold JVM — " +
         "Spark fixed it: retire d16's DataFrame-join workaround and delete this canary.")
-    assert(p.exitValue() == 0,
-      s"canary runner failed unexpectedly (exit ${p.exitValue()}); log tail:\n${log.takeRight(2000)}")
+    assert(exit == 0,
+      s"canary runner failed unexpectedly (exit $exit); log tail:\n${log.takeRight(2000)}")
+  }
+
+  test("the minimized graft-free repro (4 stock-SQL statements) still trips the same rule") {
+    val (exit, log) = runCanary("--minimal")
+    assert(exit != 2,
+      "the minimized stock-SQL repro no longer throws `key not found` in a cold JVM — " +
+        "Spark fixed the rule: retire d16's workaround, this canary, and the minimal repro together " +
+        "(if the graft-shaped canary above STILL fires, the minimization lost a load-bearing " +
+        "element — re-ablate instead).")
+    assert(exit == 0,
+      s"minimal canary runner failed unexpectedly (exit $exit); log tail:\n${log.takeRight(2000)}")
   }
 }
