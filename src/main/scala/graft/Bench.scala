@@ -24,26 +24,18 @@ import org.apache.spark.sql.SparkSession
   * cold-path story stays auditable.
   */
 object Bench {
-  /** Cumulative hypervisor steal ticks (field 9 of /proc/stat's cpu
-    * line), or -1 where unreadable. Captured around the whole run and
+  /** Weather stamp: steal ticks are captured around the whole run and
     * emitted in the metric JSON so every archived bench carries its
     * own weather evidence — rounds 12–14 each spent reruns attributing
     * diffuse per-query drift to co-tenancy after the fact (round 14:
     * two same-binary cold-store runs read 144.6 s at 0.63 % steal and
     * 136.6 s at 0.35 %; the median per-query ratio, not the total, was
-    * the only way to tell). Steal only accrues while THIS guest wants
-    * CPU, so an idle-time probe cannot stand in for the in-run delta.
-    * Ticks are USER_HZ units; steal_pct assumes the near-universal
-    * USER_HZ=100 and says so in the emitted JSON ("steal_tick_hz") —
-    * on a kernel with a different CLK_TCK the percentage is off by
-    * that ratio while the raw tick delta stays exact. */
-  private def stealTicks(): Long =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu "))
-        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
-      finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+    * the only way to tell). The instrument itself (tick parsing,
+    * USER_HZ=100 assumption, pct formula) lives in ONE place —
+    * [[graft.core.Weather]] — shared with the envelope tests
+    * (ADVICE r15); the "steal_tick_hz" JSON field records the HZ
+    * assumption in the archive's own schema. */
+  private def stealTicks(): Long = graft.core.Weather.stealTicks()
 
   def main(args: Array[String]): Unit = {
     val steal0 = stealTicks()
@@ -160,10 +152,11 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val stealDelta = if (steal0 < 0 || steal1 < 0) -1L else steal1 - steal0
     val nCpu = Runtime.getRuntime.availableProcessors()
-    val stealPct =
-      if (stealDelta < 0) "-1" else num(100.0 * stealDelta / (wallSec * nCpu * 100.0), 2)
+    val pctVal = graft.core.Weather.stealPct(stealDelta, wallSec, nCpu)
+    val stealPct = if (stealDelta < 0) "-1" else num(pctVal, 2)
     val stealJson =
-      s""""steal_ticks":$stealDelta,"steal_pct":$stealPct,"steal_tick_hz":100"""
+      s""""steal_ticks":$stealDelta,"steal_pct":$stealPct,""" +
+        s""""steal_tick_hz":${graft.core.Weather.stealTickHz}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(r => (r._1, r._2)), 9)},"queries_cold":$qsCold,"passes":2,$stealJson,"sf":"$sfDir"}"""
     // ...and since round 12 ALSO to bench/ (not gitignored): the

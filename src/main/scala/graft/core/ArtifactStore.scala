@@ -107,11 +107,29 @@ object ArtifactStore {
     * built-once/read-thereafter and the kill-mid-write rebuild against
     * it. The returned DataFrame is always the parquet READ (never the
     * build plan), so first and later consumers execute identical
-    * plans. */
+    * plans.
+    *
+    * `buildConf` (round 16): session confs applied around the BUILD
+    * execution only — set before the build plan is constructed,
+    * restored (or unset) after its parquet write completes, including
+    * on a failed build. A mining/training job can need different
+    * EXECUTION settings than the serving read — the motivating case is
+    * d13's output-amplifying candidate join, where AQE's partition
+    * coalescing sizes the post-shuffle stage from MAP-OUTPUT bytes and
+    * so under-provisions any join with large output amplification
+    * (VERDICT r15 #2; measured at sf40eq: 424 → 265.6 s with
+    * coalescing off + a real parallelism floor). Scoping the conf to
+    * the build keeps every serving-path plan untouched. The confs are
+    * session-visible for the build's duration (Spark confs are
+    * session-global), so a concurrent query in the SAME session can
+    * observe them — a performance knob only, never semantics, and
+    * builds are rare one-time events. On a read hit the thunk is never
+    * evaluated and no conf is touched. */
   def getOrBuild(spark: SparkSession, name: String, fp: String, scope: String,
-      builds: java.util.concurrent.atomic.AtomicLong)(build: => DataFrame): DataFrame =
+      builds: java.util.concurrent.atomic.AtomicLong,
+      buildConf: Map[String, String] = Map.empty)(build: => DataFrame): DataFrame =
     buildLock.synchronized {
-      getOrBuildUnlocked(spark, name, fp, scope, builds)(build)
+      getOrBuildUnlocked(spark, name, fp, scope, builds, buildConf)(build)
     }
 
   /** The lock-free body — exactly what a SECOND JVM (which does not
@@ -119,7 +137,8 @@ object ArtifactStore {
     * lifecycle spec can drive the cross-process publish race from two
     * threads with the JVM serialization removed. */
   private[graft] def getOrBuildUnlocked(spark: SparkSession, name: String, fp: String,
-      scope: String, builds: java.util.concurrent.atomic.AtomicLong)
+      scope: String, builds: java.util.concurrent.atomic.AtomicLong,
+      buildConf: Map[String, String] = Map.empty)
       (build: => DataFrame): DataFrame = {
     val rootDir = root(spark)
     val art = new java.io.File(rootDir, s"${name}_$fp")
@@ -138,17 +157,29 @@ object ArtifactStore {
       val nonce = java.lang.Long.toHexString(System.nanoTime())
       val tmp = new java.io.File(rootDir,
         s".tmp_${name}_${fp}_${ProcessHandle.current().pid()}_$nonce")
+      // build-scoped execution confs (see getOrBuild doc): applied
+      // before the thunk constructs its plan, restored in ALL exits —
+      // the write below is where the build plan actually executes, so
+      // the scope must cover it, and nothing after the write (publish
+      // is pure file renames) runs Spark
+      val saved = buildConf.keys.toSeq.map(k => k -> spark.conf.getOption(k))
+      buildConf.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        build.write.mode("overwrite")
-          .parquet(new java.io.File(tmp, "data.parquet").getAbsolutePath)
-        writeMeta(new java.io.File(tmp, "_graft_meta"), scope)
-        require(new java.io.File(tmp, "_graft_done").createNewFile(),
-          s"could not create done marker under $tmp")
-      } catch { case e: Throwable =>
-        // a FAILED build (not a kill) cleans its own debris — the
-        // dead-pid sweep can't reach a temp dir whose process lives on
-        deleteRec(tmp)
-        throw e
+        try {
+          build.write.mode("overwrite")
+            .parquet(new java.io.File(tmp, "data.parquet").getAbsolutePath)
+          writeMeta(new java.io.File(tmp, "_graft_meta"), scope)
+          require(new java.io.File(tmp, "_graft_done").createNewFile(),
+            s"could not create done marker under $tmp")
+        } catch { case e: Throwable =>
+          // a FAILED build (not a kill) cleans its own debris — the
+          // dead-pid sweep can't reach a temp dir whose process lives on
+          deleteRec(tmp)
+          throw e
+        }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
       publish(tmp, art, marker)
       if (marker.exists) retainOnly(rootDir, name, fp, scope)

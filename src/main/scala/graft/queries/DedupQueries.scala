@@ -243,9 +243,44 @@ object DedupQueries {
     // retention prunes the v1 artifact
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq("d13pairs=v2:prefix=0.4:thr=0.6"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, dir, d13PairBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, dir, d13PairBuilds,
+      buildConf = d13BuildConf(spark)) {
       containmentPairsPlan(spark, dir)
     }
+  }
+
+  /** Build-time execution confs for the containment mining job — the
+    * round-15 sf40eq finding landed (VERDICT r15 #2): the candidate
+    * join `pref ⋈ ex` AMPLIFIES its output ~23× (measured 2.3 GB read
+    * → 54 GB emitted at 2M docs), and AQE's partition coalescing sizes
+    * post-shuffle parallelism from MAP-OUTPUT bytes only — blind to
+    * amplification — so the join stage ran ~27-wide no matter what
+    * `spark.sql.shuffle.partitions` said (the "scaled to 128"
+    * experiment changed nothing because AQE coalesced it straight
+    * back). Measured on quiet arms: coalescing off + 128 real
+    * partitions dropped the sf40eq build 424 → 265.6 s and the join
+    * stage 11,015 → 3,775 core-seconds.
+    *
+    * So the BUILD (and only the build — [[graft.core.ArtifactStore]]
+    * scopes these to the mining execution; every serving plan is a
+    * stored-manifest read) opts out of coalescing and floors the
+    * shuffle width at 4× the machine's parallelism, matching the
+    * measured-good 128-on-32-cores point. The deployment rule this
+    * encodes for 100 TB: for a join with large output amplification,
+    * AQE under-provisions the stage; take stage width from the
+    * CONFIGURED partitions (which a real cluster sizes to the data —
+    * the max() keeps a deployment's thousands authoritative), never
+    * from AQE's map-bytes estimate. Width is a pure execution knob —
+    * the pair set is identical at any partitioning — so the artifact
+    * fingerprint does not incorporate it. Pinned by D13BuildWidthSpec:
+    * the mining stages really run at ≥ the floor, and the session
+    * confs are restored after the build. */
+  private[graft] def d13BuildConf(spark: SparkSession): Map[String, String] = {
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val floor = math.max(configured, 4 * spark.sparkContext.defaultParallelism)
+    Map(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> floor.toString)
   }
 
   /** The prefix-filter join construction — the stored artifact's BUILD

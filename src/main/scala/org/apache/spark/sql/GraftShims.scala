@@ -99,4 +99,12 @@ object GraftShims {
     df.queryExecution.optimizedPlan.collect {
       case l: execution.LogicalRDD => l.stats.sizeInBytes
     }
+
+  /** Drain the listener bus (`private[spark]`, hence this shim):
+    * stage/job events are delivered asynchronously, so a spec that
+    * asserts on a SparkListener's observations right after an action
+    * returns would race the delivery thread — D13BuildWidthSpec pins
+    * stage widths this way. */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long = 30000): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -38,13 +38,18 @@ object CteCanaryRunner {
       // persist, no UDF — hitting the identical `key not found: <defId>`
       // at PushdownPredicatesAndPruneColumnsForCTEDef.scala:74 (Spark
       // 4.1.2). The load-bearing structure (each piece verified by a
-      // fresh-JVM ablation, round 15): THREE stacked temp views each
-      // carrying a WithCTE in its analyzed plan (base → ids → pairs),
-      // then one more WITH that references BOTH the doubly-nested view
-      // and a fresh CTE over the middle one. Dropping pairs' WITH
-      // chain, or joining s to s without pairs, analyzes clean;
-      // persist(), arrays, self-joins and double references are all
-      // immaterial. This is what an upstream report would contain.
+      // fresh-JVM ablation, round 15): three stacked temp views
+      // (base → ids → pairs), the UPPER TWO each carrying a WithCTE in
+      // their analyzed plans — base itself is a plain
+      // range().selectExpr view with no WITH (ADVICE r15 corrected the
+      // earlier "each carrying" wording; the ablated minimum is two
+      // WithCTE layers over a plain leaf view) — then one more WITH
+      // that references BOTH the doubly-nested view and a fresh CTE
+      // over the middle one. Dropping pairs' WITH chain, or joining s
+      // to s without pairs, analyzes clean; persist(), arrays,
+      // self-joins and double references are all immaterial. The
+      // upstream-ready report text (title/env/repro/expected-actual)
+      // is committed at dev/upstream_cte_pushdown_report.md.
       if (minimal) {
         spark.range(100)
           .selectExpr("id AS doc_id", "id + 1 AS v")
@@ -116,8 +121,12 @@ object CteCanaryRunner {
   * columns (see [[CteCanaryRunner]]'s `--minimal` branch, each
   * structural element verified load-bearing by fresh-JVM ablation).
   * The second test pins that repro, which is exactly what an upstream
-  * Spark report would contain (this sandbox has no network; the repro
-  * stands in for the issue id). Retire-together condition, now
+  * Spark report would contain. Round 16 (VERDICT r15 #4): the full
+  * submission-ready report text is committed at
+  * `dev/upstream_cte_pushdown_report.md` — this sandbox has no
+  * network, so the text stands in for the JIRA id; when the id exists,
+  * record it HERE and in that file so the retire-together condition
+  * references the upstream tracker. Retire-together condition, now
   * checkable against stock Spark: when the minimal repro runs clean
   * under a Spark upgrade, both tests fail together — flip d16 to the
   * WITH spelling, delete the canary AND the workaround. If the

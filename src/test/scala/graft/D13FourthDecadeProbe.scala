@@ -41,13 +41,9 @@ package graft
   *        graft.D13FourthDecadeProbe [cores]
   */
 object D13FourthDecadeProbe {
-  private def stealTicks(): Long =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu "))
-        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
-      finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+  // the shared instrument (graft.core.Weather, ADVICE r15: one
+  // definition across Bench/ScalingCurveSpec/this probe)
+  private def stealTicks(): Long = graft.core.Weather.stealTicks()
 
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(32)
@@ -95,36 +91,69 @@ object D13FourthDecadeProbe {
     })
 
     val nCpu = Runtime.getRuntime.availableProcessors()
-    def armOnce(d: String, parts: Int): (Double, Double) = {
+    // one live artifacts scratch at a time (ADVICE r15): arms rotate
+    // the artifact dir so every arm pays the real mining job, but the
+    // abandoned temp dirs accumulated across arms/retries — on the
+    // disk-bound box that motivated capping this probe at sf40eq,
+    // repeated arms could exhaust disk mid-run. Delete the previous
+    // attempt's scratch before creating the next.
+    var lastArtDir: java.nio.file.Path = null
+    def rotateArtifactsDir(): Unit = {
+      if (lastArtDir != null) {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+          f.delete()
+        }
+        rec(lastArtDir.toFile)
+      }
+      lastArtDir = java.nio.file.Files.createTempDirectory("probe4_art")
+      spark.conf.set("spark.graft.artifacts.dir", lastArtDir.toString)
+    }
+    // "shipped" arms run the SHIPPED d13 path — d13Containment →
+    // containmentPairs → ArtifactStore.getOrBuild with d13BuildConf
+    // (coalescing off + the 4×parallelism floor) — instead of the raw
+    // containmentPairsPlan at this probe's own conf; the timed window
+    // additionally contains the manifest parquet write + read-back
+    // (102k id-width rows at sf40eq — noise next to the mining job)
+    def armOnce(d: String, parts: Int, shipped: Boolean = false): (Double, Double) = {
       val abs = new java.io.File(d).getAbsolutePath
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.graft.artifacts.dir",
-        java.nio.file.Files.createTempDirectory("probe4_art").toString)
+      rotateArtifactsDir()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val s0 = stealTicks()
       val t0 = System.nanoTime()
-      val df = graft.queries.DedupQueries.containmentPairsPlan(spark, abs)
-      val n = df.count()
+      val (n, joins) = if (shipped) {
+        val b0 = graft.queries.DedupQueries.d13PairBuilds.get()
+        val df = graft.queries.DedupQueries.d13Containment(spark, abs)
+        val n = df.count()
+        require(graft.queries.DedupQueries.d13PairBuilds.get() == b0 + 1,
+          "shipped arm must pay a real build (artifact dir rotation failed?)")
+        (n, "shipped-path")
+      } else {
+        val df = graft.queries.DedupQueries.containmentPairsPlan(spark, abs)
+        val n = df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        (n, "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|NestedLoop)".r
+          .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k=${v.size}" }
+          .toSeq.sorted.mkString(","))
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       val s1 = stealTicks()
       val ticks = if (s0 < 0 || s1 < 0) -1L else s1 - s0
-      val pct = if (ticks < 0) -1.0 else 100.0 * ticks / (secs * nCpu * 100.0)
-      val plan = df.queryExecution.executedPlan.toString
-      val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|NestedLoop)".r
-        .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k=${v.size}" }
-        .toSeq.sorted.mkString(",")
+      val pct = graft.core.Weather.stealPct(ticks, secs, nCpu)
       println(f"PROBE dir=$d parts=$parts%d pairs=$n%d secs=$secs%.2f steal=$ticks ($pct%.2f%%) joins=$joins")
       (secs, pct)
     }
-    def arm(d: String, parts: Int): Double = {
+    def arm(d: String, parts: Int, shipped: Boolean = false): Double = {
       var attempt = 0
-      var last = armOnce(d, parts)
+      var last = armOnce(d, parts, shipped)
       while (last._2 > 1.0 && attempt < 2) {
         attempt += 1
         println(s"PROBE hot arm discarded (retry $attempt/2 after cool-down): $d")
         Thread.sleep(180000)
-        last = armOnce(d, parts)
+        last = armOnce(d, parts, shipped)
       }
       if (last._2 > 1.0) println(s"PROBE WARNING: all attempts hot, keeping last (HOT): $d")
       last._1
@@ -160,24 +189,36 @@ object D13FourthDecadeProbe {
     // join ACTUALLY runs wide; if the wall collapses toward linear,
     // the bend is per-partition join working-set growth and the
     // deployment rule follows (see PLANS.md round 15).
+    // MODE "shipped40" (round 16): ONE sf40eq arm through the SHIPPED
+    // d13 path at the session's default 32 configured partitions —
+    // d13BuildConf's coalescing opt-out + 4×parallelism floor (=128 at
+    // local[32]) apply via ArtifactStore.getOrBuild, exactly as a user
+    // query would run. Validates that the VERDICT-r15-#1 fix landed in
+    // the product: expect ≈ the nocoalesce40 wall (~265 s quiet), not
+    // the AQE-coalesced ~424 s.
     val mode = args.drop(1).headOption.getOrElse("fixed")
-    val solo = mode.startsWith("solo") || mode == "nocoalesce40"
+    val solo = mode.startsWith("solo") || mode == "nocoalesce40" || mode == "shipped40"
     if (mode == "nocoalesce40") {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     }
+    val shipped = mode == "shipped40"
     val cells: Seq[(String, Int)] = mode match {
       case "scaled"       => Seq(src -> 32, dir -> 128)
       case "solo40"       => Seq(dir -> 32)
       case "nocoalesce40" => Seq(dir -> 128)
+      case "shipped40"    => Seq(dir -> 32)
       case "solo10"       => Seq(src -> 32)
       case _              => Seq(src -> 32, dir -> 32)
     }
-    arm("/root/testdata/sf0.1", 32) // JIT warmup, untimed in the ratio
+    // JIT warmup, untimed in the ratio — ONE plain attempt (ADVICE
+    // r15: routing it through arm() applied hot-window cool-downs to a
+    // measurement that is never used)
+    armOnce("/root/testdata/sf0.1", 32, shipped)
     val walls = scala.collection.mutable.Map.empty[String, Double]
     val passes = if (solo) 1 else 2
     for (_ <- 1 to passes; (d, parts) <- cells) {
       val t = walls.get(d)
-      val w = arm(d, parts)
+      val w = arm(d, parts, shipped)
       walls(d) = t.fold(w)(math.min(_, w))
     }
     if (solo) { spark.stop(); return }

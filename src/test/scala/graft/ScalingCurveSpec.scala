@@ -43,15 +43,10 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
   private val small = "/root/testdata/sf0.01"
   private val big = "/root/testdata/sf0.1"
 
-  /** Cumulative hypervisor steal ticks (field 9 of /proc/stat's cpu
-    * line; USER_HZ=100 units like Bench), -1 where unreadable. */
-  private def stealTicks(): Long =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu "))
-        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
-      finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+  /** Cumulative hypervisor steal ticks — the shared instrument
+    * ([[graft.core.Weather]], ADVICE r15: one definition, not three
+    * copies), -1 where unreadable. */
+  private def stealTicks(): Long = graft.core.Weather.stealTicks()
 
   /** Accept an arm only below this steal share of its own window (see
     * the class doc's envelope pairing before changing it). */
@@ -81,7 +76,7 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
       val dt = (System.nanoTime() - t0) / 1e9
       val s1 = ticks()
       val d = if (s0 < 0 || s1 < 0) -1L else s1 - s0
-      val pct = if (d < 0) -1.0 else 100.0 * d / (dt * nCpu * 100.0)
+      val pct = graft.core.Weather.stealPct(d, dt, nCpu)
       info(f"arm $label%-34s $dt%8.2f s   steal $d ticks ($pct%.2f%% of window)")
       if (pct <= armStealPctMax) return dt
       attempt += 1
