@@ -116,12 +116,24 @@ object D13FourthDecadeProbe {
     // containmentPairsPlan at this probe's own conf; the timed window
     // additionally contains the manifest parquet write + read-back
     // (102k id-width rows at sf40eq — noise next to the mining job)
+    // JFR around the TIMED WINDOW only (round 16, VERDICT r15 #3 — the
+    // open ~5× per-row residual needs a profile, not more wall arms):
+    // set GRAFT_PROBE_JFR=/path/prefix to dump one profile-settings
+    // recording per timed arm as <prefix>_armNN.jfr. Scoping the
+    // recording to the arm keeps warmup samples out of the
+    // attribution; the ~1–2 % sampling overhead lands on BOTH compared
+    // arms equally. Analyze with `jfr print --events jdk.ExecutionSample`.
+    val jfrSeq = new java.util.concurrent.atomic.AtomicInteger(0)
     def armOnce(d: String, parts: Int, shipped: Boolean = false): (Double, Double) = {
       val abs = new java.io.File(d).getAbsolutePath
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       rotateArtifactsDir()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val jfr = sys.env.get("GRAFT_PROBE_JFR").map { prefix =>
+        val r = new jdk.jfr.Recording(jdk.jfr.Configuration.getConfiguration("profile"))
+        r.start(); (r, prefix)
+      }
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val (n, joins) = if (shipped) {
@@ -141,6 +153,12 @@ object D13FourthDecadeProbe {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val s1 = stealTicks()
+      jfr.foreach { case (r, prefix) =>
+        r.stop()
+        val p = java.nio.file.Paths.get(f"${prefix}_arm${jfrSeq.getAndIncrement()}%02d.jfr")
+        r.dump(p); r.close()
+        println(s"PROBE jfr dumped: $p")
+      }
       val ticks = if (s0 < 0 || s1 < 0) -1L else s1 - s0
       val pct = graft.core.Weather.stealPct(ticks, secs, nCpu)
       println(f"PROBE dir=$d parts=$parts%d pairs=$n%d secs=$secs%.2f steal=$ticks ($pct%.2f%%) joins=$joins")
