@@ -244,15 +244,26 @@ object DedupQueries {
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq("d13pairs=v2:prefix=0.4:thr=0.6"))
     graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, dir, d13PairBuilds,
-      buildConf = d13BuildConf(spark)) {
+      buildConf = d13BuildConf(spark, dir)) {
       containmentPairsPlan(spark, dir)
     }
   }
 
+  /** Measured candidate-stream bytes emitted per COMPRESSED corpus
+    * parquet byte: 54,931 MB from a 408 MB corpus at sf40eq (135×) and
+    * 13,476 MB from 80 MB at sf10eq (168×) — the factor folds together
+    * the true candidate multiplicity (~23× over the exploded grams)
+    * and parquet's text compression (~6×), and it is stable across the
+    * two measured decades because the candidate stream itself is
+    * linear in the corpus (the prefix filter's measured property).
+    * 150 splits the two observations; the width formula below only
+    * needs the right ORDER of magnitude. */
+  private val d13CandidateBytesPerCorpusByte = 150L
+
   /** Build-time execution confs for the containment mining job — the
     * round-15 sf40eq finding landed (VERDICT r15 #2): the candidate
-    * join `pref ⋈ ex` AMPLIFIES its output ~23× (measured 2.3 GB read
-    * → 54 GB emitted at 2M docs), and AQE's partition coalescing sizes
+    * join `pref ⋈ ex` AMPLIFIES its output (2.3 GB read → 54 GB
+    * emitted at 2M docs), and AQE's partition coalescing sizes
     * post-shuffle parallelism from MAP-OUTPUT bytes only — blind to
     * amplification — so the join stage ran ~27-wide no matter what
     * `spark.sql.shuffle.partitions` said (the "scaled to 128"
@@ -261,26 +272,68 @@ object DedupQueries {
     * partitions dropped the sf40eq build 424 → 265.6 s and the join
     * stage 11,015 → 3,775 core-seconds.
     *
-    * So the BUILD (and only the build — [[graft.core.ArtifactStore]]
-    * scopes these to the mining execution; every serving plan is a
-    * stored-manifest read) opts out of coalescing and floors the
-    * shuffle width at 4× the machine's parallelism, matching the
-    * measured-good 128-on-32-cores point. The deployment rule this
-    * encodes for 100 TB: for a join with large output amplification,
-    * AQE under-provisions the stage; take stage width from the
-    * CONFIGURED partitions (which a real cluster sizes to the data —
-    * the max() keeps a deployment's thousands authoritative), never
-    * from AQE's map-bytes estimate. Width is a pure execution knob —
-    * the pair set is identical at any partitioning — so the artifact
+    * The width is sized from the AMPLIFIED-OUTPUT ESTIMATE, not from a
+    * machine constant: a fixed 4×cores floor would be blind to input
+    * size — the same class of error as AQE's, in the opposite
+    * direction — and round 16's first cut measured exactly that
+    * (sf0.1's 0.6 MB corpus built 4.9 → 13.9 s cold under a forced
+    * 128-wide build). So:
+    *
+    *  - `need` = estimated candidate bytes (corpus parquet size ×
+    *    [[d13CandidateBytesPerCorpusByte]]) ÷ AQE's advisory partition
+    *    size — the partition count AQE itself WOULD pick if it could
+    *    see the join's output instead of its map input;
+    *  - `need ≤ defaultParallelism`: the whole amplified stream fits
+    *    in one advisory-sized wave across the machine — stock AQE
+    *    behavior is appropriate, no conf override at all (small-corpus
+    *    builds keep their coalesced plans and their speed);
+    *  - otherwise: coalescing OFF for the build (AQE cannot be
+    *    trusted to size an amplifying stage) and width =
+    *    max(configured, min(need, 4 × defaultParallelism)) — data-
+    *    sized until the 4×cores cap (the measured-good 128-on-32
+    *    point; tasks beyond ~4 waves only add scheduling overhead on
+    *    a fixed machine), with a real deployment's configured
+    *    thousands staying authoritative through the max().
+    *
+    * The confs apply to the BUILD only ([[graft.core.ArtifactStore]]
+    * scopes them to the mining execution; every serving plan is a
+    * stored-manifest read). Width is a pure execution knob — the pair
+    * set is identical at any partitioning — so the artifact
     * fingerprint does not incorporate it. Pinned by D13BuildWidthSpec:
-    * the mining stages really run at ≥ the floor, and the session
-    * confs are restored after the build. */
-  private[graft] def d13BuildConf(spark: SparkSession): Map[String, String] = {
+    * the decision function at its measured anchor points, the mining
+    * stages really running at ≥ the width, and the session confs
+    * restored after the build. */
+  private[graft] def d13BuildConf(spark: SparkSession, dir: String): Map[String, String] = {
+    val corpusBytes = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sz).sum
+        else f.length
+      sz(new java.io.File(dir, "documents.parquet"))
+    }
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
     val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val floor = math.max(configured, 4 * spark.sparkContext.defaultParallelism)
-    Map(
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> floor.toString)
+    d13BuildWidth(corpusBytes, configured,
+      spark.sparkContext.defaultParallelism, advisory) match {
+      case None => Map.empty
+      case Some(width) => Map(
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> width.toString)
+    }
+  }
+
+  /** The pure width decision (see [[d13BuildConf]]): None = stock AQE
+    * (small corpus), Some(width) = coalescing off at `width`.
+    * Separated so the spec can pin the measured anchor points
+    * directly: (408 MB, 32 cores) → 128; (80 MB, 32) → 128;
+    * (0.6 MB, 32) → None; (huge corpus, configured 4000) → 4000. */
+  private[graft] def d13BuildWidth(corpusBytes: Long, configured: Int,
+      parallelism: Int, advisoryBytes: Long): Option[Int] = {
+    val need = math.ceil(
+      corpusBytes.toDouble * d13CandidateBytesPerCorpusByte / advisoryBytes).toLong
+    if (need <= parallelism) None
+    else Some(math.max(configured, math.min(need, 4L * parallelism).toInt))
   }
 
   /** The prefix-filter join construction — the stored artifact's BUILD

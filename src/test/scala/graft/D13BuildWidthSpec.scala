@@ -6,31 +6,57 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pin for the round-16 fix of VERDICT r15 #2 — *AQE amplification
   * blindness* on d13's candidate join. AQE's partition coalescing
   * sizes every post-shuffle stage from MAP-OUTPUT bytes; d13's
-  * `pref ⋈ ex` candidate join amplifies its output ~23× (2.3 GB read
-  * → 54 GB emitted at 2M docs), so AQE ran it ~27-wide regardless of
+  * `pref ⋈ ex` candidate join amplifies its output (2.3 GB read →
+  * 54 GB emitted at 2M docs), so AQE ran it ~27-wide regardless of
   * `spark.sql.shuffle.partitions` — measured at sf40eq, where
-  * coalescing-off + a real 128-partition floor dropped the quiet
+  * coalescing-off + a real 128-partition width dropped the quiet
   * build wall 424 → 265.6 s (join stage 11,015 → 3,775 core-s;
   * PLANS.md round 15 part 2). The fix ships as a BUILD-scoped conf
   * override ([[graft.queries.DedupQueries.d13BuildConf]] through
-  * [[graft.core.ArtifactStore.getOrBuild]]'s `buildConf`).
+  * [[graft.core.ArtifactStore.getOrBuild]]'s `buildConf`), sized from
+  * the AMPLIFIED-OUTPUT estimate so small corpora keep their stock
+  * coalesced plans (a fixed 4×cores floor measured 4.9 → 13.9 s on
+  * sf0.1's 0.6 MB corpus — input-size blindness, the same error class
+  * as AQE's in the opposite direction).
   *
-  * Three things must stay true, each asserted here on the real
-  * shipped path:
+  * Four things must stay true, each asserted here:
   *
-  *  1. the mining job's shuffle stages actually EXECUTE at ≥ the
-  *     floor (at this corpus size, plain AQE would coalesce every
-  *     one of them to a single partition — so the width observed by
-  *     a stage listener discriminates the fix from its absence);
-  *  2. the session's confs are RESTORED after the build — the
+  *  1. the width decision reproduces its measured anchor points
+  *     (sf40eq/sf10eq → 128 on 32 cores; sf0.1 → stock; a cluster's
+  *     configured thousands stay authoritative);
+  *  2. when the override engages, the mining job's shuffle stages
+  *     actually EXECUTE at ≥ the width (plain AQE at this corpus size
+  *     would coalesce them to a single partition — so the width
+  *     observed by a stage listener discriminates the fix from its
+  *     absence);
+  *  3. the session's confs are RESTORED after the build — the
   *     override must never leak into serving plans or later queries;
-  *  3. the `buildConf` plumbing itself: applied around the build
+  *  4. the `buildConf` plumbing itself: applied around the build
   *     thunk + write, restored on the failure path too, and never
   *     touched on a read hit (the thunk isn't evaluated).
   */
 class D13BuildWidthSpec extends AnyFunSuite with SparkSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
+
+  test("width decision reproduces the measured anchor points") {
+    import graft.queries.DedupQueries.d13BuildWidth
+    val MB = 1L << 20
+    // sf40eq: 408 MB corpus, 32-core box, 32 configured → the
+    // measured-good 128 (54.9 GB emitted; 424 → 265.6 s quiet)
+    assert(d13BuildWidth(408 * MB, 32, 32, 64 * MB) === Some(128))
+    // sf10eq: 80 MB corpus → also 128 on 32 cores (13.5 GB emitted)
+    assert(d13BuildWidth(80 * MB, 32, 32, 64 * MB) === Some(128))
+    // sf0.1: 0.6 MB corpus → ~90 MB estimated candidates fit in one
+    // advisory-sized wave: stock AQE, NO override (round 16's first
+    // cut forced 128 here and paid 4.9 → 13.9 s cold)
+    assert(d13BuildWidth((0.6 * MB).toLong, 32, 32, 64 * MB) === None)
+    assert(d13BuildWidth(65 * 1024, 4, 4, 64 * MB) === None) // sf0.001 in tests
+    // a deployment's configured width stays authoritative through the
+    // max(); the 4×cores cap keeps a fixed machine at ~4 task waves
+    assert(d13BuildWidth(100L * 1024 * MB, 4000, 1000, 64 * MB) === Some(4000))
+    assert(d13BuildWidth(100L * 1024 * MB, 32, 1000, 64 * MB) === Some(4000))
+  }
 
   /** Stage widths + shuffle traffic observed by a listener. */
   private final class StageTap extends SparkListener {
@@ -43,53 +69,64 @@ class D13BuildWidthSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("d13's mining stages run at the parallelism floor; AQE cannot coalesce the amplifying join") {
+  test("an engaged override really runs the mining stages wide; AQE cannot coalesce them back") {
     val work = java.nio.file.Files.createTempDirectory("d13w_art").toString
-    spark.conf.set("spark.graft.artifacts.dir", work)
-    val tap = new StageTap
-    spark.sparkContext.addSparkListener(tap)
-    try {
+    // the corpus at sfDir is tiny, so engage the override the way a
+    // big corpus would: shrink AQE's advisory partition size — the
+    // exact knob the width estimate divides by (no test backdoor)
+    withConfs(
+      "spark.graft.artifacts.dir" -> work,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k") {
       val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
       val coalesceBefore = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-      val floor = graft.queries.DedupQueries.d13BuildConf(spark)(
-        "spark.sql.shuffle.partitions").toInt
-      assert(floor == math.max(partsBefore.toInt, 4 * spark.sparkContext.defaultParallelism),
-        s"the floor must be max(configured, 4×parallelism), got $floor")
+      val conf = graft.queries.DedupQueries.d13BuildConf(spark, sfDir)
+      val floor = conf.getOrElse("spark.sql.shuffle.partitions",
+        fail("override did not engage at a 16k advisory — width estimate broken")).toInt
+      assert(floor == 4 * spark.sparkContext.defaultParallelism,
+        s"tiny corpus over a 16k advisory must hit the 4×parallelism cap, got $floor")
+      assert(conf("spark.sql.adaptive.coalescePartitions.enabled") == "false")
 
-      val before = graft.queries.DedupQueries.d13PairBuilds.get()
-      graft.queries.DedupQueries.d13Containment(spark, sfDir)
-      assert(graft.queries.DedupQueries.d13PairBuilds.get() == before + 1,
-        "fresh artifacts dir must force a real mining build")
-      org.apache.spark.sql.GraftShims.waitListenerBus(spark)
+      val tap = new StageTap
+      spark.sparkContext.addSparkListener(tap)
+      try {
+        val before = graft.queries.DedupQueries.d13PairBuilds.get()
+        graft.queries.DedupQueries.d13Containment(spark, sfDir)
+        assert(graft.queries.DedupQueries.d13PairBuilds.get() == before + 1,
+          "fresh artifacts dir must force a real mining build")
+        org.apache.spark.sql.GraftShims.waitListenerBus(spark)
 
-      // (1) the build really ran wide: with coalescing on, this corpus
-      // (~600 docs) coalesces every post-shuffle stage to 1 partition —
-      // seeing stages at exactly the floor proves the override reached
-      // execution, and the widest shuffle-WRITING stage at the floor is
-      // the candidate/verify pipeline itself
-      val observed = tap.stages.toArray(Array.empty[(Int, Int, Long, Long)]).toSeq
-      val atFloor = observed.filter(_._2 >= floor)
-      assert(atFloor.nonEmpty,
-        s"no mining stage ran at the $floor-partition floor — AQE coalesced the build; " +
-          s"stages observed: ${observed.map(s => s"id=${s._1} tasks=${s._2}").mkString(", ")}")
-      assert(atFloor.exists(s => s._3 > 0 && s._4 > 0),
-        "no floor-width stage both read and wrote shuffle data — the mid-pipeline " +
-          "join/aggregate stages (the amplifying part) did not run at the floor")
+        // the build really ran wide: with coalescing on, this corpus
+        // (~600 docs) coalesces every post-shuffle stage to 1
+        // partition — stages at the width prove the override reached
+        // execution, and a width-wide stage that both read and wrote
+        // shuffle is the mid-pipeline join/aggregate itself
+        val observed = tap.stages.toArray(Array.empty[(Int, Int, Long, Long)]).toSeq
+        val atFloor = observed.filter(_._2 >= floor)
+        assert(atFloor.nonEmpty,
+          s"no mining stage ran at the $floor-partition width — AQE coalesced the build; " +
+            s"stages observed: ${observed.map(s => s"id=${s._1} tasks=${s._2}").mkString(", ")}")
+        assert(atFloor.exists(s => s._3 > 0 && s._4 > 0),
+          "no width-wide stage both read and wrote shuffle data — the mid-pipeline " +
+            "join/aggregate stages (the amplifying part) did not run at the width")
 
-      // (2) the override is build-scoped: serving confs restored
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
-        "shuffle.partitions leaked out of the d13 build scope")
-      assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == coalesceBefore,
-        "coalescePartitions.enabled leaked out of the d13 build scope")
+        // the override is build-scoped: serving confs restored
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
+          "shuffle.partitions leaked out of the d13 build scope")
+        assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == coalesceBefore,
+          "coalescePartitions.enabled leaked out of the d13 build scope")
 
-      // ...and the serving path READS the manifest (no second build)
-      graft.queries.DedupQueries.d13Containment(spark, sfDir).count()
-      assert(graft.queries.DedupQueries.d13PairBuilds.get() == before + 1,
-        "second call must read the stored manifest, not rebuild")
-    } finally {
-      spark.sparkContext.removeSparkListener(tap)
-      spark.conf.unset("spark.graft.artifacts.dir")
+        // ...and the serving path READS the manifest (no second build)
+        graft.queries.DedupQueries.d13Containment(spark, sfDir).count()
+        assert(graft.queries.DedupQueries.d13PairBuilds.get() == before + 1,
+          "second call must read the stored manifest, not rebuild")
+      } finally spark.sparkContext.removeSparkListener(tap)
     }
+  }
+
+  test("a small corpus at the default advisory keeps its stock coalesced plan (no conf override)") {
+    assert(graft.queries.DedupQueries.d13BuildConf(spark, sfDir).isEmpty,
+      "sf0.001 under the 64MB advisory must not engage the override — small-corpus " +
+        "builds keep stock AQE sizing (the round-16 input-size-blindness lesson)")
   }
 
   test("getOrBuild applies buildConf around the build thunk and restores it on success and failure") {
