@@ -77,8 +77,30 @@ src_ts = last_commit_ts('src', 'build.sbt')
 if head_ts is None:
     print('close: FAIL - git log returned nothing for HEAD (not a git checkout?)')
     sys.exit(1)
-newest = max(os.path.getmtime(x) for x in xmls)
-oldest = min(os.path.getmtime(x) for x in xmls)
+
+# Report timestamps: prefer the snapshot's committed manifest.tsv
+# (ADVICE r16) — git does not preserve mtimes, so on a fresh checkout
+# os.path.getmtime reads checkout time (postdating HEAD) and the
+# ordering gate would reject good committed evidence. The manifest is
+# written by snapshot_reports.sh from the run-time mtimes; files it
+# does not list fall back to the filesystem.
+manifest = {}
+if round_n is not None:
+    mf = f'reports/r{round_n}/manifest.tsv'
+    if os.path.exists(mf):
+        with open(mf) as fh:
+            for line in fh:
+                parts = line.rstrip('\n').split('\t')
+                if len(parts) == 2:
+                    manifest[parts[1]] = float(parts[0])
+        print(f'close: report times from {mf} ({len(manifest)} entries; '
+              'survives clones where mtimes are checkout time)')
+
+def report_ts(path):
+    return manifest.get(os.path.basename(path), os.path.getmtime(path))
+
+newest = max(report_ts(x) for x in xmls)
+oldest = min(report_ts(x) for x in xmls)
 if src_ts is None:
     print('close: WARN - no commit touches src/ or build.sbt (shallow history?); '
           'treating the binary as older than every report')

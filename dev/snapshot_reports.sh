@@ -25,4 +25,12 @@ fi
 rm -rf "$DST"
 mkdir -p "$DST"
 cp -p "$SRC"/*.xml "$DST/"
-echo "snapshot: $count suite reports -> $DST (mtimes preserved; commit this with the closing note)"
+# Manifest of the run's mtimes (ADVICE r16): git does NOT preserve
+# mtimes, so on any fresh clone/checkout every snapshot file's mtime
+# becomes checkout time and the "newest report precedes HEAD" gate
+# would fail on perfectly good committed evidence. The manifest records
+# the RUN's timestamps (fractional epoch seconds, from the cp -p
+# copies) and check_close.sh prefers it over the filesystem when
+# present — so the evidence stays verifiable off the producing tree.
+find "$DST" -name '*.xml' -printf '%T@\t%f\n' | sort -k2 > "$DST/manifest.tsv"
+echo "snapshot: $count suite reports -> $DST (mtimes preserved + manifest.tsv; commit this with the closing note)"

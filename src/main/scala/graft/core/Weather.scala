@@ -39,8 +39,11 @@ object Weather {
 
   /** Steal share of a window's total tick capacity, in percent:
     * `deltaTicks` over (wall seconds × nCpu × USER_HZ). -1.0 when
-    * either endpoint was unreadable (negative delta input). */
+    * either endpoint was unreadable (negative delta input) OR the
+    * window is degenerate (`wallSec <= 0` would divide to
+    * Infinity/NaN, which Bench would serialize into the metric line
+    * as a bare unparseable token — ADVICE r16). */
   def stealPct(deltaTicks: Long, wallSec: Double, nCpu: Int): Double =
-    if (deltaTicks < 0) -1.0
+    if (deltaTicks < 0 || wallSec <= 0) -1.0
     else 100.0 * deltaTicks / (wallSec * nCpu * stealTickHz.toDouble)
 }

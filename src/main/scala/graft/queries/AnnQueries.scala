@@ -622,7 +622,7 @@ object AnnQueries {
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
       Seq(quantizerParams, s"hist=v1:cap=$cap"))
     val name = if (fix) "kmeans_fix_v1" else "kmeans_q_v1"
-    val df = graft.core.ArtifactStore.getOrBuild(spark, name, fp, dir, kmeansArtifactBuilds) {
+    val df = graft.core.ArtifactStore.getOrBuild(spark, name, fp, dir, kmeansArtifactBuilds) { _ =>
       val st =
         if (fix) trainRounds(spark, dir, Some(kmeansArtifact(spark, dir, fix = false)), kmeansMaxRounds)
         else trainRounds(spark, dir, None, quantizerRounds)
@@ -791,7 +791,7 @@ object AnnQueries {
     val sub = pqCodebook(trainedCentroids(spark, dir))
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
       Seq(s"pq=v1:m=$pqSubspaces:subdim=$pqSubDim", quantizerParams))
-    graft.core.ArtifactStore.getOrBuild(spark, "pq_codes_v1", fp, dir, pqCodesBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "pq_codes_v1", fp, dir, pqCodesBuilds) { _ =>
       val e = Tables.load(spark, dir, "embeddings")
       val parts = Tables.spread(spark, e.select(col("vec_id"), col("embedding")))
         .select(col("vec_id"), explode(expr(
@@ -894,7 +894,7 @@ object AnnQueries {
     val cent = trainedCentroids(spark, dir)
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("embeddings.parquet"),
       Seq(quantizerParams, "d8=v1:thr=0.85:plant=mod10"))
-    val mined = graft.core.ArtifactStore.getOrBuild(spark, "d8_mined_v1", fp, dir, d8MinedBuilds) {
+    val mined = graft.core.ArtifactStore.getOrBuild(spark, "d8_mined_v1", fp, dir, d8MinedBuilds) { _ =>
       val e = Tables.load(spark, dir, "embeddings")
       val corpus = Tables.spread(spark,
         plantTwins(e.select(col("vec_id"), col("embedding"))))

@@ -133,7 +133,7 @@ object DedupQueries {
     registerIds(spark, dir)
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"d1pairs=v1:minhash16:bands=8x2:thr=$jacThreshold"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d1_pairs_v1", fp, dir, d1PairBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d1_pairs_v1", fp, dir, d1PairBuilds) { _ =>
       resemblancePairsPlan(spark, dir)
     }
   }
@@ -243,9 +243,19 @@ object DedupQueries {
     // retention prunes the v1 artifact
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq("d13pairs=v2:prefix=0.4:thr=0.6"))
+    val conf = d13BuildConf(spark, dir)
     graft.core.ArtifactStore.getOrBuild(spark, "d13_pairs_v1", fp, dir, d13PairBuilds,
-      buildConf = d13BuildConf(spark, dir)) {
-      containmentPairsPlan(spark, dir)
+      buildConf = conf,
+      // self-calibration (VERDICT r16 #2): the mining build records
+      // its own measured candidate-stream bytes next to the estimate
+      // that sized it, and shouts on drift — see d13CalibrationReport
+      buildMeta = Some { stages =>
+        val (lines, warn) =
+          d13CalibrationReport(d13CorpusBytes(dir), conf.nonEmpty, stages)
+        warn.foreach(System.err.println)
+        lines
+      }) { s =>
+      containmentPairsPlan(s, dir)
     }
   }
 
@@ -257,8 +267,69 @@ object DedupQueries {
     * two measured decades because the candidate stream itself is
     * linear in the corpus (the prefix filter's measured property).
     * 150 splits the two observations; the width formula below only
-    * needs the right ORDER of magnitude. */
+    * needs the right ORDER of magnitude.
+    *
+    * PROVENANCE + SELF-CALIBRATION (round 17, VERDICT r16 #2): the
+    * 135–168 band was measured on THIS synthetic corpus's shingle
+    * statistics — a corpus with shorter documents or a skewed
+    * vocabulary can amplify outside it, and the 4-wave cap only
+    * partially protects the under-estimate side. The build now knows
+    * the truth after the fact: every mining build records its actual
+    * max per-stage shuffle-write bytes alongside this estimate in the
+    * artifact's `_graft_meta` (`d13.candidate_bytes_actual` /
+    * `_estimated` / `d13.actual_over_estimated`, via
+    * [[graft.core.ArtifactStore.getOrBuild]]'s `buildMeta` hook), and
+    * [[d13CalibrationReport]] emits a loud stderr warning whenever the
+    * override ENGAGED and actual/estimated left [0.5×, 2×] — i.e. the
+    * constant made a real sizing decision outside the band it was
+    * derived from. Re-derive the constant from the recorded
+    * `d13.candidate_bytes_actual` of a warned corpus. */
   private val d13CandidateBytesPerCorpusByte = 150L
+
+  /** Total on-disk bytes of the corpus parquet (compressed) — input
+    * to both the width estimate and the calibration record. */
+  private[graft] def d13CorpusBytes(dir: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sz).sum
+      else f.length
+    sz(new java.io.File(dir, "documents.parquet"))
+  }
+
+  /** The calibration record + drift decision, pure so the spec can
+    * pin its anchors (see [[d13CandidateBytesPerCorpusByte]]).
+    * `actual` = max per-stage shuffle write observed during the
+    * mining build — the amplified candidate stream dominates every
+    * other stage by an order of magnitude at any scale where width
+    * sizing matters (54.9 GB vs next-largest ~2 GB at sf40eq).
+    * Returns the `_graft_meta` lines plus a warning iff the override
+    * ENGAGED for this build and actual/estimated left [0.5, 2]: when
+    * the override did not engage the numbers are still recorded, but
+    * no warning fires — sub-advisory corpora are dominated by fixed
+    * costs (sf0.1 measures ~0.03× simply because 0.6 MB of corpus
+    * never leaves scan granularity) and the constant decided
+    * nothing there. */
+  private[graft] def d13CalibrationReport(corpusBytes: Long, engaged: Boolean,
+      stages: Seq[graft.core.StageIO]): (Seq[String], Option[String]) = {
+    val actual = (0L +: stages.map(_.writeBytes)).max
+    val estimated = corpusBytes * d13CandidateBytesPerCorpusByte
+    val ratio = if (estimated > 0) actual.toDouble / estimated else -1.0
+    val lines = Seq(
+      s"d13.candidate_bytes_actual=$actual",
+      s"d13.candidate_bytes_estimated=$estimated",
+      f"d13.actual_over_estimated=$ratio%.4f",
+      s"d13.width_override_engaged=$engaged")
+    val warn =
+      if (engaged && (ratio < 0.5 || ratio > 2.0))
+        Some(f"[d13-calibration] WARNING: measured candidate-stream bytes " +
+          f"($actual) are $ratio%.2fx the estimate ($estimated) that sized this " +
+          "build's width; d13CandidateBytesPerCorpusByte=150 does not fit this " +
+          "corpus's shingle statistics. Re-derive it from " +
+          "d13.candidate_bytes_actual in the artifact meta " +
+          "(provenance: DedupQueries.d13CandidateBytesPerCorpusByte)")
+      else None
+    (lines, warn)
+  }
 
   /** Build-time execution confs for the containment mining job — the
     * round-15 sf40eq finding landed (VERDICT r15 #2): the candidate
@@ -289,11 +360,18 @@ object DedupQueries {
     *    builds keep their coalesced plans and their speed);
     *  - otherwise: coalescing OFF for the build (AQE cannot be
     *    trusted to size an amplifying stage) and width =
-    *    max(configured, min(need, 4 × defaultParallelism)) — data-
-    *    sized until the 4×cores cap (the measured-good 128-on-32
-    *    point; tasks beyond ~4 waves only add scheduling overhead on
-    *    a fixed machine), with a real deployment's configured
-    *    thousands staying authoritative through the max().
+    *    max(min(need, configured), min(need, 4 × defaultParallelism))
+    *    — data-sized until the 4×cores cap (the measured-good
+    *    128-on-32 point; tasks beyond ~4 waves only add scheduling
+    *    overhead on a fixed machine), with a real deployment's
+    *    configured thousands staying authoritative up to `need`. The
+    *    clamp by `need` on BOTH terms (ADVICE r16) keeps a stock
+    *    deployment default (shuffle.partitions=200, or a cluster's
+    *    4000) from forcing tiny partitions under disabled coalescing
+    *    on a corpus barely past the one-wave threshold — the same
+    *    small-corpus overhead class the estimate gate exists to
+    *    avoid, one decade up: need≈33 on 32 cores must run ~33-wide,
+    *    never 200-wide.
     *
     * The confs apply to the BUILD only ([[graft.core.ArtifactStore]]
     * scopes them to the mining execution; every serving plan is a
@@ -304,13 +382,7 @@ object DedupQueries {
     * stages really running at ≥ the width, and the session confs
     * restored after the build. */
   private[graft] def d13BuildConf(spark: SparkSession, dir: String): Map[String, String] = {
-    val corpusBytes = {
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sz).sum
-        else f.length
-      sz(new java.io.File(dir, "documents.parquet"))
-    }
+    val corpusBytes = d13CorpusBytes(dir)
     val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
     val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -333,7 +405,8 @@ object DedupQueries {
     val need = math.ceil(
       corpusBytes.toDouble * d13CandidateBytesPerCorpusByte / advisoryBytes).toLong
     if (need <= parallelism) None
-    else Some(math.max(configured, math.min(need, 4L * parallelism).toInt))
+    else Some(math.max(math.min(need, configured.toLong),
+      math.min(need, 4L * parallelism)).toInt)
   }
 
   /** The prefix-filter join construction — the stored artifact's BUILD
@@ -451,7 +524,7 @@ object DedupQueries {
     import org.apache.spark.sql.functions.col
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"d4labels=v1:minhash16:bands=8x2:thr=$jacThreshold"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d4_labels_v1", fp, dir, d4LabelBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d4_labels_v1", fp, dir, d4LabelBuilds) { _ =>
       val pairs = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
       graft.operators.ConnectedComponents.run(docs, pairs)
@@ -532,7 +605,7 @@ object DedupQueries {
     // reads the stored (doc_id, cluster) manifest
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"d14labels=v1:res-thr=$jacThreshold:con-thr=0.6"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d14_labels_v1", fp, dir, d14LabelBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d14_labels_v1", fp, dir, d14LabelBuilds) { _ =>
       val resemblance = resemblancePairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val containment = containmentPairs(spark, dir).select(col("doc_id_a"), col("doc_id_b"))
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
@@ -733,7 +806,7 @@ object DedupQueries {
     GraftFunctions.register(spark)
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq("d11mask=v1:gram=5"))
-    graft.core.ArtifactStore.getOrBuild(spark, "d11_mask_v1", fp, dir, d11MaskBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "d11_mask_v1", fp, dir, d11MaskBuilds) { _ =>
       Tables.loadSpread(spark, dir, "documents").createOrReplaceTempView("documents")
       spark.sql("""
         WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),

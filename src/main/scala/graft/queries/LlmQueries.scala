@@ -724,7 +724,7 @@ object LlmQueries {
     // stays in front as the per-session cache.
     val fp = graft.core.ArtifactStore.fingerprint(dir, Seq("documents.parquet"),
       Seq(s"bpe=v1:rounds=$bpeRounds"))
-    val df = graft.core.ArtifactStore.getOrBuild(spark, "bpe_merges_v1", fp, dir, mergesBuilds) {
+    val df = graft.core.ArtifactStore.getOrBuild(spark, "bpe_merges_v1", fp, dir, mergesBuilds) { _ =>
       import spark.implicits._
       trainMerges(spark, dir).toDF("merge_round", "left_sym", "right_sym", "cnt")
     }

@@ -348,7 +348,7 @@ object PipelineQueries {
     val fp = graft.core.ArtifactStore.fingerprint(dir,
       Seq("documents.parquet", "embeddings.parquet"),
       Seq("manifest=v1", AnnQueries.quantizerParams))
-    graft.core.ArtifactStore.getOrBuild(spark, "p8_base_v1", fp, dir, p8BaseBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "p8_base_v1", fp, dir, p8BaseBuilds) { _ =>
       val docs = Tables.loadSpread(spark, dir, "documents")
         .filter(col("doc_id") % 5 =!= 4)
       val terms = p8TermAgg(docs)

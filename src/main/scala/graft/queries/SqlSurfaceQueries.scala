@@ -695,7 +695,7 @@ object SqlSurfaceQueries {
     val fp = graft.core.ArtifactStore.fingerprint(dir,
       Seq("orders.parquet", "lineitem.parquet"),
       Seq("x73base=v1:osplit=orderkey%7<>0:lsplit=linenumber<6"))
-    graft.core.ArtifactStore.getOrBuild(spark, "x73_base_v1", fp, dir, x73BaseBuilds) {
+    graft.core.ArtifactStore.getOrBuild(spark, "x73_base_v1", fp, dir, x73BaseBuilds) { _ =>
       val oBase = x73Orders(spark, dir).filter(col("o_orderkey") % 7 =!= 0)
       val lBase = x73Lineitem(spark, dir).filter(col("l_linenumber") < 6)
       x73Term(oBase, lBase)

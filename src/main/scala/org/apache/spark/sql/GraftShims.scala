@@ -100,6 +100,21 @@ object GraftShims {
       case l: execution.LogicalRDD => l.stats.sizeInBytes
     }
 
+  /** Clone the session's STATE — SQL conf, temp views, registered
+    * functions — into a sibling session on the same SparkContext
+    * (`SparkSession.cloneSession`, `private[sql]`, hence this shim;
+    * the public `newSession()` would NOT do: it builds a FRESH
+    * SessionState, dropping every runtime `spark.conf.set` and temp
+    * view the caller's plans depend on). The use case is build-scoped
+    * execution confs (ArtifactStore round 17): a mining job that
+    * needs its own AQE/width settings constructs and executes its
+    * plan on the clone, and the serving session never observes the
+    * overrides — not even for the build's duration, closing the
+    * session-visibility window VERDICT r16 flagged on the
+    * save/set/restore approach. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Drain the listener bus (`private[spark]`, hence this shim):
     * stage/job events are delivered asynchronously, so a spec that
     * asserts on a SparkListener's observations right after an action

@@ -275,7 +275,7 @@ object ChaosArtifactRaceRunner {
     val pid = ProcessHandle.current().pid()
     val df = graft.core.ArtifactStore.getOrBuild(
         spark, "race2_probe_v1", "feedfacefeedface", "/root/testdata/sf0.001",
-        builds) {
+        builds) { _ =>
       require(new java.io.File(syncDir, s"started_$pid").createNewFile(),
         "could not announce build start")
       val barrier = new java.io.File(syncDir, "barrier")

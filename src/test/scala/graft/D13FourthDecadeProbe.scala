@@ -119,21 +119,26 @@ object D13FourthDecadeProbe {
     // JFR around the TIMED WINDOW only (round 16, VERDICT r15 #3 — the
     // open ~5× per-row residual needs a profile, not more wall arms):
     // set GRAFT_PROBE_JFR=/path/prefix to dump one profile-settings
-    // recording per timed arm as <prefix>_armNN.jfr. Scoping the
-    // recording to the arm keeps warmup samples out of the
+    // recording per TIMED ATTEMPT as
+    // <prefix>_<mode>_<corpusDir>_p<parts>_try<N>.jfr (ADVICE r16: a
+    // bare armNN counter also recorded the warmup and made a
+    // discarded-hot-retry profile indistinguishable from the kept
+    // measurement — the name now carries mode, corpus and attempt, and
+    // the WARMUP arm is never recorded at all, `jfrTag = None`).
+    // Scoping the recording to the arm keeps warmup samples out of the
     // attribution; the ~1–2 % sampling overhead lands on BOTH compared
     // arms equally. Analyze with `jfr print --events jdk.ExecutionSample`.
-    val jfrSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-    def armOnce(d: String, parts: Int, shipped: Boolean = false): (Double, Double) = {
+    def armOnce(d: String, parts: Int, shipped: Boolean = false,
+        jfrTag: Option[String] = None): (Double, Double) = {
       val abs = new java.io.File(d).getAbsolutePath
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       rotateArtifactsDir()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      val jfr = sys.env.get("GRAFT_PROBE_JFR").map { prefix =>
+      val jfr = jfrTag.flatMap(tag => sys.env.get("GRAFT_PROBE_JFR").map { prefix =>
         val r = new jdk.jfr.Recording(jdk.jfr.Configuration.getConfiguration("profile"))
-        r.start(); (r, prefix)
-      }
+        r.start(); (r, prefix, tag)
+      })
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val (n, joins) = if (shipped) {
@@ -153,9 +158,9 @@ object D13FourthDecadeProbe {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val s1 = stealTicks()
-      jfr.foreach { case (r, prefix) =>
+      jfr.foreach { case (r, prefix, tag) =>
         r.stop()
-        val p = java.nio.file.Paths.get(f"${prefix}_arm${jfrSeq.getAndIncrement()}%02d.jfr")
+        val p = java.nio.file.Paths.get(s"${prefix}_$tag.jfr")
         r.dump(p); r.close()
         println(s"PROBE jfr dumped: $p")
       }
@@ -164,14 +169,20 @@ object D13FourthDecadeProbe {
       println(f"PROBE dir=$d parts=$parts%d pairs=$n%d secs=$secs%.2f steal=$ticks ($pct%.2f%%) joins=$joins")
       (secs, pct)
     }
-    def arm(d: String, parts: Int, shipped: Boolean = false): Double = {
+    def arm(d: String, parts: Int, shipped: Boolean = false,
+        label: String = ""): Double = {
+      // every timed attempt gets its own self-describing JFR tag —
+      // retries included, so a discarded-hot profile can never be
+      // read as the kept measurement (ADVICE r16)
+      def tag(attempt: Int) =
+        Some(s"${label}_${new java.io.File(d).getName}_p${parts}_try$attempt")
       var attempt = 0
-      var last = armOnce(d, parts, shipped)
+      var last = armOnce(d, parts, shipped, tag(attempt))
       while (last._2 > 1.0 && attempt < 2) {
         attempt += 1
         println(s"PROBE hot arm discarded (retry $attempt/2 after cool-down): $d")
         Thread.sleep(180000)
-        last = armOnce(d, parts, shipped)
+        last = armOnce(d, parts, shipped, tag(attempt))
       }
       if (last._2 > 1.0) println(s"PROBE WARNING: all attempts hot, keeping last (HOT): $d")
       last._1
@@ -230,13 +241,14 @@ object D13FourthDecadeProbe {
     }
     // JIT warmup, untimed in the ratio — ONE plain attempt (ADVICE
     // r15: routing it through arm() applied hot-window cool-downs to a
-    // measurement that is never used)
+    // measurement that is never used). jfrTag stays None: the warmup
+    // is never profiled (ADVICE r16)
     armOnce("/root/testdata/sf0.1", 32, shipped)
     val walls = scala.collection.mutable.Map.empty[String, Double]
     val passes = if (solo) 1 else 2
     for (_ <- 1 to passes; (d, parts) <- cells) {
       val t = walls.get(d)
-      val w = arm(d, parts, shipped)
+      val w = arm(d, parts, shipped, label = mode)
       walls(d) = t.fold(w)(math.min(_, w))
     }
     if (solo) { spark.stop(); return }

@@ -447,7 +447,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       val gate = new java.util.concurrent.CountDownLatch(2)
       def contend(tag: String): Seq[String] =
         graft.core.ArtifactStore.getOrBuildUnlocked(
-            spark, "race_probe_v1", fp, dir, builds) {
+            spark, "race_probe_v1", fp, dir, builds) { _ =>
           gate.countDown()
           assert(gate.await(60, java.util.concurrent.TimeUnit.SECONDS),
             "race setup: both builders must overlap")
@@ -489,7 +489,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       val builds = new java.util.concurrent.atomic.AtomicLong(0)
       val boom = intercept[RuntimeException] {
         graft.core.ArtifactStore.getOrBuild(
-          spark, "fail_probe_v1", "0123456789abcdef", dir, builds) {
+          spark, "fail_probe_v1", "0123456789abcdef", dir, builds) { _ =>
           throw new RuntimeException("deliberate build failure")
         }
       }
@@ -501,7 +501,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
           s"can never reach it): ${leftovers.map(_.getName).toSeq}")
       // the key is not poisoned: a later good build publishes normally
       val got = graft.core.ArtifactStore.getOrBuild(
-        spark, "fail_probe_v1", "0123456789abcdef", dir, builds) {
+        spark, "fail_probe_v1", "0123456789abcdef", dir, builds) { _ =>
         Seq(7).toDF("v")
       }.collect().map(_.getInt(0)).toSeq
       assert(got == Seq(7) && builds.get() == 2)
@@ -520,7 +520,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       val builds = new java.util.concurrent.atomic.AtomicLong(0)
       def build(fp: String, scope: String): Unit = {
         graft.core.ArtifactStore.getOrBuild(
-          spark, "gc_probe_v1", fp, scope, builds) { Seq(1, 2, 3).toDF("v") }
+          spark, "gc_probe_v1", fp, scope, builds) { _ => Seq(1, 2, 3).toDF("v") }
           .write.format("noop").mode("overwrite").save()
       }
       def dirs(): Set[String] = Option(new java.io.File(work).listFiles())
@@ -530,7 +530,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       build("bbbbbbbbbbbbbbb1", "/root/testdata/sf0.01")
       graft.core.ArtifactStore.getOrBuild(
         spark, "other_probe_v1", "cccccccccccccccc", "/root/testdata/sf0.001",
-        builds) { Seq(9).toDF("v") }.write.format("noop").mode("overwrite").save()
+        builds) { _ => Seq(9).toDF("v") }.write.format("noop").mode("overwrite").save()
       // dead-builder debris (pid 1 is init — never a builder JVM — but
       // use an impossibly-large pid so the liveness probe says dead)
       // and a LIVE builder's in-flight temp (our own pid)
@@ -554,7 +554,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       // the re-keyed read still serves (prune never touches the fresh key)
       val got = graft.core.ArtifactStore.getOrBuild(
         spark, "gc_probe_v1", "aaaaaaaaaaaaaaa2", "/root/testdata/sf0.001",
-        builds) { Seq(-1).toDF("v") }.collect().map(_.getInt(0)).toSet
+        builds) { _ => Seq(-1).toDF("v") }.collect().map(_.getInt(0)).toSet
       assert(got == Set(1, 2, 3), "pruning corrupted the retained artifact")
     } finally {
       spark.conf.unset("spark.graft.artifacts.dir")
@@ -617,7 +617,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
       val scope = "/root/testdata/sf0.001"
       ArtifactStoreHazardGate.reset()
       val df1 = graft.core.ArtifactStore.getOrBuild(
-        spark, "hazard_probe_v1", "aaaaaaaaaaaaaaa1", scope, builds) {
+        spark, "hazard_probe_v1", "aaaaaaaaaaaaaaa1", scope, builds) { _ =>
         // ONE parquet split: the suite session is local[4], so the
         // parked reader must hold exactly one slot — parking a task per
         // split would starve the very publish job the scenario waits on
@@ -634,7 +634,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkSuite {
         // re-key the SAME name+scope while every scan task is parked
         // pre-open; retention prunes the old-fp directory
         graft.core.ArtifactStore.getOrBuild(
-          spark, "hazard_probe_v1", "aaaaaaaaaaaaaaa2", scope, builds) {
+          spark, "hazard_probe_v1", "aaaaaaaaaaaaaaa2", scope, builds) { _ =>
           Seq(0L).toDF("v")
         }.write.format("noop").mode("overwrite").save()
         assert(!new java.io.File(work, "hazard_probe_v1_aaaaaaaaaaaaaaa1").exists,
