@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pin for the round-16 fix of VERDICT r15 #2 — *AQE amplification
@@ -74,17 +73,6 @@ class D13BuildWidthSpec extends AnyFunSuite with SparkSuite {
     assert(d13BuildWidth(14 * MB, 4000, 32, 64 * MB) === Some(33))
   }
 
-  /** Stage widths + shuffle traffic observed by a listener. */
-  private final class StageTap extends SparkListener {
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val si = sc.stageInfo
-      stages.add((si.stageId, si.numTasks,
-        si.taskMetrics.shuffleReadMetrics.totalBytesRead,
-        si.taskMetrics.shuffleWriteMetrics.bytesWritten))
-    }
-  }
-
   test("an engaged override really runs the mining stages wide; AQE cannot coalesce them back") {
     val work = java.nio.file.Files.createTempDirectory("d13w_art").toString
     // the corpus at sfDir is tiny, so engage the override the way a
@@ -102,7 +90,10 @@ class D13BuildWidthSpec extends AnyFunSuite with SparkSuite {
         s"tiny corpus over a 16k advisory must hit the 4×parallelism cap, got $floor")
       assert(conf("spark.sql.adaptive.coalescePartitions.enabled") == "false")
 
-      val tap = new StageTap
+      // the shared stage tap (graft.core.StageIOTap — one definition
+      // for every stage-traffic consumer, like AmplificationAuditSpec
+      // and the buildMeta hook)
+      val tap = new graft.core.StageIOTap
       spark.sparkContext.addSparkListener(tap)
       try {
         val before = graft.queries.DedupQueries.d13PairBuilds.get()
@@ -116,12 +107,12 @@ class D13BuildWidthSpec extends AnyFunSuite with SparkSuite {
         // partition — stages at the width prove the override reached
         // execution, and a width-wide stage that both read and wrote
         // shuffle is the mid-pipeline join/aggregate itself
-        val observed = tap.stages.toArray(Array.empty[(Int, Int, Long, Long)]).toSeq
-        val atFloor = observed.filter(_._2 >= floor)
+        val observed = tap.stages
+        val atFloor = observed.filter(_.tasks >= floor)
         assert(atFloor.nonEmpty,
           s"no mining stage ran at the $floor-partition width — AQE coalesced the build; " +
-            s"stages observed: ${observed.map(s => s"id=${s._1} tasks=${s._2}").mkString(", ")}")
-        assert(atFloor.exists(s => s._3 > 0 && s._4 > 0),
+            s"stages observed: ${observed.map(s => s"id=${s.stageId} tasks=${s.tasks}").mkString(", ")}")
+        assert(atFloor.exists(s => s.readBytes > 0 && s.writeBytes > 0),
           "no width-wide stage both read and wrote shuffle data — the mid-pipeline " +
             "join/aggregate stages (the amplifying part) did not run at the width")
 

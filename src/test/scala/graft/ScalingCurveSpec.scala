@@ -272,98 +272,11 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  /** A deterministic sf1-EQUIVALENT slice (10× the sf0.1 rows),
-    * derived from sf0.1 with structure-preserving per-copy
-    * perturbations so densities — the thing join/candidate cost
-    * actually follows — replicate instead of compounding:
-    *
-    *  - documents: every token of copy c>0 gets a copy tag suffix, so
-    *    each copy's intra-copy shingle/near-dup structure replicates
-    *    EXACTLY while no shingle collides across copies (cross-copy
-    *    jaccard/containment = 0). A naive 10× tiling would give every
-    *    doc 9 byte-identical twins — pair counts ×100, a different
-    *    corpus, not a scaled one. The tag ([[copyTag]], round 12) is
-    *    the copy id's digits TRIPLED ("x444222" for copy 42): two
-    *    distinct copies always differ in ≥ 3 tag positions with LCS
-    *    ≤ len−3, so cross-copy 16-char prefixes sit at Levenshtein
-    *    ≥ 3 and t11's edit-distance-2 join finds NO cross-copy pairs
-    *    — the round-12 third-decade run proved the old 1-digit tag
-    *    ("x42" vs "x43" = one edit) made every doc truly match its
-    *    C−1 cross-copy twins, quadratic REAL output in the copy
-    *    count: a different corpus again, just more subtly.
-    *  - embeddings: copy c's vectors are dimension-ROTATED by 7c mod
-    *    64 — intra-copy pairwise cosines are preserved exactly (both
-    *    sides rotate together) while a vector and its cross-copy
-    *    rotation decorrelate to background. (A plain copy keeps
-    *    cosine 1 — every vector gets 9 exact semantic twins.)
-    *
-    *  - orders/lineitem (round 9, for the graph lines x65/x70): copy
-    *    c>0 offsets ONLY the order keys (o_orderkey/l_orderkey — the
-    *    join key), carrying every entity column (custkey, suppkey,
-    *    partkey) unchanged. The derived graphs' node domains are
-    *    query-pinned entity spaces (x70's 20000-key modulus, x65's
-    *    custkey/suppkey ids), so every copy regenerates the IDENTICAL
-    *    distinct edge set — densities replicate, exactly like the
-    *    token-suffix rule for documents. Offsetting entity keys
-    *    instead would DENSIFY the fixed node space (10× degree, ~100×
-    *    wedges): a different graph, not a scaled workload; the
-    *    wedge-vs-m^1.5 bound is argued analytically at the query.
-    *
-    * n_chars is carried unchanged (the scaling queries never read it
-    * for mining). Built once under target/ (gitignored), ~30 MB. */
-  /** The per-copy token tag: copy id as two digits, each tripled,
-    * behind an 'x' — any two distinct copies differ in ≥ 3 positions
-    * (if both digits differ, the 6-digit parts share LCS ≤ 3; if one
-    * digit matches, the other contributes 3 mismatches), so
-    * Levenshtein(tag_c, tag_c') ≥ len − LCS ≥ 3 and no edit-distance-2
-    * metric can bridge copies. */
-  private def copyTag(c: Int): String =
-    "x" + f"$c%02d".flatMap(d => s"$d$d$d")
-
-  private lazy val sf1eq: String = {
-    import org.apache.spark.sql.functions._
-    val dir = new java.io.File("target/sf1eq").getAbsolutePath
-    // v3: round 12 moved the copy tag to the Levenshtein-≥3 code
-    // (v2 added orders/lineitem)
-    val done = new java.io.File(s"$dir/_done_v3")
-    if (!done.exists) {
-      val docs = spark.read.parquet(s"$big/documents.parquet")
-      (0 until 10).map { c =>
-        if (c == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(copyTag(c)))), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _).coalesce(8)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val emb = spark.read.parquet(s"$big/embeddings.parquet")
-      (0 until 10).map { c =>
-        if (c == 0) emb
-        else {
-          val sh = (c * 7) % 64
-          emb.select(
-            (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
-            expr(s"concat(slice(embedding, ${sh + 1}, ${64 - sh}), " +
-              s"slice(embedding, 1, $sh))").as("embedding"),
-            col("label"))
-        }
-      }.reduce(_ unionByName _).coalesce(8)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      val orders = spark.read.parquet(s"$big/orders.parquet")
-      (0 until 10).map { c =>
-        orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
-      }.reduce(_ unionByName _).coalesce(8)
-        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-      val li = spark.read.parquet(s"$big/lineitem.parquet")
-      (0 until 10).map { c =>
-        li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 100000000L))
-      }.reduce(_ unionByName _).coalesce(8)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      done.createNewFile()
-    }
-    dir
-  }
+  /** The sf1-EQUIVALENT slice (10× the sf0.1 rows) — the
+    * structure-preserving copy rules (token tags at Levenshtein ≥ 3,
+    * dimension-rotated embeddings, order-key-only offsets) and their
+    * derivations live with the shared builder in [[EqSlices]]. */
+  private lazy val sf1eq: String = EqSlices.sf1eq(spark)
 
   /** The 100×-direction evidence the single-decade curve above cannot
     * give: the heaviest dedup/iterative lines measured on a SECOND
@@ -444,51 +357,10 @@ class ScalingCurveSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  /** The sf10-EQUIVALENT slice: 100× the sf0.1 rows, built from sf0.1
-    * with the SAME structure-preserving per-copy rules as [[sf1eq]]
-    * (token suffixes keep cross-copy shingle/prefix/deletion-variant
-    * spaces disjoint so densities replicate; order-key offsets
-    * replicate the identical distinct edge set per copy). Only the
-    * tables the third-decade lines read are materialized — documents,
-    * orders, lineitem; embeddings are not part of THIS slice (the
-    * plain 7c mod 64 rotation rule aliases at c ≥ 64: copy c and c+64
-    * would rotate identically and become exact semantic twins).
-    * AnnScaleProbe extends the rule — rotation PLUS an odd-coordinate
-    * sign flip for c ≥ 64, an orthogonal transform that preserves
-    * intra-copy cosines exactly — and measures the embedding-space
-    * third decade as an instrument (s7/s17 exponents recorded in
-    * PLANS.md round 12). ~1.3 GB under target/ (gitignored), built
-    * once. */
-  private lazy val sf10eq: String = {
-    import org.apache.spark.sql.functions._
-    val dir = new java.io.File("target/sf10eq").getAbsolutePath
-    // v2: the Levenshtein-≥3 copy tag (see copyTag)
-    val done = new java.io.File(s"$dir/_done_v2")
-    if (!done.exists) {
-      val docs = spark.read.parquet(s"$big/documents.parquet")
-      (0 until 100).map { c =>
-        if (c == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(copyTag(c)))), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _).repartition(16)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val orders = spark.read.parquet(s"$big/orders.parquet")
-      (0 until 100).map { c =>
-        orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
-      }.reduce(_ unionByName _).repartition(16)
-        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-      val li = spark.read.parquet(s"$big/lineitem.parquet")
-      (0 until 100).map { c =>
-        li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 100000000L))
-      }.reduce(_ unionByName _).repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      done.createNewFile()
-    }
-    dir
-  }
+  /** The sf10-EQUIVALENT slice (100× the sf0.1 rows) — shared builder
+    * in [[EqSlices]] (round 17: AmplificationAuditSpec measures its
+    * shuffle ratios on the same slice this decade test times). */
+  private lazy val sf10eq: String = EqSlices.sf10eq(spark)
 
   /** THIRD decade (round 12): the sf0.1 → sf1eq curve said the
     * heaviest shuffles are linear across one decade; this measures the
