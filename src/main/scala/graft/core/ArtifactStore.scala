@@ -131,15 +131,19 @@ object ArtifactStore {
     * identical plans to every prior round. On a read hit the thunk is
     * never evaluated and no session is cloned.
     *
-    * `buildMeta` (round 17): when supplied, a [[StageIOTap]] observes
-    * every stage the build executes (the bus is drained before
-    * reading), and the hook's returned lines are appended to the
-    * artifact's `_graft_meta` after the scope line — the mechanism by
-    * which an artifact records its own measured shuffle profile
-    * (d13's candidate-stream self-calibration, VERDICT r16 #2). The
-    * hook runs between the build's parquet write and the done marker:
-    * a hook failure fails the build (no marker, debris cleaned), it
-    * can never corrupt a published artifact. */
+    * `buildMeta` (round 17): a [[StageIOTap]] observes every stage the
+    * build executes (the bus is drained before reading). EVERY build's
+    * `_graft_meta` gets the standard [[buildProfile]] self-audit lines
+    * (stage count, max shuffle write, max amplification, hazard count,
+    * protection flag — with a loud stderr warning when an UNPROTECTED
+    * stage trips the shared [[AmplificationHazard]] rule); when
+    * `buildMeta` is supplied, the hook's returned lines are appended
+    * after them — the mechanism by which an artifact records
+    * build-specific measurements (d13's candidate-stream
+    * self-calibration, VERDICT r16 #2). The hook runs between the
+    * build's parquet write and the done marker: a hook failure fails
+    * the build (no marker, debris cleaned), it can never corrupt a
+    * published artifact. */
   def getOrBuild(spark: SparkSession, name: String, fp: String, scope: String,
       builds: java.util.concurrent.atomic.AtomicLong,
       buildConf: Map[String, String] = Map.empty,
@@ -194,19 +198,26 @@ object ArtifactStore {
       // build's own stages plus whatever unrelated queries the caller
       // runs concurrently — the buildMeta hook owns that filtering
       // judgment (d13 takes a max over write bytes, which a serving
-      // query's stage cannot plausibly win)
-      val tap = buildMeta.map(_ => new StageIOTap)
-      tap.foreach(spark.sparkContext.addSparkListener)
+      // query's stage cannot plausibly win). Round 17: the tap is
+      // ALWAYS attached — every build self-audits its stage profile
+      // against the shared AmplificationHazard rule ([[buildProfile]])
+      // so a production corpus that amplifies a stage the test slices
+      // never stressed gets a loud warning and a recorded profile,
+      // not 15 silent rounds of AQE under-provisioning
+      val tap = new StageIOTap
+      spark.sparkContext.addSparkListener(tap)
       try {
         try {
           build(buildSession).write.mode("overwrite")
             .parquet(new java.io.File(tmp, "data.parquet").getAbsolutePath)
-          val extra = (tap, buildMeta) match {
-            case (Some(t), Some(hook)) =>
-              org.apache.spark.sql.GraftShims.waitListenerBus(spark)
-              hook(t.stages)
-            case _ => Nil
-          }
+          org.apache.spark.sql.GraftShims.waitListenerBus(spark)
+          val stages = tap.stages
+          val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            buildSession.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+          val (profile, warn) = buildProfile(s"${name}_$fp", stages, advisory,
+            widthOverridden = buildConf.contains("spark.sql.shuffle.partitions"))
+          warn.foreach(System.err.println)
+          val extra = profile ++ buildMeta.map(_(stages)).getOrElse(Seq.empty)
           writeMeta(new java.io.File(tmp, "_graft_meta"), scope, extra)
           require(new java.io.File(tmp, "_graft_done").createNewFile(),
             s"could not create done marker under $tmp")
@@ -216,7 +227,7 @@ object ArtifactStore {
           deleteRec(tmp)
           throw e
         }
-      } finally tap.foreach(spark.sparkContext.removeSparkListener)
+      } finally spark.sparkContext.removeSparkListener(tap)
       publish(tmp, art, marker)
       if (marker.exists) retainOnly(rootDir, name, fp, scope)
     }
@@ -318,6 +329,43 @@ object ArtifactStore {
     * lines = builder-supplied `buildMeta` records (`key=value`, e.g.
     * d13's candidate-stream calibration). Old single-line metas parse
     * as scope + no extras. */
+  /** The standard build self-audit (round 17, the production arm of
+    * AmplificationAuditSpec's CI gate): every build's `_graft_meta`
+    * records its stage count, max per-stage shuffle write, max
+    * write/read amplification over AQE-sized stages (−1 when none
+    * read ≥ 1 MB of shuffle), the [[AmplificationHazard]] count, and
+    * whether a width override protected the build — and the returned
+    * warning fires iff a hazardous stage ran UNPROTECTED. Pure so the
+    * spec pins the decision table directly. The stage window may
+    * include a concurrent serving query's stages (builds are
+    * buildLock-serialized, caller threads are not), so the warning is
+    * a loud operational breadcrumb, never a failure — the recorded
+    * profile is what an investigation reads either way. */
+  private[graft] def buildProfile(artifact: String, stages: Seq[StageIO],
+      advisoryBytes: Long, widthOverridden: Boolean): (Seq[String], Option[String]) = {
+    val sized = stages.filter(_.readBytes >= AmplificationHazard.readFloorBytes)
+    val maxAmp = if (sized.isEmpty) -1.0 else sized.map(_.amplification).max
+    val hazards = AmplificationHazard(stages, advisoryBytes)
+    val lines = Seq(
+      s"build.stages=${stages.size}",
+      s"build.max_stage_write_bytes=${(0L +: stages.map(_.writeBytes)).max}",
+      f"build.max_amplification=$maxAmp%.2f",
+      s"build.amp_hazards=${hazards.size}",
+      s"build.width_overridden=$widthOverridden")
+    val warn =
+      if (hazards.nonEmpty && !widthOverridden)
+        Some(s"[artifact] WARNING: build $artifact ran output-amplifying stage(s) " +
+          "with no width override: " +
+          hazards.map(s => f"stage ${s.stageId} read=${s.readBytes} -> " +
+            f"write=${s.writeBytes} (${s.amplification}%.1fx)").mkString("; ") +
+          " — AQE sizes post-shuffle stages from their READ side and will " +
+          "under-provision these at scale (the d13 hazard class, VERDICT r15 #2); " +
+          "ship a data-sized buildConf width override " +
+          "(the DedupQueries.d13BuildConf pattern)")
+      else None
+    (lines, warn)
+  }
+
   private def writeMeta(f: java.io.File, scope: String, extra: Seq[String]): Unit =
     java.nio.file.Files.write(f.toPath,
       (new java.io.File(scope).getAbsolutePath +: extra)

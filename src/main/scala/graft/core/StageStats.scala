@@ -59,3 +59,34 @@ final class StageIOTap extends SparkListener {
     b.result()
   }
 }
+
+/** THE amplification-hazard rule, one definition (round 17) — shared
+  * by `AmplificationAuditSpec` (the committed CI gate over the heavy
+  * pipelines at sf10eq) and [[ArtifactStore]] (every stored-artifact
+  * build self-audits its own stage profile at build time, so a
+  * PRODUCTION corpus whose statistics amplify a stage the synthetic
+  * test slice never stressed still gets a loud warning and a recorded
+  * profile). A stage is hazardous when ALL THREE hold; none of the
+  * floors is arbitrary:
+  *
+  *  - `readBytes ≥` [[readFloorBytes]] (1 MB): a stage reading less
+  *    shuffle is control-plane traffic (result collection, tiny
+  *    dimension exchanges) whose byte ratio is noise, not an AQE
+  *    coalescing decision over data;
+  *  - `writeBytes ≥ advisoryBytes`: if a stage's TOTAL amplified
+  *    output fits inside one advisory-sized partition, even a single
+  *    post-shuffle task is correctly provisioned — under-sizing is
+  *    definitionally impossible below the floor;
+  *  - `amplification >` [[ratioMax]] (5×, the VERDICT r16 threshold):
+  *    measured headroom on both sides — the inventory's worst clean
+  *    stage (d2's structural ≤5× pigeonhole explode) measures
+  *    2.4–3.4×, while the hazard class starts an order of magnitude
+  *    higher (d13's candidate join at ~23–25×). */
+object AmplificationHazard {
+  val ratioMax = 5.0
+  val readFloorBytes: Long = 1L << 20
+
+  def apply(stages: Seq[StageIO], advisoryBytes: Long): Seq[StageIO] =
+    stages.filter(s => s.readBytes >= readFloorBytes &&
+      s.writeBytes >= advisoryBytes && s.amplification > ratioMax)
+}

@@ -74,20 +74,21 @@ class AmplificationAuditSpec extends AnyFunSuite with SparkSuite {
 
   /** The verdict's threshold (see class doc for the measured ladder
     * around it: worst clean stage 3.44×, hazard class ≥ ~23×). */
-  private val ratioMax = 5.0
+  private val ratioMax = graft.core.AmplificationHazard.ratioMax
   /** Stages reading less shuffle than this are control-plane noise. */
-  private val readFloor = 1L << 20
+  private val readFloor = graft.core.AmplificationHazard.readFloorBytes
 
   private def advisoryBytes: Long =
     org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
 
-  /** The pure gate, separated so its fixed points are pinned below:
-    * the stages that violate the rule (AQE-sized, ≥ one advisory
-    * partition of output, amplification beyond [[ratioMax]]). */
+  /** The gate itself is ONE definition in core
+    * ([[graft.core.AmplificationHazard]] — shared with
+    * [[graft.core.ArtifactStore]]'s per-build self-audit, the
+    * production arm of this CI gate); its fixed points are pinned
+    * below. */
   private[graft] def hazards(stages: Seq[StageIO], advisory: Long): Seq[StageIO] =
-    stages.filter(s => s.readBytes >= readFloor &&
-      s.writeBytes >= advisory && s.amplification > ratioMax)
+    graft.core.AmplificationHazard(stages, advisory)
 
   /** Run one pipeline at sf10eq under the shared tap; returns every
     * stage it executed. Fresh artifact dir per call — the mining
@@ -151,6 +152,72 @@ class AmplificationAuditSpec extends AnyFunSuite with SparkSuite {
     assert(hazards(Seq(StageIO(10, 16, 2 * MB, 40 * MB)), adv).isEmpty)
     // scan stages (no shuffle read) are sized from input splits, out of scope
     assert(hazards(Seq(StageIO(11, 16, 0, 9000 * MB)), adv).isEmpty)
+  }
+
+  // ── the production arm: every artifact build self-audits ──────────
+  test("buildProfile decision table: warn iff a hazardous stage ran unprotected") {
+    import graft.core.ArtifactStore.buildProfile
+    val MB = 1L << 20
+    val adv = 64 * MB
+    val amplifier = StageIO(7, 16, 600 * MB, 13500 * MB)
+    // unprotected amplifier: recorded AND warned, remedy named
+    val (lines, warn) = buildProfile("probe_v1_ff", Seq(amplifier), adv, widthOverridden = false)
+    assert(lines.contains("build.amp_hazards=1") &&
+      lines.contains("build.width_overridden=false") &&
+      lines.contains(s"build.max_stage_write_bytes=${13500 * MB}") &&
+      lines.contains("build.max_amplification=22.50"))
+    assert(warn.exists(w => w.contains("probe_v1_ff") && w.contains("d13BuildConf")),
+      s"unprotected amplifying build must warn with the remedy named: $warn")
+    // the SAME stages under a width override: recorded, silent
+    val (linesP, warnP) = buildProfile("probe_v1_ff", Seq(amplifier), adv, widthOverridden = true)
+    assert(warnP.isEmpty, "a width-protected build must not warn")
+    assert(linesP.contains("build.amp_hazards=1") &&
+      linesP.contains("build.width_overridden=true"))
+    // clean build: recorded, silent
+    val (linesC, warnC) = buildProfile("clean_v1_00",
+      Seq(StageIO(1, 4, 100 * MB, 70 * MB)), adv, widthOverridden = false)
+    assert(warnC.isEmpty && linesC.contains("build.amp_hazards=0") &&
+      linesC.contains("build.max_amplification=0.70"))
+    // no AQE-sized stage at all (scan-only build): the -1 sentinel
+    val (linesS, warnS) = buildProfile("scan_v1_00",
+      Seq(StageIO(1, 4, 0, 5 * MB)), adv, widthOverridden = false)
+    assert(warnS.isEmpty && linesS.contains("build.max_amplification=-1.00"))
+  }
+
+  test("an unprotected amplifying BUILD records its hazard in the artifact meta and warns") {
+    val work = java.nio.file.Files.createTempDirectory("amp_selfaudit").toString
+    // a low advisory keeps this probe build small while staying above
+    // the gate's write floor — the exact knob a real deployment tunes
+    withConfs("spark.graft.artifacts.dir" -> work,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k") {
+      val builds = new java.util.concurrent.atomic.AtomicLong(0)
+      // a deliberately amplifying mining plan with NO width override:
+      // stage 1 shuffles ~10 MB of incompressible hashes; stage 2
+      // reads them, explodes ×20, and shuffles the amplified stream
+      graft.core.ArtifactStore.getOrBuild(
+        spark, "amp_probe", "cafebabecafebabe", work, builds) { s =>
+        import org.apache.spark.sql.functions._
+        s.range(600000)
+          .select(xxhash64(col("id")).as("h"), (col("id") % 13).as("k"))
+          .repartition(4, col("k"))
+          .select(explode(array((0 until 20).map(i => xxhash64(col("h"), lit(i))): _*)).as("v"))
+          .repartition(8, col("v"))
+          .groupBy((col("v") % 997).as("g")).agg(count(lit(1)).as("n"))
+      }
+      assert(builds.get == 1)
+      val meta = graft.core.ArtifactStore.meta(spark, "amp_probe", "cafebabecafebabe")
+      val hazardCount = meta.collectFirst {
+        case l if l.startsWith("build.amp_hazards=") => l.split("=")(1).toInt
+      }
+      assert(hazardCount.exists(_ >= 1),
+        s"the ×20 explode must trip the self-audit; meta=$meta")
+      assert(meta.contains("build.width_overridden=false"), s"meta=$meta")
+      val maxAmp = meta.collectFirst {
+        case l if l.startsWith("build.max_amplification=") => l.split("=")(1).toDouble
+      }
+      assert(maxAmp.exists(_ > ratioMax),
+        s"recorded max amplification must exceed the $ratioMax threshold; meta=$meta")
+    }
   }
 
   // ── the audited inventory (the 47a5bb2 set, now a permanent gate) ──

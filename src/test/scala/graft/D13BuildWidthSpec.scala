@@ -268,6 +268,11 @@ class D13BuildWidthSpec extends AnyFunSuite with SparkSuite {
         s"this build ran with the override engaged (16k advisory); meta=$meta")
       assert(meta.exists(_.startsWith("d13.candidate_bytes_estimated=")) &&
         meta.exists(_.startsWith("d13.actual_over_estimated=")), s"meta=$meta")
+      // ...and the round-17 standard self-audit recognizes the engaged
+      // override as protection (ArtifactStore.buildProfile — the
+      // hook's d13.* lines come AFTER the standard build.* lines)
+      assert(meta.contains("build.width_overridden=true"), s"meta=$meta")
+      assert(meta.exists(_.startsWith("build.max_amplification=")), s"meta=$meta")
     }
   }
 }
